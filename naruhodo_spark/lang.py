@@ -1,0 +1,162 @@
+"""Language rule tables for the deterministic chunker (SURVEY.md §7.0).
+
+The reference drives chunking through external C++ parsers (CaboCha /
+JUMAN++/KNP [PK naruhodo/utils/communication.py]); those binaries do not
+exist in this sandbox and per-sentence subprocesses would violate the
+"no per-row Python" contract [B BASELINE.json:15]. Instead chunking is a
+self-contained deterministic rule system, parameterized per language:
+
+- ``en``  — the primary profile: closed-class word lists + light
+  morphology, SVO role assignment. Exercised by both the synthesized
+  spans corpus (FIXTURES.md §A) and the flat testdata documents.
+- ``ja``  — a particle-table profile mirroring the reference's dicts
+  ([PK naruhodo/utils/dicts.py]): case particles が/は/を/に/…, pronoun
+  classes, light-verb stopwords. Operates on pre-segmented
+  (whitespace-tokenized) Japanese, since no morphological analyzer is
+  available; role assignment is particle-driven (SOV).
+
+Profiles are plain dicts so they broadcast cheaply to executors.
+"""
+
+from __future__ import annotations
+
+from naruhodo_spark import schemas as S
+
+# ---------------------------------------------------------------- EN ----
+# Gazetteers: these double as the synthetic-corpus vocabulary (synth.py),
+# so entity typing has computable expected outputs (goldens).
+EN_PERSONS = [
+    "alice", "bob", "carol", "dave", "erin", "frank", "grace", "heidi",
+    "ivan", "judy", "mallory", "oscar", "peggy", "trent", "victor", "wendy",
+]
+EN_LOCATIONS = [
+    "tokyo", "kyoto", "paris", "london", "berlin", "osaka", "madrid",
+    "rome", "lisbon", "vienna", "prague", "dublin",
+]
+EN_ORGS = [
+    "acme", "globex", "initech", "umbrella", "hooli", "vandelay",
+    "wonka", "stark", "wayne", "tyrell",
+]
+EN_THINGS = [
+    "book", "bridge", "temple", "garden", "letter", "painting", "castle",
+    "museum", "library", "factory", "statue", "market", "tower", "song",
+]
+
+EN_PRON_PERSONAL = ["he", "she", "they", "him", "her", "them"]
+EN_PRON_DEMONSTRATIVE = ["it", "this", "that", "these", "those"]
+EN_PRON_LOCATIVE = ["here", "there"]
+
+EN_DETERMINERS = ["the", "a", "an", "his", "its", "their", "my", "our"]
+EN_PREPOSITIONS = [
+    "in", "on", "at", "to", "with", "by", "for", "from", "of", "into",
+    "near", "over", "under", "about",
+]
+EN_CONJUNCTIONS = ["and", "but", "or", "so", "because", "while", "then"]
+EN_AUX = [
+    "is", "are", "was", "were", "be", "been", "being", "has", "have",
+    "had", "will", "would", "can", "could", "did", "does", "do",
+]
+EN_NEGATIONS = ["not", "never", "no"]
+
+# verb vocabulary: base → past (the synthetic corpus draws from these;
+# the morphological fallback *ed covers unseen past forms)
+EN_VERBS = {
+    "visit": "visited", "meet": "met", "see": "saw", "build": "built",
+    "found": "founded", "lead": "led", "know": "knew", "like": "liked",
+    "move": "moved", "write": "wrote", "buy": "bought", "sell": "sold",
+    "run": "ran", "own": "owned", "love": "loved", "help": "helped",
+    "join": "joined", "leave": "left", "praise": "praised",
+    "thank": "thanked", "admire": "admired", "paint": "painted",
+}
+EN_VERB_FORMS: dict[str, str] = {}
+for _base, _past in EN_VERBS.items():
+    EN_VERB_FORMS[_base] = _base
+    EN_VERB_FORMS[_past] = _base
+    EN_VERB_FORMS[_base + "s"] = _base  # 3sg present
+
+EN_ADJECTIVES = [
+    "big", "small", "fast", "slow", "old", "young", "famous", "quiet",
+    "happy", "bright", "ancient", "modern",
+]
+
+# light verbs / meaningless chunks (reference MeaninglessDict analog
+# [PK naruhodo/utils/dicts.py]): chunks whose main is in this list are
+# dropped from the KSG (O9).
+EN_STOP_MAINS = ["thing", "stuff", "something", "someone"]
+
+
+def en_profile() -> dict:
+    ne = {}
+    for w in EN_PERSONS:
+        ne[w] = S.ETYPE_PERSON
+    for w in EN_LOCATIONS:
+        ne[w] = S.ETYPE_LOCATION
+    for w in EN_ORGS:
+        ne[w] = S.ETYPE_ORG
+    pro = {}
+    for w in EN_PRON_PERSONAL:
+        pro[w] = S.PRO_PERSONAL
+    for w in EN_PRON_DEMONSTRATIVE:
+        pro[w] = S.PRO_DEMONSTRATIVE
+    for w in EN_PRON_LOCATIVE:
+        pro[w] = S.PRO_LOCATIVE
+    return {
+        "lang": "en",
+        "order": "svo",  # args before/after predicate, func-word BEFORE noun
+        "ne": ne,
+        "pro": pro,
+        "determiners": set(EN_DETERMINERS),
+        "prepositions": set(EN_PREPOSITIONS),
+        "conjunctions": set(EN_CONJUNCTIONS),
+        "aux": set(EN_AUX),
+        "negations": set(EN_NEGATIONS),
+        "verb_forms": dict(EN_VERB_FORMS),
+        "past_forms": {p for p in EN_VERBS.values()},
+        "adjectives": set(EN_ADJECTIVES),
+        "stop_mains": set(EN_STOP_MAINS),
+        "sentence_re": r"[.!?]+",
+        "passive_aux": {"is", "are", "was", "were", "been", "being"},
+    }
+
+
+# ---------------------------------------------------------------- JA ----
+# Particle tables mirroring the reference's dicts ([PK naruhodo/utils/
+# dicts.py]); input must be pre-segmented (whitespace between bunsetsu
+# tokens) because no morphological analyzer exists in this environment.
+JA_CASE_PARTICLES = ["が", "は", "を", "に", "で", "と", "へ", "から", "まで", "の"]
+JA_SUBJ_PARTICLES = {"が", "は"}
+JA_OBJ_PARTICLES = {"を"}
+JA_PRON = {
+    "これ": S.PRO_DEMONSTRATIVE, "それ": S.PRO_DEMONSTRATIVE,
+    "あれ": S.PRO_DEMONSTRATIVE, "彼": S.PRO_PERSONAL,
+    "彼女": S.PRO_PERSONAL, "ここ": S.PRO_LOCATIVE,
+    "そこ": S.PRO_LOCATIVE, "あそこ": S.PRO_LOCATIVE,
+}
+JA_STOP_MAINS = ["する", "なる", "ある", "いる", "こと", "もの"]
+
+
+def ja_profile() -> dict:
+    return {
+        "lang": "ja",
+        "order": "sov",  # func-word (particle) AFTER noun, predicate last
+        "ne": {},
+        "pro": dict(JA_PRON),
+        "particles": set(JA_CASE_PARTICLES),
+        "subj_particles": set(JA_SUBJ_PARTICLES),
+        "obj_particles": set(JA_OBJ_PARTICLES),
+        "negations": {"ない", "ぬ", "ず"},
+        "stop_mains": set(JA_STOP_MAINS),
+        "sentence_re": r"[。！？!?]+",
+        "verb_suffixes": ("する", "した", "れた", "れる", "った", "う", "く",
+                          "ぐ", "す", "つ", "ぬ", "ぶ", "む", "る", "た", "だ"),
+    }
+
+
+PROFILES = {"en": en_profile, "ja": ja_profile}
+
+
+def get_profile(lang: str) -> dict:
+    try:
+        return PROFILES[lang]()
+    except KeyError:  # unknown language → EN fallback dataflow
+        return en_profile()

@@ -1,0 +1,92 @@
+"""O27/O28 node-count & edge-weight aggregation, O30 salted two-phase agg.
+
+Reference behavior: ``_addNode`` increments a node ``count`` attr and
+``_addEdge`` bumps an edge ``weight`` on re-occurrence
+[PK naruhodo/core/KnowledgeCoreJa.py]. In Spark that incremental mutation
+becomes re-aggregation: hash aggregate with map-side partial aggregation
+(free), plus an explicit salted two-phase variant for hot-entity skew
+[B BASELINE.json:6 "salted repartitioning to defuse hot-entity skew"] —
+AQE splits skewed *join* partitions but not skewed groupBy keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_edges(triples: DataFrame) -> DataFrame:
+    """ksg_edges: (subj, pred, obj, weight, negative, passive)."""
+    return (
+        triples.where(F.col("subj_canon").isNotNull())
+        .groupBy(
+            F.col("subj_canon").alias("subj"),
+            F.col("pred").alias("pred"),
+            F.coalesce(F.col("obj_canon"), F.lit("")).alias("obj"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.max("negative").alias("negative"),
+            F.max("passive").alias("passive"),
+        )
+    )
+
+
+def aggregate_edges_salted(triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase salted variant of aggregate_edges. Phase 1 splits each hot
+    (subj,pred,obj) key into `salt_buckets` partial groups keyed by a hash
+    of doc_id; phase 2 merges partials. Same result, bounded per-task
+    group size."""
+    salted = triples.where(F.col("subj_canon").isNotNull()).withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(
+        F.col("subj_canon").alias("subj"),
+        F.col("pred").alias("pred"),
+        F.coalesce(F.col("obj_canon"), F.lit("")).alias("obj"),
+        "salt",
+    ).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.max("negative").alias("n"),
+        F.max("passive").alias("p"),
+    )
+    return phase1.groupBy("subj", "pred", "obj").agg(
+        F.sum("w").alias("weight"),
+        F.max("n").alias("negative"),
+        F.max("p").alias("passive"),
+    )
+
+
+def aggregate_nodes(triples: DataFrame) -> DataFrame:
+    """ksg_nodes: entities (subject/object occurrences) + predicate nodes.
+
+    node_id = canonical id; rep = deterministic representative surface
+    (lexicographic min, mirroring the reference's first-seen surface in a
+    partitioning-independent way); count = occurrence count."""
+    subj = triples.where(F.col("subj_canon").isNotNull()).select(
+        F.col("subj_canon").alias("node_id"),
+        F.col("subj").alias("surface"),
+        F.col("subj_ne").alias("etype"),
+        F.col("subj_pro").alias("pro"),
+    )
+    obj = triples.where(F.col("obj_canon").isNotNull()).select(
+        F.col("obj_canon").alias("node_id"),
+        F.col("obj").alias("surface"),
+        F.col("obj_ne").alias("etype"),
+        F.col("obj_pro").alias("pro"),
+    )
+    pred = triples.select(
+        F.concat(F.lit("pred:"), F.col("pred")).alias("node_id"),
+        F.col("pred").alias("surface"),
+        F.lit(0).alias("etype"),
+        F.lit(-1).alias("pro"),
+    )
+    occ = subj.unionByName(obj).unionByName(pred)
+    return occ.groupBy("node_id").agg(
+        F.min("surface").alias("rep"),
+        F.max("etype").alias("etype"),
+        F.max("pro").alias("pro"),
+        F.count(F.lit(1)).alias("count"),
+    ).withColumn("name", F.col("node_id")).select(
+        "node_id", "name", "rep", "etype", "pro", "count"
+    )

@@ -1,0 +1,94 @@
+"""O20 — canonicalization via connected components over iterative
+DataFrame self-joins.
+
+Reference behavior: node merging is sequential, in driver memory —
+``inclusive(a, b)`` substring checks and name dedup with `#n` suffixes
+[PK naruhodo/utils/misc.py, naruhodo/core/KnowledgeCoreJa.py].
+
+Spark mapping [B BASELINE.json:6 "connected-components-based node merging
+via iterative DataFrame self-joins"]: min-label propagation (the
+MapReduce CC algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public literature). Each iteration is
+two shuffles; labels converge in O(log n) iterations on real alias
+graphs (alias chains are short). ``localCheckpoint`` truncates lineage
+per iteration so the plan does not grow (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Returns (node:string, label:string) — label = lexicographic min
+    node id of the component. Deterministic across runs and partitionings."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    # undirected: keep both directions once, then dedup
+    e = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # label(dst) candidates from each neighbor's current label
+        msgs = (
+            e.join(labels, e.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .union(labels.select("node", "label"))
+        )
+        new_labels = (
+            msgs.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def alias_cc_labels(aliases: DataFrame) -> DataFrame:
+    """Components over the alias dictionary's (alias → canonical_id) edges,
+    merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity)."""
+    return connected_components(
+        aliases.select(F.col("alias").alias("src"), F.col("canonical_id").alias("dst"))
+    )
+
+
+def apply_canonical_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
+    """Rewrite subj_canon/obj_canon to their component label. The label set
+    is alias-dictionary-sized → broadcast, no shuffle."""
+    s_lab = F.broadcast(
+        labels.select(F.col("node").alias("s_node"), F.col("label").alias("s_label"))
+    )
+    o_lab = F.broadcast(
+        labels.select(F.col("node").alias("o_node"), F.col("label").alias("o_label"))
+    )
+    return (
+        triples.join(s_lab, triples.subj_canon == s_lab.s_node, "left")
+        .join(o_lab, triples.obj_canon == o_lab.o_node, "left")
+        .withColumn("subj_canon", F.coalesce("s_label", "subj_canon"))
+        .withColumn("obj_canon", F.coalesce("o_label", "obj_canon"))
+        .drop("s_node", "s_label", "o_node", "o_label")
+    )

@@ -1,0 +1,201 @@
+"""O11 — the dependency chunker (the heart of the pipeline).
+
+Reference behavior: each sentence is piped through ``cabocha -f1`` (or
+JUMAN++/KNP) over a persistent subprocess and the lattice output is
+re-assembled into chunk (bunsetsu) objects with dependency links
+[PK naruhodo/utils/communication.py, naruhodo/backends/cabocha.py
+CaboChunk, naruhodo/backends/knp.py].
+
+Our build replaces the external C++ parser with a *deterministic,
+self-contained rule chunker* (SURVEY.md §7.0: no parser binaries exist in
+this environment, and per-sentence subprocesses would violate the
+"no per-row Python" contract [B BASELINE.json:15]). It runs as a
+``mapInPandas`` UDF: Arrow batches in, chunk rows out (a UDTF in Spark
+terms — 1 sentence row → N chunk rows). The pure-Python functions here
+(`chunk_sentence_en` / `chunk_sentence_ja`) double as the *executable
+spec* from which golden test fixtures are generated (SURVEY.md §5.1).
+
+Chunk fields mirror the reference's CaboChunk: id, parent (-1 = root),
+surface, main (content head), func (case marker / preposition), type,
+NE tag, pronoun class, negative/passive/tense flags.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from naruhodo_spark import schemas as S
+
+_PUNCT = ".,;:!?\"'()[]{}"
+
+
+def _tokens(sentence: str) -> list[str]:
+    out = []
+    for raw in sentence.split():
+        t = raw.strip(_PUNCT)
+        if t:
+            out.append(t)
+    return out
+
+
+def _assign_parents(chunks: list[dict]) -> None:
+    """Dependency links. Predicates (verb/adjective chunks) chain forward,
+    last predicate is root. Arguments attach to the *nearest* predicate by
+    chunk distance (tie → preceding). Mirrors the reference's head links
+    re-expressed positionally (the reference gets them from CaboCha's
+    lattice [PK naruhodo/backends/cabocha.py])."""
+    preds = [i for i, c in enumerate(chunks) if c["ctype"] in (S.CTYPE_VERB, S.CTYPE_ADJ)]
+    n = len(chunks)
+    for i, c in enumerate(chunks):
+        if i in preds:
+            nxt = [p for p in preds if p > i]
+            c["parent"] = nxt[0] if nxt else -1
+        elif preds:
+            best = min(preds, key=lambda p: (abs(p - i), p > i))
+            c["parent"] = best
+        else:
+            c["parent"] = n - 1 if i != n - 1 else -1
+
+
+def chunk_sentence_en(sentence: str, prof: dict) -> list[dict]:
+    """SVO profile: determiners/adjectives buffer onto the next noun head,
+    aux/negations buffer onto the next verb head, prepositions become the
+    `func` of the following noun chunk (the EN analog of the reference's
+    postpositional case particles)."""
+    toks = _tokens(sentence)
+    chunks: list[dict] = []
+    pre_mods: list[str] = []
+    pre_verb: list[str] = []
+    pending_func = ""
+
+    verb_forms = prof["verb_forms"]
+    past_forms = prof["past_forms"]
+
+    def emit(surface, main, func, ctype, ne, pro, neg, pas, tense):
+        chunks.append(
+            dict(
+                chunk_id=len(chunks), parent=-1, surface=surface, main=main,
+                func=func, ctype=ctype, ne_type=ne, pro=pro, negative=neg,
+                passive=pas, tense=tense,
+            )
+        )
+
+    for tok in toks:
+        if tok in prof["determiners"]:
+            pre_mods.append(tok)
+        elif tok in prof["adjectives"]:
+            pre_mods.append(tok)
+        elif tok in prof["aux"]:
+            pre_verb.append(tok)
+        elif tok in prof["negations"]:
+            pre_verb.append(tok)
+        elif tok in prof["prepositions"]:
+            pending_func = tok
+        elif tok in prof["conjunctions"]:
+            emit(tok, tok, "", S.CTYPE_CONNECT, S.ETYPE_UNKNOWN, S.PRO_NONE,
+                 False, False, "present")
+            pre_mods, pre_verb, pending_func = [], [], ""
+        elif tok in verb_forms or (tok.endswith("ed") and len(tok) > 3):
+            lemma = verb_forms.get(tok, tok)
+            is_past = tok in past_forms or tok.endswith("ed")
+            neg = any(w in prof["negations"] for w in pre_verb)
+            pas = is_past and any(w in prof["passive_aux"] for w in pre_verb)
+            surface = " ".join(pre_verb + [tok])
+            emit(surface, lemma, "", S.CTYPE_VERB, S.ETYPE_UNKNOWN,
+                 S.PRO_NONE, neg, pas, "past" if is_past else "present")
+            pre_verb = []
+        else:
+            pro = prof["pro"].get(tok, S.PRO_NONE)
+            ctype = S.CTYPE_PRONOUN if pro != S.PRO_NONE else S.CTYPE_NOUN
+            ne = prof["ne"].get(tok, S.ETYPE_UNKNOWN)
+            surface = " ".join(pre_mods + [tok])
+            emit(surface, tok, pending_func, ctype, ne, pro, False, False,
+                 "present")
+            pre_mods, pending_func = [], ""
+
+    if pre_mods:  # predicate adjective: "the castle is ancient"
+        neg = any(w in prof["negations"] for w in pre_verb)
+        surface = " ".join(pre_verb + pre_mods)
+        emit(surface, pre_mods[-1], "", S.CTYPE_ADJ, S.ETYPE_UNKNOWN,
+             S.PRO_NONE, neg, False, "present")
+    elif pre_verb:  # dangling aux — keep as OTHER chunk for DSG fidelity
+        emit(" ".join(pre_verb), pre_verb[-1], "", S.CTYPE_OTHER,
+             S.ETYPE_UNKNOWN, S.PRO_NONE, False, False, "present")
+
+    _assign_parents(chunks)
+    return chunks
+
+
+def chunk_sentence_ja(sentence: str, prof: dict) -> list[dict]:
+    """SOV particle profile over pre-segmented Japanese (whitespace between
+    tokens; no morphological analyzer exists in this environment —
+    SURVEY.md §7.0). Case particles attach as `func` of the *preceding*
+    chunk, mirroring [PK naruhodo/backends/cabocha.py] func extraction."""
+    toks = _tokens(sentence)
+    chunks: list[dict] = []
+
+    def emit(surface, main, ctype, pro, neg, tense):
+        chunks.append(
+            dict(
+                chunk_id=len(chunks), parent=-1, surface=surface, main=main,
+                func="", ctype=ctype, ne_type=S.ETYPE_UNKNOWN, pro=pro,
+                negative=neg, passive=pas_flag(surface), tense=tense,
+            )
+        )
+
+    def pas_flag(surface: str) -> bool:
+        return surface.endswith(("れた", "れる", "られた", "られる"))
+
+    for tok in toks:
+        if tok in prof["particles"] and chunks:
+            chunks[-1]["func"] = tok
+            chunks[-1]["surface"] += tok
+        elif tok in prof["pro"]:
+            emit(tok, tok, S.CTYPE_PRONOUN, prof["pro"][tok], False, "present")
+        elif tok.endswith(tuple(prof["negations"])):
+            emit(tok, tok, S.CTYPE_VERB, S.PRO_NONE, True,
+                 "past" if tok.endswith(("た", "だ")) else "present")
+        elif tok.endswith(prof["verb_suffixes"]):
+            emit(tok, tok, S.CTYPE_VERB, S.PRO_NONE, False,
+                 "past" if tok.endswith(("た", "だ")) else "present")
+        else:
+            emit(tok, tok, S.CTYPE_NOUN, S.PRO_NONE, False, "present")
+
+    _assign_parents(chunks)
+    return chunks
+
+
+def chunk_sentence(sentence: str, prof: dict) -> list[dict]:
+    if prof.get("lang") == "ja":
+        return chunk_sentence_ja(sentence, prof)
+    return chunk_sentence_en(sentence, prof)
+
+
+_COLS = [f.name for f in S.CHUNKS.fields]
+
+
+def chunk_sentences(sents_df, prof: dict):
+    """Spark surface: sentences DataFrame → chunks DataFrame via
+    ``mapInPandas`` (iterator-of-Arrow-batches; the profile dict is
+    closure-captured once per task, not per row)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, sent_id, sentence in zip(
+                pdf["doc_id"], pdf["sent_id"], pdf["sentence"]
+            ):
+                for c in chunk_sentence(sentence, prof):
+                    rows.append(
+                        (
+                            doc_id, int(sent_id), c["chunk_id"], c["parent"],
+                            c["surface"], c["main"], c["func"], c["ctype"],
+                            c["ne_type"], c["pro"], c["negative"],
+                            c["passive"], c["tense"],
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return sents_df.mapInPandas(fn, schema=S.CHUNKS)

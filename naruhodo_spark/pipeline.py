@@ -1,0 +1,223 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3.2 EP1′/EP2′).
+
+Dataflow: spans documents → normalize/split (Catalyst) → chunker
+(mapInPandas) → triples (relational join+agg) → pronoun windows →
+carryover → broadcast alias linking → CC canonicalization → node/edge
+aggregation → graph tables, with per-partition manifest rows for
+kill-resume [B BASELINE.json:6].
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from naruhodo_spark import lang as L
+from naruhodo_spark import storage
+from naruhodo_spark.operators import agg as O_agg
+from naruhodo_spark.operators import canon as O_canon
+from naruhodo_spark.operators import chunk as O_chunk
+from naruhodo_spark.operators import coref as O_coref
+from naruhodo_spark.operators import link as O_link
+from naruhodo_spark.operators import normalize as O_norm
+from naruhodo_spark.operators import triples as O_triples
+
+
+def extract_document_triples(
+    docs_spans: DataFrame,
+    prof: dict | None = None,
+    triple_plan: str = "relational",
+    persist_chunks: bool = True,
+) -> dict[str, DataFrame]:
+    """Stages O7–O18: documents → chunks/DSG/raw-resolved triples."""
+    prof = prof or L.get_profile("en")
+    sents = O_norm.split_sentences(docs_spans, prof)
+    chunks = O_chunk.chunk_sentences(sents, prof)
+    if persist_chunks:
+        # chunks feed DSG + triples + occurrence windows (SURVEY.md §4.4:
+        # one of exactly two persisted frontiers)
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+
+    dsg_nodes, dsg_edges = O_triples.dsg_tables(chunks)
+    if triple_plan == "pandas":
+        t = O_triples.extract_triples_pandas(chunks, prof)
+    else:
+        t = O_triples.extract_triples(chunks, prof)
+
+    occ = O_coref.resolve_pronouns(O_coref.entity_occurrences(chunks))
+    t = O_coref.attach_resolution(t, occ)
+    t = O_coref.carryover_subjects(t)
+    return {
+        "sentences": sents,
+        "chunks": chunks,
+        "dsg_nodes": dsg_nodes,
+        "dsg_edges": dsg_edges,
+        "triples": t,
+    }
+
+
+def build_kg(
+    docs_spans: DataFrame,
+    prof: dict | None = None,
+    aliases: DataFrame | None = None,
+    salted: bool = False,
+    salt_buckets: int = 16,
+    triple_plan: str = "relational",
+) -> dict[str, DataFrame]:
+    """Full KSG+DSG build; returns every stage as a lazy DataFrame."""
+    stages = extract_document_triples(docs_spans, prof, triple_plan)
+    t = O_link.link_entities(stages["triples"], aliases)
+    if aliases is not None:
+        labels = O_canon.alias_cc_labels(aliases)
+        t = O_canon.apply_canonical_labels(t, labels)
+    stages["triples_linked"] = t
+    stages["ksg_edges"] = (
+        O_agg.aggregate_edges_salted(t, salt_buckets)
+        if salted
+        else O_agg.aggregate_edges(t)
+    )
+    stages["ksg_nodes"] = O_agg.aggregate_nodes(t)
+    return stages
+
+
+# ---------------------------------------------------------------------
+# Partitioned run with manifest + kill-resume (O21/O36–O38)
+# ---------------------------------------------------------------------
+
+def with_part_id(docs: DataFrame, n_parts: int) -> DataFrame:
+    """Stable partition id: content hash of doc_id — identical across
+    runs, cluster sizes, and input orderings (never
+    monotonically_increasing_id, SURVEY.md §7.3)."""
+    return docs.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"),
+    )
+
+
+def pending_parts(spark: SparkSession, docs_p: DataFrame, out_dir: str) -> DataFrame:
+    """O21 resume anti-join: drop partitions already recorded in the
+    manifest."""
+    if storage.table_exists(spark, "_manifest", out_dir):
+        done = storage.read_table(spark, "_manifest", out_dir).select("part_id").distinct()
+        return docs_p.join(F.broadcast(done), "part_id", "left_anti")
+    return docs_p
+
+
+def _manifest_total_triples(spark: SparkSession, out_dir: str) -> int:
+    if not storage.table_exists(spark, "_manifest", out_dir):
+        return 0
+    row = (
+        storage.read_table(spark, "_manifest", out_dir)
+        .agg(F.sum("triple_count"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def run_partitioned(
+    spark: SparkSession,
+    docs_spans: DataFrame,
+    out_dir: str,
+    n_parts: int = 32,
+    prof: dict | None = None,
+    aliases: DataFrame | None = None,
+    salted: bool = False,
+    run_id: str | None = None,
+) -> dict[str, int]:
+    """EP1′/EP2′: process only not-yet-done partitions, append their raw
+    triples (partitioned by part_id — dynamic partition overwrite makes a
+    re-run of a half-written partition idempotent), record manifest rows
+    with lineage fingerprint + counters, then finalize the aggregated
+    graph tables from ALL triples (cheap re-agg).
+
+    Returns counters {parts_processed, docs, triples}.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs_p = with_part_id(docs_spans, n_parts)
+    todo = pending_parts(spark, docs_p, out_dir)
+    # Materialize the pending per-part doc stats driver-side ONCE (≤ n_parts
+    # rows) — everything downstream must not lazily re-read `_manifest`
+    # after we append to it (re-evaluation would see its own output).
+    part_stats = {
+        r["part_id"]: (r["doc_count"], r["input_fingerprint"])
+        for r in todo.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            # O38 lineage: order-independent content fingerprint of inputs
+            # (bit_xor: commutative, no ANSI long-overflow unlike sum)
+            F.format_string(
+                "%016x", F.expr("bit_xor(xxhash64(doc_id))")
+            ).alias("input_fingerprint"),
+        )
+        .collect()
+    }
+    if not part_stats:
+        finalize(spark, out_dir, aliases=aliases, salted=salted)
+        return {
+            "parts_processed": 0,
+            "docs": 0,
+            "triples": _manifest_total_triples(spark, out_dir),
+        }
+
+    todo = todo.repartition(min(n_parts, len(part_stats)), "part_id")
+    stages = extract_document_triples(todo.drop("part_id"), prof)
+    triples = with_part_id(stages["triples"], n_parts).persist()
+    storage.write_table(
+        triples, "triples_raw", out_dir, mode="overwrite", partition_by=["part_id"]
+    )
+    # exactly-once accounting from the persisted frame we just wrote
+    triple_counts = {
+        r["part_id"]: r["n"]
+        for r in triples.groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    manifest_rows = [
+        (
+            int(pid),
+            int(dc),
+            int(triple_counts.get(pid, 0)),
+            fp,
+            run_id,
+        )
+        for pid, (dc, fp) in sorted(part_stats.items())
+    ]
+    manifest = spark.createDataFrame(
+        manifest_rows,
+        schema="part_id int, doc_count long, triple_count long,"
+        " input_fingerprint string, run_id string",
+    ).withColumn("ts", F.current_timestamp())
+    storage.write_table(manifest, "_manifest", out_dir, mode="append")
+    finalize(spark, out_dir, aliases=aliases, salted=salted)
+    triples.unpersist()
+    stages["chunks"].unpersist()
+    return {
+        "parts_processed": len(manifest_rows),
+        "docs": int(sum(dc for dc, _ in part_stats.values())),
+        "triples": _manifest_total_triples(spark, out_dir),
+    }
+
+
+def finalize(
+    spark: SparkSession,
+    out_dir: str,
+    aliases: DataFrame | None = None,
+    salted: bool = False,
+) -> None:
+    """Aggregate ALL raw triples into the canonical graph tables."""
+    if not storage.table_exists(spark, "triples_raw", out_dir):
+        return
+    t = storage.read_table(spark, "triples_raw", out_dir)
+    t = O_link.link_entities(t, aliases)
+    if aliases is not None:
+        labels = O_canon.alias_cc_labels(aliases)
+        t = O_canon.apply_canonical_labels(t, labels)
+    edges = (
+        O_agg.aggregate_edges_salted(t) if salted else O_agg.aggregate_edges(t)
+    )
+    nodes = O_agg.aggregate_nodes(t)
+    storage.write_table(edges, "ksg_edges", out_dir)
+    storage.write_table(nodes, "ksg_nodes", out_dir)

@@ -1,0 +1,156 @@
+"""Deterministic synthetic spans-corpus generator (FIXTURES.md §A).
+
+The driver contract fixes the input shape [B BASELINE.json:15]:
+``(doc_id:string, spans:array<struct<kind,text,media_ref,offset:int>>)``
+with interleaved text + media spans. This generator is a pure function of
+(doc index, seed): identical output for any partitioning / parallelism —
+the property tests depend on that. It is distributed: ``spark.range`` →
+``mapInPandas`` (no driver-side materialization), so the same code
+synthesizes 1k docs for smoke tests or 10^9 for a cluster soak.
+
+The vocabulary is the EN profile's gazetteer (lang.py), so entity typing,
+pronoun resolution, and subject carryover all have computable expected
+outputs.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from naruhodo_spark import lang
+from naruhodo_spark import schemas as S
+
+SEED = 42
+
+_PRON_FOR_PERSON = ["he", "she", "they"]
+
+
+def _doc_rng(i: int, seed: int) -> np.random.RandomState:
+    # stable 32-bit stream id per (seed, doc) — independent of partitioning
+    return np.random.RandomState(zlib.crc32(f"{seed}:{i}".encode()) & 0x7FFFFFFF)
+
+
+def _sentence(rng: np.random.RandomState, hot_frac: float, state: dict) -> str:
+    """One sentence from a template mix that exercises every linguistic
+    operator: plain SVO, prepositional obliques, pronoun subjects,
+    omitted subjects (carryover), and predicate adjectives."""
+    persons, locs, orgs, things = (
+        lang.EN_PERSONS, lang.EN_LOCATIONS, lang.EN_ORGS, lang.EN_THINGS,
+    )
+    pasts = sorted(lang.EN_VERBS.values())
+
+    def person():
+        if hot_frac > 0 and rng.rand() < hot_frac:
+            return persons[0]  # the hot entity (skew fixture)
+        return persons[rng.randint(len(persons))]
+
+    t = rng.randint(6)
+    verb = pasts[rng.randint(len(pasts))]
+    if t == 0:  # SVO person-person
+        s, o = person(), persons[rng.randint(len(persons))]
+        state["last_person"] = o
+        return f"{s} {verb} {o}"
+    if t == 1:  # SVO person-thing with determiner
+        s, o = person(), things[rng.randint(len(things))]
+        state["last_person"] = s
+        return f"{s} {verb} the {o}"
+    if t == 2:  # oblique: moved to <location>
+        s, l = person(), locs[rng.randint(len(locs))]
+        state["last_person"] = s
+        return f"{s} moved to {l}"
+    if t == 3 and state.get("last_person"):  # pronoun subject → resolution
+        o = orgs[rng.randint(len(orgs))]
+        pr = _PRON_FOR_PERSON[rng.randint(len(_PRON_FOR_PERSON))]
+        return f"{pr} joined {o}"
+    if t == 4 and state.get("last_person"):  # omitted subject → carryover
+        o = things[rng.randint(len(things))]
+        return f"then {verb} the {o}"
+    # predicate adjective
+    th = things[rng.randint(len(things))]
+    adj = sorted(lang.EN_ADJECTIVES)[rng.randint(len(lang.EN_ADJECTIVES))]
+    return f"the {th} is {adj}"
+
+
+def make_doc(i: int, seed: int = SEED, hot_frac: float = 0.0) -> tuple[str, list]:
+    """Pure function (doc index, seed, hot_frac) → (doc_id, spans)."""
+    rng = _doc_rng(i, seed)
+    n_spans = rng.randint(1, 9)  # 1–8 spans
+    spans, offset, state = [], 0, {}
+    for j in range(n_spans):
+        if rng.rand() < 0.15 and j > 0:  # ~15% media, interleaved
+            ref = f"img://{i:06d}/{j}.png"
+            spans.append({"kind": "media", "text": "", "media_ref": ref,
+                          "offset": offset})
+            offset += 1
+        else:
+            n_sent = rng.randint(1, 6)
+            text = " ".join(
+                _sentence(rng, hot_frac, state) + "." for _ in range(n_sent)
+            )
+            spans.append({"kind": "text", "text": text, "media_ref": "",
+                          "offset": offset})
+            offset += len(text)
+    return f"doc-{i:06d}", spans
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = SEED,
+    hot_frac: float = 0.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed generation of the spans-shaped documents table."""
+    base = spark.range(0, n_docs, numPartitions=num_partitions or 32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [make_doc(int(i), seed, hot_frac) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {"doc_id": [d[0] for d in docs], "spans": [d[1] for d in docs]}
+            )
+
+    return base.mapInPandas(gen, schema=S.DOCUMENTS_SPANS)
+
+
+def alias_rows(seed: int = SEED) -> list[tuple[str, str, int]]:
+    """~200-row alias dictionary with multi-hop chains (FIXTURES.md §A):
+    for each gazetteer entity E, aliases {E, E-variants} → `E@1`, plus a
+    chain edge `E@1` → `E@2`, so connected-components canonicalization has
+    3-node components {E, E@1, E@2} (min-label = E's surface form)."""
+    rows: list[tuple[str, str, int]] = []
+    groups = [
+        (lang.EN_PERSONS, S.ETYPE_PERSON, ["mr-{e}", "{e}-san", "dr-{e}"]),
+        (lang.EN_LOCATIONS, S.ETYPE_LOCATION, ["{e}-city", "old-{e}"]),
+        (lang.EN_ORGS, S.ETYPE_ORG, ["{e}-inc", "{e}-corp", "the-{e}-group"]),
+    ]
+    for ents, etype, patterns in groups:
+        for e in ents:
+            rows.append((e, f"{e}@1", etype))
+            rows.append((f"{e}@1", f"{e}@2", etype))  # chain hop
+            for p in patterns:
+                rows.append((p.format(e=e), f"{e}@1", etype))
+    return rows
+
+
+def alias_dictionary(spark: SparkSession, seed: int = SEED) -> DataFrame:
+    return spark.createDataFrame(
+        alias_rows(seed), schema="alias string, canonical_id string, etype int"
+    )
+
+
+def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
+    """Scale blowup for benchmarks: k deterministic copies with distinct
+    doc_ids (crossJoin against a small literal range — broadcast, no
+    shuffle)."""
+    reps = docs.sparkSession.range(k).select(F.col("id").alias("rep"))
+    return docs.crossJoin(F.broadcast(reps)).select(
+        F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans"
+    )

@@ -1,0 +1,117 @@
+"""End-to-end pipeline tests on the synthesized spans corpus."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from naruhodo_spark import lang, synth
+from naruhodo_spark.operators import normalize
+from naruhodo_spark.pipeline import build_kg
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synth.synth_documents(spark, 60).persist()
+
+
+@pytest.fixture(scope="module")
+def kg(spark, docs):
+    aliases = synth.alias_dictionary(spark)
+    return build_kg(docs, aliases=aliases)
+
+
+def test_docs_shape(docs):
+    rows = docs.collect()
+    assert len(rows) == 60
+    kinds = {s["kind"] for r in rows for s in r["spans"]}
+    assert kinds <= {"text", "media"}
+    # offsets strictly increasing per doc
+    for r in rows:
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_generator_is_partitioning_independent(spark):
+    a = synth.synth_documents(spark, 40, num_partitions=1).collect()
+    b = synth.synth_documents(spark, 40, num_partitions=13).collect()
+    ka = {r["doc_id"]: r["spans"] for r in a}
+    kb = {r["doc_id"]: r["spans"] for r in b}
+    assert ka == kb
+
+
+def test_sentences_and_chunks(kg):
+    assert kg["sentences"].count() > 0
+    chunks = kg["chunks"]
+    assert chunks.where(F.col("ctype") == 1).count() > 0  # verbs exist
+    # parent is either -1 or a valid chunk id in the same sentence
+    bad = (
+        chunks.alias("c")
+        .join(
+            chunks.alias("p"),
+            on=[
+                F.col("c.doc_id") == F.col("p.doc_id"),
+                F.col("c.sent_id") == F.col("p.sent_id"),
+                F.col("c.parent") == F.col("p.chunk_id"),
+            ],
+            how="left_anti",
+        )
+        .where(F.col("c.parent") != -1)
+    )
+    assert bad.count() == 0
+
+
+def test_triples_nonempty_and_resolved(kg):
+    t = kg["triples_linked"]
+    n = t.count()
+    assert n > 0
+    # pronoun subjects must be resolved away when an antecedent exists:
+    # resolved surfaces are entity names, so no bare pronouns should
+    # survive as canonical subjects with weight dominated by pronouns
+    prons = t.where(F.col("subj").isin("he", "she", "they")).count()
+    assert prons < n * 0.2
+
+
+def test_ksg_edges_weights(kg):
+    e = kg["ksg_edges"]
+    assert e.count() > 0
+    assert e.agg(F.min("weight")).first()[0] >= 1
+    assert set(e.columns) == {"subj", "pred", "obj", "weight", "negative", "passive"}
+
+
+def test_alias_canonicalization_multi_hop(spark, kg):
+    # alias chains alice → alice@1 → alice@2 form one component whose
+    # min-label is 'alice' → canonical subjects never end in '@1'/'@2'
+    e = kg["ksg_edges"]
+    assert e.where(F.col("subj").rlike("@[12]$")).count() == 0
+
+
+def test_span_sequence_invariant(docs):
+    """[B BASELINE.json:15] exact span-sequence equality per document:
+    the engine never mutates the spans column; the invariant surface
+    must reproduce (kind, text, media_ref) in original order."""
+    seq = normalize.span_sequences(docs)
+    orig = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+            for r in docs.collect()}
+    out = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"]) for s in r["span_seq"]]
+           for r in seq.collect()}
+    assert orig == out
+
+
+def test_triple_plans_agree(spark, docs):
+    """Relational join+agg plan (O12a) ≡ grouped-pandas plan (O12b)."""
+    prof = lang.get_profile("en")
+    a = build_kg(docs, prof=prof, triple_plan="relational")["triples"]
+    b = build_kg(docs, prof=prof, triple_plan="pandas")["triples"]
+    cols = ["doc_id", "sent_id", "pred_id", "pred", "subj", "obj",
+            "negative", "passive", "tense"]
+    assert a.select(cols).exceptAll(b.select(cols)).isEmpty()
+    assert b.select(cols).exceptAll(a.select(cols)).isEmpty()
+
+
+def test_salted_agg_equals_plain(spark, docs):
+    from naruhodo_spark.operators.agg import aggregate_edges, aggregate_edges_salted
+
+    kg = build_kg(docs)
+    t = kg["triples_linked"]
+    plain = aggregate_edges(t)
+    salted = aggregate_edges_salted(t, salt_buckets=7)
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
