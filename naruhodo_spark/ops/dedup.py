@@ -1,0 +1,216 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest → most semantic:
+
+- **exact**: hash-groupBy on the normalized-content fingerprint. One
+  shuffle on a uniform hash key; scales linearly.
+- **n-gram Jaccard**: word-shingle explode → inverted-index self-join →
+  per-pair intersection count / union. The self-join is on the shingle
+  key, so hot shingles are the skew risk — the exploded index drops
+  shingles above a document-frequency cap (standard practice; mirrored in
+  the oracle).
+- **MinHash + LSH**: per-seed minimum of md5(seed‖shingle) (lexicographic
+  min of a cryptographic hash is a valid min-wise permutation and is
+  engine-portable — DuckDB computes the identical md5, so signatures are
+  oracle-checkable). Banding buckets candidates; only candidates get the
+  exact Jaccard check.
+- **SimHash**: 64-bit sign-aggregated token hashes via a vectorized
+  pandas UDF; near-dups = small Hamming distance.
+
+Embedding-cosine near-dup lives in similarity.py (same machinery).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from naruhodo_spark.ops.textstats import norm_text
+
+SHINGLE_K = 3
+N_MINHASH = 12
+N_BANDS = 4  # 3 rows per band
+DF_CAP = 100  # drop shingles appearing in more docs than this (skew guard)
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+    Returns one row per duplicate group: representative (min doc_id),
+    group size. Deterministic; oracle-checkable."""
+    return (
+        docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-shingles per doc: (doc_id, shingle). Sliding window
+    over the token array via transform+slice — pure Catalyst."""
+    toks = F.split(norm_text(F.col("text")), r"\s+")
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.size(F.split(F.col("shingle"), " ")) == k)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K, df_cap: int = DF_CAP
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index plan: explode shingles → drop ultra-common shingles
+    (document frequency > df_cap — they contribute candidates
+    quadratically but little signal) → self-join on shingle → count
+    intersections → |A∩B| / (|A|+|B|−|A∩B|)."""
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    md5(i ‖ ':' ‖ shingle) — engine-portable (identical in DuckDB).
+    Output: (doc_id, sig array<string>)."""
+    sh = shingles(docs, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    k: int = SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing any
+    band bucket are candidates; candidates get the exact Jaccard check.
+    The band join key is (band_idx, band_hash) — uniformly distributed,
+    so the shuffle is balanced by construction."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes, k)
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    candidates = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, k=k).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return candidates.join(exact, ["doc_a", "doc_b"], "inner").where(
+        F.col("jaccard") >= threshold
+    )
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over word tokens, vectorized pandas UDF
+    (mapInPandas). Token hashes are the first 8 bytes of md5 — portable
+    and deterministic. Near-dups = Hamming distance ≤ 3 (downstream)."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = str(text).lower().split()
+                acc = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    bits = np.unpackbits(
+                        np.frombuffer(
+                            hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8
+                        )
+                    )
+                    acc += bits.astype(np.int64) * 2 - 1
+                val = int.from_bytes(
+                    np.packbits(acc > 0).tobytes(), "big", signed=True
+                )
+                out.append((int(doc_id), val))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema=_SIMHASH_SCHEMA)

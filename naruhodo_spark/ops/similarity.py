@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+- **brute-force cosine top-k** — the correctness baseline: pairwise
+  cosine via JVM-side array expressions (zip_with/aggregate — no Python),
+  window row_number ≤ k. O(n²) pairs; fine for correctness tiers.
+- **IVF (coarse-quantized) top-k** — the scale path: restrict candidate
+  pairs to the same coarse cell (here the `label` column acts as the
+  trained IVF assignment; in production the assignment comes from a
+  k-means broadcast). Join key = cell id → pairs per cell only.
+- **LSH (random hyperplane) buckets** — sign-bit sketches from
+  deterministic pseudo-random hyperplanes; bucket join for candidates.
+
+All cosine math is double-precision and rounded to 4 places so the
+DuckDB oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(pairs: DataFrame, col_a: str = "emb_a", col_b: str = "emb_b") -> DataFrame:
+    a, b = F.col(col_a), F.col(col_b)
+    return pairs.withColumn(
+        "cosine", F.round(_dot(a, b) / (_norm(a) * _norm(b)), 4)
+    )
+
+
+def topk_bruteforce(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k cosine neighbors per vector (excluding self). Deterministic
+    tie-break: (cosine desc, neighbor id asc)."""
+    l = embeddings.select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_a")
+    )
+    r = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
+    )
+    pairs = l.join(r, F.col("vec_id") != F.col("neighbor_id"))
+    scored = with_cosine(pairs).select("vec_id", "neighbor_id", "cosine")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def topk_ivf(embeddings: DataFrame, k: int = 3, cell_col: str = "label") -> DataFrame:
+    """IVF-style top-k: candidates restricted to the same coarse cell.
+    The pair join is an equi-join on the cell id — at 100 TB this is the
+    difference between n² and Σ_cell n_cell² (with cells balanced by the
+    quantizer)."""
+    l = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_a"),
+    )
+    r = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = l.join(r, "cell").where(F.col("vec_id") != F.col("neighbor_id"))
+    scored = with_cosine(pairs).select("vec_id", "neighbor_id", "cosine")
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_sketch(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH sign sketch, fully deterministic: plane p's
+    coefficient for dimension d is a pseudo-random ±1/±3 derived from
+    xxhash64(p‖d). Stays JVM-side (no UDF): coefficient = f(pos) inside a
+    zip_with over the embedding array."""
+    dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    bits = []
+    for p in range(n_planes):
+        coef = lambda pos, _p=p: (
+            (F.pmod(F.xxhash64(F.concat_ws(":", F.lit(_p), pos.cast("string"))), F.lit(7)) - 3)
+        ).cast("double")
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), dim_idx,
+                lambda x, pos: x.cast("double") * coef(pos),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    return embeddings.select(
+        "vec_id", F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Candidate pairs = same LSH bucket. Bucket key is uniform-ish →
+    balanced shuffle; candidates then get exact cosine downstream."""
+    sk = hyperplane_sketch(embeddings, n_planes)
+    l = sk.select(F.col("vec_id").alias("vec_a"), "bucket")
+    r = sk.select(F.col("vec_id").alias("vec_b"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "bucket")
+    )
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic dedup tier):
+    exact cosine over IVF-cell-restricted candidates."""
+    pairs = topk_ivf(embeddings, k=5)
+    return (
+        pairs.where(F.col("cosine") >= threshold)
+        .where(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen, pushdown-friendly) —
+no Python in the hot path. Each has a matching DuckDB oracle in
+``__spark_entry__.py`` computed with the same deterministic formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# Tiny per-language stopword marker lists for the n-gram/stopword-voting
+# language heuristic. Deterministic, mirrored verbatim in the oracle SQL.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+
+def norm_text(col: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), TOKEN_RE)
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: ceil(chars/4)
+    (the industry rule-of-thumb bytes-per-token constant)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.ceil(F.length("text") / F.lit(4)).cast("long").alias("n_subwords_est"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / distinct-token / mean-token-length quality signals with a
+    composite score — the standard cheap pre-filters for web corpora."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_len = F.length(F.regexp_replace("text", r"\s+", "")) / n_tokens
+    distinct_ratio = n_distinct / n_tokens
+    score = F.round(
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * distinct_ratio, 4
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprint (md5 of normalized text) — the
+    exact-dedup key and the lineage id for document-level provenance."""
+    return docs.select(
+        "doc_id", F.md5(norm_text(F.col("text"))).alias("fingerprint")
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-voting language heuristic: count marker-word hits per
+    language over the token array, predict the argmax (ties broken by
+    language code order via greatest-struct trick mirrored in SQL)."""
+    toks = tokens(F.lower(F.col("text")))
+    scores = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+        hits = F.size(
+            F.filter(toks, lambda t: F.array_contains(markers, t))
+        )
+        scores.append(F.struct(hits.alias("hits"), F.lit(code).alias("code")))
+    # argmax by (hits, code): greatest orders by first field then second;
+    # to make ties pick the FIRST code alphabetically we invert via a
+    # reversed comparison on code — instead order by (hits asc) and take
+    # greatest of struct(hits, negated-rank) … simplest deterministic rule,
+    # mirrored in the oracle: max (hits, code) lexicographically.
+    best = F.greatest(*scores)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        best["hits"].alias("marker_hits"),
+        best["code"].alias("lang_pred"),
+    )

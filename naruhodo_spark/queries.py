@@ -1,0 +1,810 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data ops)
+gets an entry: a Spark callable ``(spark, sf_dir) -> DataFrame`` in
+``QUERIES`` and, when the semantics are ANSI-SQL-expressible, a DuckDB
+oracle string in ``ORACLES`` producing identical column names and values
+(doubles rounded the same way on both sides; counts cast to bigint).
+
+Non-SQL-expressible entries (pandas-UDF chunker stages, LSH bucketing with
+engine-specific hashes, CC iteration) have no oracle → the driver records
+a rows-only check, and the golden pytest suite covers their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from naruhodo_spark import lang as L
+from naruhodo_spark import synth
+from naruhodo_spark.operators import canon as O_canon
+from naruhodo_spark.operators import chunk as O_chunk
+from naruhodo_spark.operators import coref as O_coref
+from naruhodo_spark.operators import normalize as O_norm
+from naruhodo_spark.operators import triples as O_triples
+from naruhodo_spark.ops import dedup as D
+from naruhodo_spark.ops import multimodal as MM
+from naruhodo_spark.ops import similarity as SIM
+from naruhodo_spark.ops import textstats as TS
+from naruhodo_spark.pipeline import build_kg
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+# synth corpus size used by the rows-only KG queries (sf-independent:
+# the spans corpus is generated, not read, so correctness tiers all see
+# the same deterministic 200-document corpus)
+N_SYNTH_DOCS = 200
+
+
+def _register(name, fn, oracle=None):
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Relational core (scan/filter/agg/join/window/setop/cube — O-rows of
+# SURVEY.md §2.2/2.4/2.6/2.7, exercised on the TPC-H-ish tables)
+# =====================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_register(
+    "q1_pricing_summary",
+    q1_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_register(
+    "q3_shipping_priority",
+    q3_shipping_priority,
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_register(
+    "q5_region_revenue",
+    q5_region_revenue,
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+
+
+def joins_semi_anti(spark, sf_dir):
+    """left-semi + left-anti (SURVEY.md O21 family): customers that have
+    orders, but none above 400k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_register(
+    "joins_semi_anti",
+    joins_semi_anti,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+
+
+def win_running_total(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_total"),
+    )
+
+
+_register(
+    "win_running_total",
+    win_running_total,
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total
+    FROM events
+    """,
+)
+
+
+def win_topk_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rank")
+    )
+
+
+_register(
+    "win_topk_per_group",
+    win_topk_per_group,
+    """
+    SELECT event_type, event_id, round(value, 2) AS value, rank FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events) WHERE rank <= 3
+    """,
+)
+
+
+def win_sessionize(spark, sf_dir):
+    """Sessionization via lag + gap cumsum (pyspark guide OLAP pattern):
+    a >30-minute silence starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.floor(F.unix_timestamp("ts")) - F.floor(
+        F.unix_timestamp(F.lag("ts").over(w))
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_register(
+    "win_sessionize",
+    win_sessionize,
+    """
+    SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+            FROM events))
+    GROUP BY user_id
+    """,
+)
+
+
+def agg_cube_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dow", F.date_format("ts", "E")
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+_register(
+    "agg_cube_events",
+    agg_cube_events,
+    """
+    SELECT event_type, dow, count(*) AS n, round(sum(value), 2) AS total
+    FROM (SELECT event_type, strftime(ts, '%a') AS dow, value FROM events)
+    GROUP BY CUBE (event_type, dow)
+    """,
+)
+
+
+def agg_rollup_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_format("ts", "yyyy-MM-dd HH")
+    )
+    return ev.rollup("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+_register(
+    "agg_rollup_hourly",
+    agg_rollup_hourly,
+    """
+    SELECT event_type, hour, count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, value
+          FROM events)
+    GROUP BY ROLLUP (event_type, hour)
+    """,
+)
+
+
+def json_extract_events(spark, sf_dir):
+    """O-scalar JSON path (events.props is a JSON string column)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+_register(
+    "json_extract_events",
+    json_extract_events,
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+
+
+def time_hourly_window(spark, sf_dir):
+    """Batch twin of the streaming tumbling-window agg (O26)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+_register(
+    "time_hourly_window",
+    time_hourly_window,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def setop_except_users(spark, sf_dir):
+    """EXCEPT (O31 family): users who click but never purchase."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers)
+
+
+_register(
+    "setop_except_users",
+    setop_except_users,
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+
+
+def pivot_qty_by_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+_register(
+    "pivot_qty_by_status",
+    pivot_qty_by_status,
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_open,
+           round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+def topk_global_orders(spark, sf_dir):
+    """Global top-k (O33): TakeOrderedAndProject, no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_register(
+    "topk_global_orders",
+    topk_global_orders,
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+
+
+def distinct_count_stats(spark, sf_dir):
+    """O29: exact + approximate distinct (approx has no oracle — exact
+    bounds it; we expose only exact columns to the oracle check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+_register(
+    "distinct_count_stats",
+    distinct_count_stats,
+    """
+    SELECT count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey)  AS n_parts,
+           count(DISTINCT l_suppkey)  AS n_supps
+    FROM lineitem
+    """,
+)
+
+
+# =====================================================================
+# Text-analysis ops (documents table)
+# =====================================================================
+
+_register(
+    "ts_token_counts",
+    lambda spark, sf: TS.token_counts(_t(spark, sf, "documents")),
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+    FROM documents
+    """,
+)
+
+_register(
+    "ts_quality",
+    lambda spark, sf: TS.quality_scores(_t(spark, sf, "documents")),
+    r"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(trim(text), '\s+') AS toks,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace
+      FROM documents)
+    SELECT doc_id, n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(n_nonspace / len(toks), 4) AS mean_token_len,
+           round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+           round(least(len(toks) / 64.0, 1.0)
+                 * (len(list_distinct(toks)) / len(toks)), 4) AS quality_score
+    FROM b
+    """,
+)
+
+_register(
+    "ts_fingerprints",
+    lambda spark, sf: TS.fingerprints(_t(spark, sf, "documents")),
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+
+
+def _langid_oracle() -> str:
+    conds = []
+    for code in sorted(TS.LANG_MARKERS):
+        lst = ", ".join(f"'{m}'" for m in TS.LANG_MARKERS[code])
+        conds.append(
+            f"count(*) FILTER (tok IN ({lst})) AS h_{code}"
+        )
+    hits = ", ".join(conds)
+    # argmax by (hits, code) with max-code tie-break — codes checked in
+    # descending lexicographic order (matches Spark greatest(struct) rule)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, any_value(lang) AS lang, {hits}
+          FROM toks GROUP BY doc_id)
+    SELECT doc_id, lang AS lang_actual,
+           CAST(greatest(h_de, h_en, h_es, h_fr) AS INT) AS marker_hits,
+           CASE WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM h
+    """
+
+
+_register(
+    "ts_langid",
+    lambda spark, sf: TS.lang_id(_t(spark, sf, "documents")),
+    _langid_oracle(),
+)
+
+
+def o8_tokens(spark, sf_dir):
+    """posexplode with ordinal (the O8 sentence-split machinery on the
+    flat corpus — pseudo-text has no terminators, so tokens stand in for
+    sentences in the oracle check)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    ).select("doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok")
+
+
+_register(
+    "o8_tokens",
+    o8_tokens,
+    r"""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+                AS BIGINT) AS pos,
+           unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents
+    """,
+)
+
+
+def svo_baseline_triples(spark, sf_dir):
+    """SQL-expressible SVO baseline over the flat corpus: subj = first
+    token, pred = first past-tense-looking token, obj = its successor.
+    This is the oracle-checkable twin of the chunker path (O12)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "tok"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+    pred_pos = (
+        toks.where((F.col("tok").endswith("ed")) & (F.length("tok") > 3))
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("pred_pos"))
+    )
+    j = toks.join(pred_pos, "doc_id")
+    return j.groupBy("doc_id").agg(
+        F.max(F.when(F.col("pos") == 1, F.col("tok"))).alias("subj"),
+        F.max(F.when(F.col("pos") == F.col("pred_pos"), F.col("tok"))).alias("pred"),
+        F.max(F.when(F.col("pos") == F.col("pred_pos") + 1, F.col("tok"))).alias("obj"),
+    )
+
+
+_register(
+    "svo_baseline_triples",
+    svo_baseline_triples,
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
+               AS pos
+      FROM documents),
+    p AS (SELECT doc_id, min(pos) AS pred_pos FROM toks
+          WHERE tok LIKE '%ed' AND length(tok) > 3 GROUP BY doc_id)
+    SELECT t.doc_id AS doc_id,
+           max(CASE WHEN t.pos = 1 THEN t.tok END)              AS subj,
+           max(CASE WHEN t.pos = p.pred_pos THEN t.tok END)     AS pred,
+           max(CASE WHEN t.pos = p.pred_pos + 1 THEN t.tok END) AS obj
+    FROM toks t JOIN p USING (doc_id)
+    GROUP BY t.doc_id
+    """,
+)
+
+
+# =====================================================================
+# Dedup ops (documents table)
+# =====================================================================
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SHINGLES_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM idx)
+"""
+
+_register(
+    "dd_exact_duplicates",
+    lambda spark, sf: D.exact_duplicates(_t(spark, sf, "documents")),
+    rf"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id) AS keep_doc_id, count(*) AS group_size
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+
+_register(
+    "dd_ngram_jaccard_pairs",
+    lambda spark, sf: D.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.2
+    ),
+    _SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) >= 0.2
+    """,
+)
+
+
+def _minhash_oracle(n: int) -> str:
+    sigs = ",\n           ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n)
+    )
+    return _SHINGLES_SQL + f"SELECT doc_id, {sigs} FROM sh GROUP BY doc_id"
+
+
+_register(
+    "dd_minhash_signatures",
+    lambda spark, sf: D.minhash_signatures(_t(spark, sf, "documents"), n_hashes=4),
+    _minhash_oracle(4),
+)
+
+# engine-specific hash bucketing + pandas-UDF stages → rows-only checks
+_register(
+    "dd_minhash_lsh_pairs",
+    lambda spark, sf: D.minhash_lsh_pairs(_t(spark, sf, "documents")),
+)
+_register(
+    "dd_simhash",
+    lambda spark, sf: D.simhash(_t(spark, sf, "documents")),
+)
+
+
+# =====================================================================
+# Similarity search (embeddings table)
+# =====================================================================
+
+_COSINE_SQL = """
+    round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+"""
+
+_register(
+    "sim_topk_bruteforce",
+    lambda spark, sf: SIM.topk_bruteforce(_t(spark, sf, "embeddings"), k=3),
+    f"""
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+    WHERE rank <= 3
+    """,
+)
+
+_register(
+    "sim_topk_ivf",
+    lambda spark, sf: SIM.topk_ivf(_t(spark, sf, "embeddings"), k=3),
+    f"""
+    SELECT vec_id, neighbor_id, cosine, rank FROM (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_COSINE_SQL} AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id)
+    WHERE rank <= 3
+    """,
+)
+
+_register(
+    "sim_lsh_candidates",
+    lambda spark, sf: SIM.lsh_candidate_pairs(_t(spark, sf, "embeddings")),
+)
+_register(
+    "sim_embedding_near_dups",
+    lambda spark, sf: SIM.embedding_near_dups(
+        _t(spark, sf, "embeddings"), threshold=0.9
+    ),
+)
+
+
+# =====================================================================
+# KG pipeline (rows-only: chunker & downstream are pandas-UDF stages the
+# oracle cannot express; their semantics are golden-tested instead)
+# =====================================================================
+
+def _synth(spark):
+    return synth.synth_documents(spark, N_SYNTH_DOCS)
+
+
+def _en():
+    return L.get_profile("en")
+
+
+def kg_chunks_flat(spark, sf_dir):
+    """Chunker over the real flat corpus (EN fallback profile)."""
+    docs = O_norm.flat_to_spans(_t(spark, sf_dir, "documents"))
+    sents = O_norm.split_sentences(docs, _en())
+    return O_chunk.chunk_sentences(sents, _en())
+
+
+def kg_triples(spark, sf_dir):
+    return build_kg(_synth(spark), prof=_en())["triples"]
+
+
+def kg_ksg_edges(spark, sf_dir):
+    return build_kg(
+        _synth(spark), prof=_en(), aliases=synth.alias_dictionary(spark)
+    )["ksg_edges"]
+
+
+def kg_ksg_nodes(spark, sf_dir):
+    return build_kg(
+        _synth(spark), prof=_en(), aliases=synth.alias_dictionary(spark)
+    )["ksg_nodes"]
+
+
+def kg_dsg_edges(spark, sf_dir):
+    return build_kg(_synth(spark), prof=_en())["dsg_edges"]
+
+
+def kg_pronoun_resolution(spark, sf_dir):
+    docs = _synth(spark)
+    sents = O_norm.split_sentences(docs, _en())
+    chunks = O_chunk.chunk_sentences(sents, _en())
+    occ = O_coref.resolve_pronouns(O_coref.entity_occurrences(chunks))
+    return occ.where(F.col("pro") >= 0)
+
+
+def kg_cc_labels(spark, sf_dir):
+    return O_canon.alias_cc_labels(synth.alias_dictionary(spark))
+
+
+def kg_span_invariant(spark, sf_dir):
+    return O_norm.span_sequences(_synth(spark))
+
+
+def mm_media_features(spark, sf_dir):
+    return MM.featurize_media(MM.media_spans(_synth(spark)))
+
+
+for _n, _f in [
+    ("kg_chunks_flat", kg_chunks_flat),
+    ("kg_triples", kg_triples),
+    ("kg_ksg_edges", kg_ksg_edges),
+    ("kg_ksg_nodes", kg_ksg_nodes),
+    ("kg_dsg_edges", kg_dsg_edges),
+    ("kg_pronoun_resolution", kg_pronoun_resolution),
+    ("kg_cc_labels", kg_cc_labels),
+    ("kg_span_invariant", kg_span_invariant),
+    ("mm_media_features", mm_media_features),
+]:
+    _register(_n, _f)
