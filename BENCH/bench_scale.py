@@ -1,0 +1,160 @@
+"""Scaling-efficiency measurement (the sandbox proxy for the north rule's
+N → 4N executor criterion — SURVEY.md §0/§6).
+
+Runs the identical fused KG pipeline on the identical input at
+local[8] and local[32] in SEPARATE JVMs (subprocess per config so the
+thread pools don't share state), 3 runs each, median wall time.
+
+    efficiency = throughput(local[32]) / (4 × throughput(local[8]))
+
+Writes BENCH/BASELINE.md. Gate: ≥ 0.8.
+
+Usage:  python BENCH/bench_scale.py [--replicate 8] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PREP = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from naruhodo_spark.session import get_spark
+from naruhodo_spark import synth
+from naruhodo_spark.operators.normalize import flat_to_spans
+
+# Materialize the scale input ONCE as a well-partitioned multi-file table
+# — the shape a production Iceberg table (bucket(doc_id)) would have. A
+# single-file input serializes the scan and poisons the scaling signal.
+spark = get_spark(app_name="scale-prep", master="local[32]")
+flat = spark.read.parquet({sf_dir!r} + "/documents.parquet")
+docs = synth.replicate_docs(flat_to_spans(flat), {replicate})
+docs.repartition({n_files}, "doc_id").write.mode("overwrite").parquet({inp!r})
+"""
+
+_JOB = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from naruhodo_spark.session import get_spark
+from naruhodo_spark import synth
+from naruhodo_spark.pipeline import build_kg
+
+cores = {cores}
+spark = get_spark(app_name="scale", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+docs = spark.read.parquet({inp!r})
+n = docs.count()
+aliases = synth.alias_dictionary(spark)
+
+# warmup run (JVM/codegen/python-worker spin-up, parquet footer cache)
+kg = build_kg(docs, aliases=aliases)
+kg["ksg_edges"].write.format("noop").mode("overwrite").save()
+
+walls = []
+for _ in range({runs}):
+    t0 = time.time()
+    kg = build_kg(docs, aliases=aliases)
+    kg["ksg_edges"].write.format("noop").mode("overwrite").save()
+    walls.append(time.time() - t0)
+print("RESULT " + json.dumps({{"cores": cores, "docs": n, "walls": walls}}))
+"""
+
+N_FILES = 96
+INPUT_DIR = "/tmp/naruhodo_scale_input"
+
+
+def prepare_input(sf_dir: str, replicate: int) -> None:
+    code = _PREP.format(
+        repo=REPO, sf_dir=sf_dir, replicate=replicate, n_files=N_FILES,
+        inp=INPUT_DIR,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"prep failed: {out.stderr[-2000:]}")
+
+
+def run_config(cores: int, sf_dir: str, replicate: int, runs: int) -> dict:
+    code = _JOB.format(repo=REPO, cores=cores, runs=runs, inp=INPUT_DIR)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--replicate", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    args = ap.parse_args()
+
+    prepare_input(args.sf_dir, args.replicate)
+    res = {}
+    for cores in (args.small, args.large):
+        r = run_config(cores, args.sf_dir, args.replicate, args.runs)
+        r["median_wall"] = statistics.median(r["walls"])
+        r["docs_per_sec"] = r["docs"] / r["median_wall"]
+        res[cores] = r
+        print(json.dumps(r))
+
+    small, large = res[args.small], res[args.large]
+    factor = args.large / args.small
+    eff = large["docs_per_sec"] / (factor * small["docs_per_sec"])
+
+    md = f"""# BENCH — measured baseline (this engine)
+
+Scaling-efficiency evidence for the north rule's N→4N executor criterion,
+measured as the driver instructed (SURVEY.md §0): the identical job at two
+local parallelism levels on the same input, separate JVMs, {args.runs} runs,
+median.
+
+Workload: fused KG pipeline (normalize → chunk → triples → coref → link →
+canonicalize → edge agg, operators/fused.py) over
+`{args.sf_dir}/documents.parquet` lifted to spans, replicated
+×{args.replicate} = {large["docs"]} documents, and pre-materialized as a
+{N_FILES}-file parquet table (the shape a production Iceberg
+bucket(doc_id) table has — a single-file input would serialize the scan
+and poison the scaling signal).
+
+| config | median wall (s) | docs/sec | all runs (s) |
+|---|---|---|---|
+| local[{args.small}]  | {small["median_wall"]:.2f} | {small["docs_per_sec"]:.0f} | {", ".join(f"{w:.2f}" for w in small["walls"])} |
+| local[{args.large}] | {large["median_wall"]:.2f} | {large["docs_per_sec"]:.0f} | {", ".join(f"{w:.2f}" for w in large["walls"])} |
+
+**Scaling efficiency local[{args.small}]→local[{args.large}] =
+{large["docs_per_sec"]:.0f} / ({factor:.0f} × {small["docs_per_sec"]:.0f}) =
+{eff:.3f}** (gate: ≥ 0.8 — {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Notes
+- The fused pipeline has zero shuffles before the final edge/node
+  aggregation, so parallel efficiency is bounded by the Python-worker
+  fan-out (one Arrow-fed worker per core) and the tail of the final
+  aggregation shuffle.
+- On a real cluster the same job is `spark-submit --py-files` (build_kg.py);
+  partitioning is explicit (`repartition(P, doc_id)`), hot-entity skew is
+  handled by the salted two-phase aggregate (operators/agg.py), and AQE
+  skew-join splitting is enabled in the session factory.
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": round(eff, 3), "written": out_path}))
+
+
+if __name__ == "__main__":
+    main()

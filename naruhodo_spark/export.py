@@ -1,0 +1,76 @@
+"""O4/D7 — viewer-compatible graph export.
+
+Reference behavior: ``exportObj()`` / ``exportJSON(filename)`` emit a
+D3-style dict ``{"nodes":[{id,name,count,...}], "links":[{source,target,
+label,weight,...}]}`` consumed by the companion viewer
+[PK naruhodo/utils/misc.py].
+
+Spark mapping: stable-ordered JSON via ``to_json(struct(...))`` — a
+distributed JSONL sink for big graphs, plus a driver-side dict for
+viewer-sized subgraphs (top-k nodes by count, O33 ordering).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nodes_json(nodes: DataFrame) -> DataFrame:
+    return nodes.orderBy("node_id").select(
+        F.to_json(
+            F.struct(
+                F.col("node_id").alias("id"),
+                F.col("name"),
+                F.col("rep"),
+                F.col("count"),
+                F.col("etype").alias("type"),
+                F.col("pro"),
+            )
+        ).alias("json")
+    )
+
+
+def links_json(edges: DataFrame) -> DataFrame:
+    return edges.orderBy("subj", "pred", "obj").select(
+        F.to_json(
+            F.struct(
+                F.col("subj").alias("source"),
+                F.col("obj").alias("target"),
+                F.col("pred").alias("label"),
+                F.col("weight"),
+                F.col("negative"),
+                F.col("passive"),
+            )
+        ).alias("json")
+    )
+
+
+def write_viewer_jsonl(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """Distributed sink: one JSONL dir for nodes, one for links."""
+    nodes_json(nodes).write.mode("overwrite").text(f"{out_dir}/nodes")
+    links_json(edges).write.mode("overwrite").text(f"{out_dir}/links")
+
+
+def export_obj(nodes: DataFrame, edges: DataFrame, max_nodes: int = 10_000) -> dict:
+    """Driver-side D3 dict for viewer-sized subgraphs (reference
+    ``exportObj`` analog): top-`max_nodes` nodes by count, induced links."""
+    top = nodes.orderBy(F.desc("count"), "node_id").limit(max_nodes)
+    node_rows = [json.loads(r["json"]) for r in nodes_json(top).collect()]
+    keep = {n["id"] for n in node_rows}
+    link_rows = [
+        json.loads(r["json"])
+        for r in links_json(edges).collect()
+        if json.loads(r["json"])["source"] in keep
+        and (json.loads(r["json"])["target"] or "") in keep | {""}
+    ]
+    return {"nodes": node_rows, "links": link_rows}
+
+
+def export_json(nodes: DataFrame, edges: DataFrame, filename: str,
+                max_nodes: int = 10_000) -> None:
+    """Reference ``exportJSON`` analog (driver-side file)."""
+    with open(filename, "w") as f:
+        json.dump(export_obj(nodes, edges, max_nodes), f, ensure_ascii=False)

@@ -68,12 +68,48 @@ def connected_components(
     return labels
 
 
-def alias_cc_labels(aliases: DataFrame) -> DataFrame:
-    """Components over the alias dictionary's (alias → canonical_id) edges,
-    merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity)."""
-    return connected_components(
-        aliases.select(F.col("alias").alias("src"), F.col("canonical_id").alias("dst"))
+def connected_components_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for *broadcast-sized* graphs. The alias
+    dictionary is broadcast-sized by contract [B BASELINE.json:6], so
+    collect + union-find (O(E α(E))) beats ~log(n) iterations of
+    distributed shuffles by seconds of fixed latency per run. Identical
+    output (min-label per component) to connected_components — asserted
+    by tests."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = edges.collect()
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(n, find(n)) for n in list(parent)]
+    return edges.sparkSession.createDataFrame(
+        labels, schema="node string, label string"
     )
+
+
+# above this many alias rows, use the distributed iterative-self-join CC
+DRIVER_CC_THRESHOLD = 200_000
+
+
+def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> DataFrame:
+    """Components over the alias dictionary's (alias → canonical_id) edges,
+    merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity).
+    Broadcast-sized dicts take the driver union-find fast path; larger
+    graphs (or force_distributed) use the iterative self-join CC."""
+    edges = aliases.select(
+        F.col("alias").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    if force_distributed or edges.limit(DRIVER_CC_THRESHOLD + 1).count() > DRIVER_CC_THRESHOLD:
+        return connected_components(edges)
+    return connected_components_driver(edges)
 
 
 def apply_canonical_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:

@@ -131,6 +131,8 @@ def attach_resolution(triples: DataFrame, occ_resolved: DataFrame) -> DataFrame:
         .withColumn("obj", F.coalesce("obj_resolved", "obj"))
         .withColumn("subj_ne", F.coalesce("subj_ne", F.lit(S.ETYPE_UNKNOWN)))
         .withColumn("obj_ne", F.coalesce("obj_ne", F.lit(S.ETYPE_UNKNOWN)))
+        .withColumn("subj_pro", F.coalesce("subj_pro", F.lit(S.PRO_NONE)))
+        .withColumn("obj_pro", F.coalesce("obj_pro", F.lit(S.PRO_NONE)))
         .drop("subj_resolved", "obj_resolved")
     )
 

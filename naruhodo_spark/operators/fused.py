@@ -1,0 +1,158 @@
+"""Fused per-document extraction — the production fast path.
+
+Every stage from sentence split through subject carryover is
+*document-local* (the reference processes one document at a time in
+driver memory; our windows only ever partition by doc_id). So the scale
+path fuses O7–O14 into ONE ``mapInPandas`` pass over document rows:
+
+    documents (1 row/doc) → [python: split → chunk → triples →
+    pronoun-resolve → carryover] → triple rows
+
+Zero shuffles until the global edge/node aggregation (which then salts on
+hot keys). At 10^12 documents this is embarrassingly parallel: the only
+cluster-wide data movement left is the final aggregate and the broadcast
+alias dictionary.
+
+Correctness containment: the window/join-based plan (triples.py +
+coref.py) implements identical semantics relationally and the test suite
+asserts both plans produce identical tables — the fused path never drifts
+silently (tests/test_pipeline_e2e.py::test_fused_plan_agrees, plus the
+independent pure-Python golden spec in tests/golden_spec.py).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from naruhodo_spark import schemas as S
+from naruhodo_spark.operators.chunk import chunk_sentence
+from naruhodo_spark.operators.normalize import SENT_STRIDE
+from naruhodo_spark.operators.triples import triples_from_chunklist
+
+_WS = re.compile(r"\s+")
+_CTRL = re.compile(r"[\n\r\t]+")
+_BRACKETS = re.compile(r"(《[^》]*》|【[^】]*】|（[^）]*）|\([^)]*\)|\[[^\]]*\])")
+
+FUSED_TRIPLES = (
+    "doc_id string, sent_id int, pred_id int, pred string,"
+    " subj string, subj_id int, obj string, obj_id int,"
+    " negative boolean, passive boolean, tense string,"
+    " subj_ne int, obj_ne int, subj_pro int, obj_pro int"
+)
+
+
+def split_doc_sentences(spans, prof: dict) -> list[tuple[int, str]]:
+    """Python mirror of normalize.split_sentences (same regexes, same
+    sent_id stride)."""
+    lowercase = prof.get("lang") != "ja"
+    sent_re = re.compile(prof["sentence_re"])
+    out = []
+    span_pos = -1
+    for sp in spans:
+        if sp["kind"] != "text":
+            continue
+        span_pos += 1
+        txt = _BRACKETS.sub("", sp["text"] or "")
+        txt = _CTRL.sub(" ", txt)
+        txt = _WS.sub(" ", txt).strip()
+        if lowercase:
+            txt = txt.lower()
+        for sent_pos, sent in enumerate(sent_re.split(txt)):
+            sent = sent.strip()
+            if sent:
+                out.append((span_pos * SENT_STRIDE + sent_pos, sent))
+    return out
+
+
+def _compatible(pro: int):
+    if pro == S.PRO_PERSONAL:
+        return lambda ne: ne == S.ETYPE_PERSON
+    if pro == S.PRO_LOCATIVE:
+        return lambda ne: ne == S.ETYPE_LOCATION
+    return lambda ne: ne != S.ETYPE_PERSON  # demonstrative
+
+
+def doc_triples(doc_id: str, spans, prof: dict, stop: set) -> list[tuple]:
+    """All triples of one document, resolved and carried over. Semantics
+    identical to the relational plan (O12 join + O13/O14 windows)."""
+    order = prof.get("order", "svo")
+
+    # chunk all sentences
+    sent_chunks: list[tuple[int, list[dict]]] = []
+    for sent_id, sent in split_doc_sentences(spans, prof):
+        cs = chunk_sentence(sent, prof)
+        for c in cs:
+            c["doc_id"], c["sent_id"] = doc_id, sent_id
+        sent_chunks.append((sent_id, cs))
+
+    # pronoun resolution over document-ordered noun/pronoun occurrences
+    resolved: dict[tuple[int, int], tuple[str, int, int]] = {}
+    seen: list[tuple[str, int]] = []
+    for sent_id, cs in sent_chunks:
+        for c in cs:
+            if c["ctype"] not in (S.CTYPE_NOUN, S.CTYPE_PRONOUN):
+                continue
+            key = (sent_id, c["chunk_id"])
+            if c["pro"] == S.PRO_NONE:
+                resolved[key] = (c["main"], c["ne_type"], c["pro"])
+                seen.append((c["main"], c["ne_type"]))
+            else:
+                want = _compatible(c["pro"])
+                ante = next((e for e in reversed(seen) if want(e[1])), None)
+                if ante is None and seen:
+                    ante = seen[-1]
+                if ante is None:
+                    resolved[key] = (c["main"], c["ne_type"], c["pro"])
+                else:
+                    resolved[key] = (ante[0], ante[1], c["pro"])
+
+    # triples + carryover
+    out: list[tuple] = []
+    carried: tuple[str, int] | None = None
+    for sent_id, cs in sent_chunks:
+        for t in triples_from_chunklist(cs, order, stop):
+            (d, sid, pred_id, pred, subj, subj_id, obj, obj_id,
+             neg, pas, tense) = t
+            subj_ne = obj_ne = S.ETYPE_UNKNOWN
+            subj_pro = obj_pro = S.PRO_NONE
+            if subj is not None:
+                subj, subj_ne, subj_pro = resolved.get(
+                    (sid, subj_id), (subj, S.ETYPE_UNKNOWN, S.PRO_NONE)
+                )
+            elif carried is not None:
+                subj, subj_ne = carried
+            if obj is not None:
+                obj, obj_ne, obj_pro = resolved.get(
+                    (sid, obj_id), (obj, S.ETYPE_UNKNOWN, S.PRO_NONE)
+                )
+            if subj is not None:
+                carried = (subj, subj_ne)
+            out.append(
+                (d, sid, pred_id, pred, subj, subj_id, obj, obj_id,
+                 neg, pas, tense, subj_ne, obj_ne, subj_pro, obj_pro)
+            )
+    return out
+
+
+_COLS = [
+    "doc_id", "sent_id", "pred_id", "pred", "subj", "subj_id", "obj",
+    "obj_id", "negative", "passive", "tense", "subj_ne", "obj_ne",
+    "subj_pro", "obj_pro",
+]
+
+
+def extract_triples_fused(docs_spans, prof: dict):
+    """documents(doc_id, spans) → resolved triples, one Arrow pass."""
+    stop = set(prof.get("stop_mains", ()))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                rows.extend(doc_triples(doc_id, spans, prof, stop))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return docs_spans.mapInPandas(fn, schema=FUSED_TRIPLES)

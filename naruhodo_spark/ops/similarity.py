@@ -45,23 +45,41 @@ def with_cosine(pairs: DataFrame, col_a: str = "emb_a", col_b: str = "emb_b") ->
     )
 
 
-def topk_bruteforce(embeddings: DataFrame, k: int = 3) -> DataFrame:
-    """Top-k cosine neighbors per vector (excluding self). Deterministic
-    tie-break: (cosine desc, neighbor id asc)."""
-    l = embeddings.select(
-        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb_a")
+def _normed(embeddings: DataFrame, id_alias: str, emb_alias: str, norm_alias: str, extra=()):
+    """Project (id, embedding, ||embedding||): norms are computed ONCE per
+    vector before the pair join instead of per pair (3× less arithmetic
+    in the O(n²) stage)."""
+    cols = [
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(emb_alias),
+        _norm(F.col("embedding")).alias(norm_alias),
+    ]
+    cols.extend(F.col(c) for c in extra)
+    return embeddings.select(*cols)
+
+
+def _topk_from_pairs(pairs: DataFrame, k: int) -> DataFrame:
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 4
     )
-    r = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("emb_b")
+    scored = pairs.withColumn("cosine", cos).select(
+        "vec_id", "neighbor_id", "cosine"
     )
-    pairs = l.join(r, F.col("vec_id") != F.col("neighbor_id"))
-    scored = with_cosine(pairs).select("vec_id", "neighbor_id", "cosine")
     w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def topk_bruteforce(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k cosine neighbors per vector (excluding self). Deterministic
+    tie-break: (cosine desc, neighbor id asc)."""
+    l = _normed(embeddings, "vec_id", "emb_a", "na")
+    r = _normed(embeddings, "neighbor_id", "emb_b", "nb")
+    pairs = l.join(r, F.col("vec_id") != F.col("neighbor_id"))
+    return _topk_from_pairs(pairs, k)
 
 
 def topk_ivf(embeddings: DataFrame, k: int = 3, cell_col: str = "label") -> DataFrame:
@@ -69,24 +87,13 @@ def topk_ivf(embeddings: DataFrame, k: int = 3, cell_col: str = "label") -> Data
     The pair join is an equi-join on the cell id — at 100 TB this is the
     difference between n² and Σ_cell n_cell² (with cells balanced by the
     quantizer)."""
-    l = embeddings.select(
-        F.col(cell_col).alias("cell"),
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("emb_a"),
+    l = _normed(embeddings, "vec_id", "emb_a", "na", extra=[cell_col]).withColumnRenamed(cell_col, "cell")
+    r = _normed(embeddings, "neighbor_id", "emb_b", "nb", extra=[cell_col]).withColumnRenamed(cell_col, "cell_r")
+    pairs = (
+        l.join(r, F.col("cell") == F.col("cell_r"))
+        .where(F.col("vec_id") != F.col("neighbor_id"))
     )
-    r = embeddings.select(
-        F.col(cell_col).alias("cell"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_b"),
-    )
-    pairs = l.join(r, "cell").where(F.col("vec_id") != F.col("neighbor_id"))
-    scored = with_cosine(pairs).select("vec_id", "neighbor_id", "cosine")
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_from_pairs(pairs, k)
 
 
 def hyperplane_sketch(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:

@@ -21,6 +21,7 @@ from naruhodo_spark.operators import agg as O_agg
 from naruhodo_spark.operators import canon as O_canon
 from naruhodo_spark.operators import chunk as O_chunk
 from naruhodo_spark.operators import coref as O_coref
+from naruhodo_spark.operators import fused as O_fused
 from naruhodo_spark.operators import link as O_link
 from naruhodo_spark.operators import normalize as O_norm
 from naruhodo_spark.operators import triples as O_triples
@@ -65,10 +66,45 @@ def build_kg(
     aliases: DataFrame | None = None,
     salted: bool = False,
     salt_buckets: int = 16,
-    triple_plan: str = "relational",
+    triple_plan: str = "fused",
+    num_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Full KSG+DSG build; returns every stage as a lazy DataFrame."""
-    stages = extract_document_triples(docs_spans, prof, triple_plan)
+    """Full KSG+DSG build; returns every stage as a lazy DataFrame.
+
+    triple_plan:
+    - "fused" (default, production): one mapInPandas pass per document —
+      zero shuffles before the global aggregation (operators/fused.py).
+    - "relational": join + window plan (O12a/O13/O14) — the independently
+      implemented twin used for cross-verification and operator demos.
+    - "pandas": applyInPandas per-document grouping (O12b).
+
+    num_partitions: explicit doc_id repartition before extraction
+    [B BASELINE.json:6 "over document partitions"]. Leave None when the
+    source table is already well-partitioned (Iceberg bucket(doc_id));
+    set it when reading few/large files whose split count is below the
+    cluster's parallelism.
+    """
+    prof = prof or L.get_profile("en")
+    if num_partitions:
+        docs_spans = docs_spans.repartition(num_partitions, "doc_id")
+    if triple_plan == "fused":
+        t = O_fused.extract_triples_fused(docs_spans, prof).drop(
+            "subj_id", "obj_id"
+        )
+        # sentence/chunk/DSG surfaces stay available lazily via the
+        # unfused operators (only executed if the caller materializes them)
+        sents = O_norm.split_sentences(docs_spans, prof)
+        chunks = O_chunk.chunk_sentences(sents, prof)
+        dsg_nodes, dsg_edges = O_triples.dsg_tables(chunks)
+        stages = {
+            "sentences": sents,
+            "chunks": chunks,
+            "dsg_nodes": dsg_nodes,
+            "dsg_edges": dsg_edges,
+            "triples": t,
+        }
+    else:
+        stages = extract_document_triples(docs_spans, prof, triple_plan)
     t = O_link.link_entities(stages["triples"], aliases)
     if aliases is not None:
         labels = O_canon.alias_cc_labels(aliases)
@@ -165,8 +201,11 @@ def run_partitioned(
         }
 
     todo = todo.repartition(min(n_parts, len(part_stats)), "part_id")
-    stages = extract_document_triples(todo.drop("part_id"), prof)
-    triples = with_part_id(stages["triples"], n_parts).persist()
+    prof = prof or L.get_profile("en")
+    raw = O_fused.extract_triples_fused(todo.drop("part_id"), prof).drop(
+        "subj_id", "obj_id"
+    )
+    triples = with_part_id(raw, n_parts).persist()
     storage.write_table(
         triples, "triples_raw", out_dir, mode="overwrite", partition_by=["part_id"]
     )
@@ -193,7 +232,6 @@ def run_partitioned(
     storage.write_table(manifest, "_manifest", out_dir, mode="append")
     finalize(spark, out_dir, aliases=aliases, salted=salted)
     triples.unpersist()
-    stages["chunks"].unpersist()
     return {
         "parts_processed": len(manifest_rows),
         "docs": int(sum(dc for dc, _ in part_stats.values())),

@@ -107,6 +107,34 @@ def test_triple_plans_agree(spark, docs):
     assert b.select(cols).exceptAll(a.select(cols)).isEmpty()
 
 
+def test_fused_plan_agrees(spark, docs):
+    """Production fused mapInPandas plan ≡ the relational join+window plan
+    across the FULL post-coref triple table (resolution + carryover
+    included) — the containment test for the fast path."""
+    from naruhodo_spark import lang
+    from naruhodo_spark.operators.fused import extract_triples_fused
+    from naruhodo_spark.pipeline import extract_document_triples
+
+    prof = lang.get_profile("en")
+    fused = extract_triples_fused(docs, prof)
+    rel = extract_document_triples(docs, prof, triple_plan="relational")["triples"]
+    cols = ["doc_id", "sent_id", "pred_id", "pred", "subj", "obj",
+            "negative", "passive", "tense", "subj_ne", "obj_ne",
+            "subj_pro", "obj_pro"]
+    a, b = fused.select(cols), rel.select(cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_cc_driver_fastpath_equals_distributed(spark):
+    from naruhodo_spark import synth
+    from naruhodo_spark.operators.canon import alias_cc_labels
+
+    aliases = synth.alias_dictionary(spark)
+    fast = alias_cc_labels(aliases)
+    dist = alias_cc_labels(aliases, force_distributed=True)
+    assert fast.exceptAll(dist).isEmpty() and dist.exceptAll(fast).isEmpty()
+
+
 def test_salted_agg_equals_plain(spark, docs):
     from naruhodo_spark.operators.agg import aggregate_edges, aggregate_edges_salted
 

@@ -1,0 +1,71 @@
+"""Kill-resume (O21/O36) and incremental-ingest (O24) tests."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from naruhodo_spark import storage, synth
+from naruhodo_spark.pipeline import run_partitioned
+from naruhodo_spark.streaming import incremental_ingest, windowed_event_counts
+
+
+@pytest.fixture()
+def tmp_out(tmp_path):
+    return str(tmp_path)
+
+
+def test_kill_resume_produces_identical_tables(spark, tmp_out):
+    docs = synth.synth_documents(spark, 60).persist()
+    aliases = synth.alias_dictionary(spark)
+    out_a, out_b = f"{tmp_out}/resumed", f"{tmp_out}/clean"
+
+    # "killed" first run: only half the partitions got processed
+    half = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(8)) < 4)
+    r1 = run_partitioned(spark, half, out_a, n_parts=8, aliases=aliases)
+    assert 0 < r1["parts_processed"] <= 4
+
+    # resume with the full input: only pending parts run
+    r2 = run_partitioned(spark, docs, out_a, n_parts=8, aliases=aliases)
+    assert r2["parts_processed"] == 8 - r1["parts_processed"]
+
+    # third run is a no-op
+    r3 = run_partitioned(spark, docs, out_a, n_parts=8, aliases=aliases)
+    assert r3["parts_processed"] == 0
+
+    run_partitioned(spark, docs, out_b, n_parts=8, aliases=aliases)
+    a = storage.read_table(spark, "ksg_edges", out_a)
+    b = storage.read_table(spark, "ksg_edges", out_b)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    docs.unpersist()
+
+
+def test_incremental_ingest_matches_batch(spark, tmp_out):
+    docs = synth.synth_documents(spark, 40).persist()
+    # stream input: two file batches
+    in_dir = f"{tmp_out}/in"
+    docs.where(F.xxhash64("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    docs.where(F.xxhash64("doc_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    out = f"{tmp_out}/stream_out"
+    incremental_ingest(
+        spark, in_dir, out, checkpoint=f"{tmp_out}/ckpt"
+    )
+    got = storage.read_table(spark, "ksg_edges", out)
+
+    from naruhodo_spark.pipeline import build_kg
+
+    want = build_kg(docs)["ksg_edges"]
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    docs.unpersist()
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_counts(ev)
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == ev.count()
