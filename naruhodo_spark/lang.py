@@ -100,9 +100,21 @@ def en_profile() -> dict:
         pro[w] = S.PRO_DEMONSTRATIVE
     for w in EN_PRON_LOCATIVE:
         pro[w] = S.PRO_LOCATIVE
+    # single-lookup token classifier for the chunker hot loop; insertion
+    # order = match priority (first class wins on overlap, mirroring the
+    # chunker's original elif chain)
+    cls: dict[str, str] = {}
+    for words, code in [
+        (EN_DETERMINERS, "det"), (EN_ADJECTIVES, "adj"), (EN_AUX, "aux"),
+        (EN_NEGATIONS, "neg"), (EN_PREPOSITIONS, "prep"),
+        (EN_CONJUNCTIONS, "conj"),
+    ]:
+        for w in words:
+            cls.setdefault(w, code)
     return {
         "lang": "en",
         "order": "svo",  # args before/after predicate, func-word BEFORE noun
+        "cls": cls,
         "ne": ne,
         "pro": pro,
         "determiners": set(EN_DETERMINERS),

@@ -99,6 +99,38 @@ def connected_components_driver(edges: DataFrame) -> DataFrame:
 DRIVER_CC_THRESHOLD = 200_000
 
 
+def alias_canonical_map(aliases: DataFrame) -> dict[str, tuple[str, int | None]]:
+    """Driver-side composition of linking (O19) + canonicalization (O20)
+    for broadcast-sized alias dictionaries: returns
+    {surface → (component-min-label, etype-or-None)} covering every alias
+    AND every alias-graph node, exactly reproducing
+    link_entities ∘ apply_canonical_labels. Ship it to executors as a
+    Spark broadcast variable (pipeline fused path) — one dict lookup per
+    argument instead of four broadcast hash joins."""
+    rows = aliases.select("alias", "canonical_id", "etype").collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r["alias"]), find(r["canonical_id"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label = {n: find(n) for n in list(parent)}
+    out: dict[str, tuple[str, int | None]] = {
+        n: (lab, None) for n, lab in label.items()
+    }
+    for r in rows:
+        # alias match also overrides the entity type (link_entities)
+        out[r["alias"]] = (label[r["alias"]], r["etype"])
+    return out
+
+
 def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> DataFrame:
     """Components over the alias dictionary's (alias → canonical_id) edges,
     merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity).

@@ -46,15 +46,31 @@ def _assign_parents(chunks: list[dict]) -> None:
     chunk distance (tie → preceding). Mirrors the reference's head links
     re-expressed positionally (the reference gets them from CaboCha's
     lattice [PK naruhodo/backends/cabocha.py])."""
-    preds = [i for i, c in enumerate(chunks) if c["ctype"] in (S.CTYPE_VERB, S.CTYPE_ADJ)]
     n = len(chunks)
+    is_pred = [c["ctype"] in (S.CTYPE_VERB, S.CTYPE_ADJ) for c in chunks]
+    # O(n) two-sweep nearest-predicate (tie → preceding predicate)
+    prev_p, last = [-1] * n, -1
+    for i in range(n):
+        prev_p[i] = last
+        if is_pred[i]:
+            last = i
+    next_p, nxt = [-1] * n, -1
+    for i in range(n - 1, -1, -1):
+        next_p[i] = nxt
+        if is_pred[i]:
+            nxt = i
+    has_pred = last != -1
     for i, c in enumerate(chunks):
-        if i in preds:
-            nxt = [p for p in preds if p > i]
-            c["parent"] = nxt[0] if nxt else -1
-        elif preds:
-            best = min(preds, key=lambda p: (abs(p - i), p > i))
-            c["parent"] = best
+        if is_pred[i]:
+            c["parent"] = next_p[i]
+        elif has_pred:
+            a, b = prev_p[i], next_p[i]
+            if a == -1:
+                c["parent"] = b
+            elif b == -1:
+                c["parent"] = a
+            else:
+                c["parent"] = a if (i - a) <= (b - i) else b
         else:
             c["parent"] = n - 1 if i != n - 1 else -1
 
@@ -82,18 +98,16 @@ def chunk_sentence_en(sentence: str, prof: dict) -> list[dict]:
             )
         )
 
+    cls = prof["cls"]
     for tok in toks:
-        if tok in prof["determiners"]:
+        c = cls.get(tok)
+        if c == "det" or c == "adj":
             pre_mods.append(tok)
-        elif tok in prof["adjectives"]:
-            pre_mods.append(tok)
-        elif tok in prof["aux"]:
+        elif c == "aux" or c == "neg":
             pre_verb.append(tok)
-        elif tok in prof["negations"]:
-            pre_verb.append(tok)
-        elif tok in prof["prepositions"]:
+        elif c == "prep":
             pending_func = tok
-        elif tok in prof["conjunctions"]:
+        elif c == "conj":
             emit(tok, tok, "", S.CTYPE_CONNECT, S.ETYPE_UNKNOWN, S.PRO_NONE,
                  False, False, "present")
             pre_mods, pre_verb, pending_func = [], [], ""

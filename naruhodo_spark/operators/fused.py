@@ -42,6 +42,7 @@ FUSED_TRIPLES = (
     " negative boolean, passive boolean, tense string,"
     " subj_ne int, obj_ne int, subj_pro int, obj_pro int"
 )
+FUSED_TRIPLES_LINKED = FUSED_TRIPLES + ", subj_canon string, obj_canon string"
 
 
 def split_doc_sentences(spans, prof: dict) -> list[tuple[int, str]]:
@@ -142,17 +143,50 @@ _COLS = [
     "obj_id", "negative", "passive", "tense", "subj_ne", "obj_ne",
     "subj_pro", "obj_pro",
 ]
+_COLS_LINKED = _COLS + ["subj_canon", "obj_canon"]
 
 
-def extract_triples_fused(docs_spans, prof: dict):
-    """documents(doc_id, spans) → resolved triples, one Arrow pass."""
+def extract_triples_fused(docs_spans, prof: dict, canon_bc=None):
+    """documents(doc_id, spans) → resolved triples, one Arrow pass.
+
+    With ``canon_bc`` (a Spark broadcast of canon.alias_canonical_map's
+    dict), entity linking + canonicalization also happen in the same
+    pass — O19's broadcast dictionary shipped as a broadcast variable
+    rather than a join build side. Output then includes
+    subj_canon/obj_canon and alias-derived entity types."""
     stop = set(prof.get("stop_mains", ()))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        canon = canon_bc.value if canon_bc is not None else None
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 rows.extend(doc_triples(doc_id, spans, prof, stop))
-            yield pd.DataFrame(rows, columns=_COLS)
+            if canon is None:
+                yield pd.DataFrame(rows, columns=_COLS)
+                continue
+            linked: list[tuple] = []
+            for r in rows:
+                subj, obj, subj_ne, obj_ne = r[4], r[6], r[11], r[12]
+                subj_canon = obj_canon = None
+                if subj is not None:
+                    subj_canon = subj.lower()
+                    hit = canon.get(subj_canon)
+                    if hit is not None:
+                        subj_canon = hit[0]
+                        if hit[1] is not None:
+                            subj_ne = hit[1]
+                if obj is not None:
+                    obj_canon = obj.lower()
+                    hit = canon.get(obj_canon)
+                    if hit is not None:
+                        obj_canon = hit[0]
+                        if hit[1] is not None:
+                            obj_ne = hit[1]
+                linked.append(
+                    r[:11] + (subj_ne, obj_ne, r[13], r[14], subj_canon, obj_canon)
+                )
+            yield pd.DataFrame(linked, columns=_COLS_LINKED)
 
-    return docs_spans.mapInPandas(fn, schema=FUSED_TRIPLES)
+    schema = FUSED_TRIPLES_LINKED if canon_bc is not None else FUSED_TRIPLES
+    return docs_spans.mapInPandas(fn, schema=schema)

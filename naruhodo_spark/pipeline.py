@@ -87,10 +87,25 @@ def build_kg(
     prof = prof or L.get_profile("en")
     if num_partitions:
         docs_spans = docs_spans.repartition(num_partitions, "doc_id")
+
+    linked = None
     if triple_plan == "fused":
-        t = O_fused.extract_triples_fused(docs_spans, prof).drop(
+        canon_bc = None
+        if aliases is not None and not aliases.isStreaming:
+            sample = aliases.limit(O_canon.DRIVER_CC_THRESHOLD + 1)
+            if sample.count() <= O_canon.DRIVER_CC_THRESHOLD:
+                # O19+O20 fused into the map pass: the alias dictionary is
+                # broadcast-sized by contract, so link+canonicalize via a
+                # broadcast variable — no join, no extra shuffle.
+                canon_bc = docs_spans.sparkSession.sparkContext.broadcast(
+                    O_canon.alias_canonical_map(aliases)
+                )
+        t = O_fused.extract_triples_fused(docs_spans, prof, canon_bc).drop(
             "subj_id", "obj_id"
         )
+        if canon_bc is not None:
+            linked = t
+            t = t.drop("subj_canon", "obj_canon")
         # sentence/chunk/DSG surfaces stay available lazily via the
         # unfused operators (only executed if the caller materializes them)
         sents = O_norm.split_sentences(docs_spans, prof)
@@ -105,11 +120,14 @@ def build_kg(
         }
     else:
         stages = extract_document_triples(docs_spans, prof, triple_plan)
-    t = O_link.link_entities(stages["triples"], aliases)
-    if aliases is not None:
-        labels = O_canon.alias_cc_labels(aliases)
-        t = O_canon.apply_canonical_labels(t, labels)
-    stages["triples_linked"] = t
+
+    if linked is None:
+        linked = O_link.link_entities(stages["triples"], aliases)
+        if aliases is not None:
+            labels = O_canon.alias_cc_labels(aliases)
+            linked = O_canon.apply_canonical_labels(linked, labels)
+    stages["triples_linked"] = linked
+    t = linked
     stages["ksg_edges"] = (
         O_agg.aggregate_edges_salted(t, salt_buckets)
         if salted
@@ -249,6 +267,14 @@ def finalize(
     if not storage.table_exists(spark, "triples_raw", out_dir):
         return
     t = storage.read_table(spark, "triples_raw", out_dir)
+    # O37: pipeline counters ride the write action itself (no extra job);
+    # visible to QueryExecutionListeners and the Spark UI
+    t = t.observe(
+        "finalize_counters",
+        F.count(F.lit(1)).alias("n_triples"),
+        F.approx_count_distinct("doc_id").alias("n_docs_approx"),
+        F.approx_count_distinct("subj").alias("n_subjects_approx"),
+    )
     t = O_link.link_entities(t, aliases)
     if aliases is not None:
         labels = O_canon.alias_cc_labels(aliases)

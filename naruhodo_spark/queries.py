@@ -178,6 +178,41 @@ _register(
 )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """Single-table filter+agg — the pure pushdown/codegen showcase: all
+    three predicates reach the parquet scan (verified in docs/PLANS.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_register(
+    "q6_forecast_revenue",
+    q6_forecast_revenue,
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+
 def joins_semi_anti(spark, sf_dir):
     """left-semi + left-anti (SURVEY.md O21 family): customers that have
     orders, but none above 400k."""
@@ -457,6 +492,66 @@ _register(
            count(DISTINCT l_partkey)  AS n_parts,
            count(DISTINCT l_suppkey)  AS n_supps
     FROM lineitem
+    """,
+)
+
+
+def dedup_earliest_event(spark, sf_dir):
+    """O32 dedup: keep the earliest event per (user_id, event_type) —
+    expressed as min-struct agg so the choice is deterministic (plain
+    dropDuplicates keeps an arbitrary row)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("first.event_id").alias("first_event_id"),
+        )
+    )
+
+
+_register(
+    "dedup_earliest_event",
+    dedup_earliest_event,
+    """
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+
+
+def stopword_filter_tokens(spark, sf_dir):
+    """O9 meaningless-chunk filter, relationally: token stream minus a
+    broadcast stopword list via left-anti join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    )
+    stop = spark.createDataFrame(
+        [(w,) for w in ["the", "a", "of", "and", "to", "in"]], schema="tok string"
+    )
+    return (
+        toks.join(F.broadcast(stop), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_content_tokens"))
+    )
+
+
+_register(
+    "stopword_filter_tokens",
+    stopword_filter_tokens,
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents)
+    SELECT doc_id, count(*) AS n_content_tokens
+    FROM toks WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+    GROUP BY doc_id
     """,
 )
 
@@ -796,6 +891,27 @@ def mm_media_features(spark, sf_dir):
     return MM.featurize_media(MM.media_spans(_synth(spark)))
 
 
+_JA_SENTS = [
+    "彼女 は 本 を 読んだ 。",
+    "太郎 が 花子 に 手紙 を 渡した 。",
+    "それ は 古い 寺 だ 。",
+]
+
+
+def kg_triples_ja(spark, sf_dir):
+    """Language pluggability: the identical dataflow under the JA particle
+    profile (pre-segmented input — no morphological analyzer exists in
+    this environment, SURVEY.md §7.0)."""
+    rows = [
+        (f"ja-{i:03d}", [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+        for i, t in enumerate(_JA_SENTS)
+    ]
+    from naruhodo_spark import schemas as S
+
+    docs = spark.createDataFrame(rows, schema=S.DOCUMENTS_SPANS)
+    return build_kg(docs, prof=L.get_profile("ja"))["triples"]
+
+
 for _n, _f in [
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),
@@ -806,5 +922,6 @@ for _n, _f in [
     ("kg_cc_labels", kg_cc_labels),
     ("kg_span_invariant", kg_span_invariant),
     ("mm_media_features", mm_media_features),
+    ("kg_triples_ja", kg_triples_ja),
 ]:
     _register(_n, _f)

@@ -71,6 +71,36 @@ def incremental_ingest(
     return q
 
 
+def stateful_doc_dedup(stream_docs: DataFrame) -> DataFrame:
+    """O26 — custom stateful operator: emit each doc_id the FIRST time it
+    is seen across micro-batches (re-delivery suppression), via
+    ``applyInPandasWithState`` keyed by doc_id. In production the state
+    is bounded with a watermark timeout; here NoTimeout keeps the demo
+    deterministic."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n_new,))
+            return iter(())  # already emitted once
+        state.update((n_new,))
+        return iter([pd.DataFrame({"doc_id": [key[0]]})])
+
+    return stream_docs.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id string",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(events: DataFrame) -> DataFrame:
     """Harness coverage for watermark + tumbling window aggregation over
     the events table (the reference has no event-time concept — this is

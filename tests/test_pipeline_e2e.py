@@ -125,6 +125,26 @@ def test_fused_plan_agrees(spark, docs):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_inmap_linking_equals_join_linking(spark, docs):
+    """Fused in-map broadcast-dict linking (O19+O20 inside the map pass)
+    ≡ relational broadcast-join linking + CC label application."""
+    from naruhodo_spark import lang, synth
+    from naruhodo_spark.pipeline import build_kg
+
+    aliases = synth.alias_dictionary(spark)
+    prof = lang.get_profile("en")
+    a = build_kg(docs, prof=prof, aliases=aliases, triple_plan="fused")[
+        "triples_linked"
+    ]
+    b = build_kg(docs, prof=prof, aliases=aliases, triple_plan="relational")[
+        "triples_linked"
+    ]
+    cols = ["doc_id", "sent_id", "pred_id", "pred", "subj_canon", "obj_canon",
+            "subj_ne", "obj_ne", "negative", "passive"]
+    a, b = a.select(cols), b.select(cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def test_cc_driver_fastpath_equals_distributed(spark):
     from naruhodo_spark import synth
     from naruhodo_spark.operators.canon import alias_cc_labels

@@ -64,6 +64,36 @@ def test_incremental_ingest_matches_batch(spark, tmp_out):
     docs.unpersist()
 
 
+def test_stateful_doc_dedup_across_batches(spark, tmp_out):
+    """applyInPandasWithState: a doc_id re-delivered in a later micro-batch
+    must NOT be emitted twice."""
+    from naruhodo_spark import schemas as S
+    from naruhodo_spark.streaming import stateful_doc_dedup
+
+    docs = synth.synth_documents(spark, 20)
+    in_dir = f"{tmp_out}/sin"
+    docs.coalesce(1).write.mode("append").parquet(in_dir)   # batch 1
+    docs.coalesce(1).write.mode("append").parquet(in_dir)   # batch 2: dup
+    stream = (
+        spark.readStream.schema(S.DOCUMENTS_SPANS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stateful_doc_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", f"{tmp_out}/sckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    ids = [r["doc_id"] for r in out]
+    assert sorted(ids) == sorted(set(ids))
+    assert len(ids) == 20
+
+
 def test_windowed_event_counts_batch_parity(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(ev)
