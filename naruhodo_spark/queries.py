@@ -430,6 +430,79 @@ _register(
 )
 
 
+def setop_intersect_users(spark, sf_dir):
+    """INTERSECT: users who both click and purchase."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.intersect(buyers)
+
+
+_register(
+    "setop_intersect_users",
+    setop_intersect_users,
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+
+
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (Spark `percentile`
+    ≡ DuckDB `quantile_cont`). The approximate sketch variant
+    (percentile_approx) has engine-specific output → covered by a
+    bounded rows-only check instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+_register(
+    "agg_percentiles",
+    agg_percentiles,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(min(value), 4) AS vmin,
+           round(max(value), 4) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via SQL (the general form behind cube/rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_bucket,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+_register(
+    "agg_grouping_sets",
+    agg_grouping_sets,
+    """
+    SELECT event_type, user_id % 10 AS user_bucket,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+)
+
+
 def pivot_qty_by_status(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
