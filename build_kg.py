@@ -2,10 +2,11 @@
 
     spark-submit --master <cluster> --py-files naruhodo_spark.zip \
         build_kg.py --input <docs_table_or_parquet> --out <warehouse> \
-        [--n-parts 4096] [--lang en] [--salted] [--resume]
+        [--n-parts 4096] [--lang en] [--salted]
 
-Running the same command twice resumes: partitions recorded in the
-`_manifest` are skipped via anti-join (kill-resume, [B BASELINE.json:6]).
+Resume is implicit: running the same command twice skips partitions
+already recorded in the `_manifest` via anti-join (kill-resume,
+[B BASELINE.json:6]) — no flag needed.
 Without --input, a deterministic synth corpus of --n-docs documents is
 generated (useful for scale drills).
 """

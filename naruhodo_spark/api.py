@@ -112,6 +112,8 @@ class parser:  # noqa: N801 — name mirrors the reference API
     exportObj = export_obj
 
     def export_json(self, filename: str, max_nodes: int = 10_000) -> None:
+        if self.gtype != "k":
+            raise NotImplementedError("viewer export is KSG-only")
         kg = self.build()
         EX.export_json(kg["ksg_nodes"], kg["ksg_edges"], filename, max_nodes)
 

@@ -34,11 +34,17 @@ def nodes_json(nodes: DataFrame) -> DataFrame:
 
 
 def links_json(edges: DataFrame) -> DataFrame:
+    # objectless triples target the PREDICATE node (reference behavior:
+    # subject→predicate edge when the object slot is empty), so every
+    # link resolves to a real node id
+    target = F.when(F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))).otherwise(
+        F.col("obj")
+    )
     return edges.orderBy("subj", "pred", "obj").select(
         F.to_json(
             F.struct(
                 F.col("subj").alias("source"),
-                F.col("obj").alias("target"),
+                target.alias("target"),
                 F.col("pred").alias("label"),
                 F.col("weight"),
                 F.col("negative"),
@@ -56,16 +62,28 @@ def write_viewer_jsonl(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None
 
 def export_obj(nodes: DataFrame, edges: DataFrame, max_nodes: int = 10_000) -> dict:
     """Driver-side D3 dict for viewer-sized subgraphs (reference
-    ``exportObj`` analog): top-`max_nodes` nodes by count, induced links."""
-    top = nodes.orderBy(F.desc("count"), "node_id").limit(max_nodes)
+    ``exportObj`` analog): top-`max_nodes` nodes by count, induced links.
+    The induced-subgraph filter runs IN SPARK (semi-joins against the
+    kept node set) so only viewer-sized data ever reaches the driver."""
+    top = (nodes.orderBy(F.desc("count"), "node_id").limit(max_nodes)).persist()
     node_rows = [json.loads(r["json"]) for r in nodes_json(top).collect()]
-    keep = {n["id"] for n in node_rows}
-    link_rows = [
-        json.loads(r["json"])
-        for r in links_json(edges).collect()
-        if json.loads(r["json"])["source"] in keep
-        and (json.loads(r["json"])["target"] or "") in keep | {""}
-    ]
+    keep_ids = top.select(F.col("node_id"))
+    target = F.when(
+        F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))
+    ).otherwise(F.col("obj"))
+    induced = (
+        edges.withColumn("_target", target)
+        .join(
+            F.broadcast(keep_ids.withColumnRenamed("node_id", "subj")), "subj"
+        )
+        .join(
+            F.broadcast(keep_ids.withColumnRenamed("node_id", "_target")),
+            "_target",
+        )
+        .drop("_target")
+    )
+    link_rows = [json.loads(r["json"]) for r in links_json(induced).collect()]
+    top.unpersist()
     return {"nodes": node_rows, "links": link_rows}
 
 

@@ -28,20 +28,21 @@ def connected_components(
 ) -> DataFrame:
     """Returns (node:string, label:string) — label = lexicographic min
     node id of the component. Deterministic across runs and partitionings."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
-        F.col("src") != F.col("dst")
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # node set from the UNFILTERED edges, so self-loop-only nodes still
+    # get a (node, node) label row (parity with the driver union-find)
+    labels = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
+    e = raw.where(F.col("src") != F.col("dst"))
     # undirected: keep both directions once, then dedup
     e = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
 
@@ -69,6 +70,11 @@ def connected_components(
 
 
 def connected_components_driver(edges: DataFrame) -> DataFrame:
+    """Collects the edge list and delegates (see _rows variant)."""
+    return connected_components_driver_rows(edges.collect(), edges.sparkSession)
+
+
+def connected_components_driver_rows(rows, spark) -> DataFrame:
     """Driver-side union-find for *broadcast-sized* graphs. The alias
     dictionary is broadcast-sized by contract [B BASELINE.json:6], so
     collect + union-find (O(E α(E))) beats ~log(n) iterations of
@@ -84,15 +90,12 @@ def connected_components_driver(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    rows = edges.collect()
     for r in rows:
         ra, rb = find(r[0]), find(r[1])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     labels = [(n, find(n)) for n in list(parent)]
-    return edges.sparkSession.createDataFrame(
-        labels, schema="node string, label string"
-    )
+    return spark.createDataFrame(labels, schema="node string, label string")
 
 
 # above this many alias rows, use the distributed iterative-self-join CC
@@ -100,6 +103,13 @@ DRIVER_CC_THRESHOLD = 200_000
 
 
 def alias_canonical_map(aliases: DataFrame) -> dict[str, tuple[str, int | None]]:
+    """Collects the alias table and delegates to alias_canonical_map_rows."""
+    return alias_canonical_map_rows(
+        aliases.select("alias", "canonical_id", "etype").collect()
+    )
+
+
+def alias_canonical_map_rows(rows) -> dict[str, tuple[str, int | None]]:
     """Driver-side composition of linking (O19) + canonicalization (O20)
     for broadcast-sized alias dictionaries: returns
     {surface → (component-min-label, etype-or-None)} covering every alias
@@ -107,7 +117,6 @@ def alias_canonical_map(aliases: DataFrame) -> dict[str, tuple[str, int | None]]
     link_entities ∘ apply_canonical_labels. Ship it to executors as a
     Spark broadcast variable (pipeline fused path) — one dict lookup per
     argument instead of four broadcast hash joins."""
-    rows = aliases.select("alias", "canonical_id", "etype").collect()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -135,13 +144,18 @@ def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> Data
     """Components over the alias dictionary's (alias → canonical_id) edges,
     merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity).
     Broadcast-sized dicts take the driver union-find fast path; larger
-    graphs (or force_distributed) use the iterative self-join CC."""
+    graphs (or force_distributed) use the iterative self-join CC.
+    The size probe collects up to threshold+1 rows ONCE and reuses them
+    for the union-find (no second scan)."""
     edges = aliases.select(
         F.col("alias").alias("src"), F.col("canonical_id").alias("dst")
     )
-    if force_distributed or edges.limit(DRIVER_CC_THRESHOLD + 1).count() > DRIVER_CC_THRESHOLD:
+    if force_distributed:
         return connected_components(edges)
-    return connected_components_driver(edges)
+    head = edges.limit(DRIVER_CC_THRESHOLD + 1).collect()
+    if len(head) > DRIVER_CC_THRESHOLD:
+        return connected_components(edges)
+    return connected_components_driver_rows(head, aliases.sparkSession)
 
 
 def apply_canonical_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:

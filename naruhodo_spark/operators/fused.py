@@ -42,7 +42,14 @@ FUSED_TRIPLES = (
     " negative boolean, passive boolean, tense string,"
     " subj_ne int, obj_ne int, subj_pro int, obj_pro int"
 )
-FUSED_TRIPLES_LINKED = FUSED_TRIPLES + ", subj_canon string, obj_canon string"
+# linked output keeps the RAW tagger etypes in subj_ne/obj_ne and carries
+# the alias-derived ones separately, so the pre-link `triples` stage is
+# identical across plans and alias-dictionary sizes
+FUSED_TRIPLES_LINKED = (
+    FUSED_TRIPLES
+    + ", subj_ne_linked int, obj_ne_linked int,"
+    " subj_canon string, obj_canon string"
+)
 
 
 def split_doc_sentences(spans, prof: dict) -> list[tuple[int, str]]:
@@ -143,7 +150,7 @@ _COLS = [
     "obj_id", "negative", "passive", "tense", "subj_ne", "obj_ne",
     "subj_pro", "obj_pro",
 ]
-_COLS_LINKED = _COLS + ["subj_canon", "obj_canon"]
+_COLS_LINKED = _COLS + ["subj_ne_linked", "obj_ne_linked", "subj_canon", "obj_canon"]
 
 
 def extract_triples_fused(docs_spans, prof: dict, canon_bc=None):
@@ -183,9 +190,7 @@ def extract_triples_fused(docs_spans, prof: dict, canon_bc=None):
                         obj_canon = hit[0]
                         if hit[1] is not None:
                             obj_ne = hit[1]
-                linked.append(
-                    r[:11] + (subj_ne, obj_ne, r[13], r[14], subj_canon, obj_canon)
-                )
+                linked.append(r + (subj_ne, obj_ne, subj_canon, obj_canon))
             yield pd.DataFrame(linked, columns=_COLS_LINKED)
 
     schema = FUSED_TRIPLES_LINKED if canon_bc is not None else FUSED_TRIPLES

@@ -136,14 +136,18 @@ def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic dedup tier):
-    exact cosine over IVF-cell-restricted candidates."""
-    pairs = topk_ivf(embeddings, k=5)
+    ALL same-cell pairs above the threshold — no top-k cap, which would
+    silently drop pairs in dense duplicate clusters."""
+    l = _normed(embeddings, "vec_a", "emb_a", "na", extra=["label"]).withColumnRenamed("label", "cell")
+    r = _normed(embeddings, "vec_b", "emb_b", "nb", extra=["label"]).withColumnRenamed("label", "cell_r")
+    pairs = l.join(r, F.col("cell") == F.col("cell_r")).where(
+        F.col("vec_a") < F.col("vec_b")
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 4
+    )
     return (
-        pairs.where(F.col("cosine") >= threshold)
-        .where(F.col("vec_id") < F.col("neighbor_id"))
-        .select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("neighbor_id").alias("vec_b"),
-            "cosine",
-        )
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

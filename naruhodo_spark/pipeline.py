@@ -92,20 +92,31 @@ def build_kg(
     if triple_plan == "fused":
         canon_bc = None
         if aliases is not None and not aliases.isStreaming:
-            sample = aliases.limit(O_canon.DRIVER_CC_THRESHOLD + 1)
-            if sample.count() <= O_canon.DRIVER_CC_THRESHOLD:
+            # ONE probe job: collect up to threshold+1 rows; small dicts
+            # reuse the same rows for the union-find (no second scan)
+            head = aliases.select("alias", "canonical_id", "etype").limit(
+                O_canon.DRIVER_CC_THRESHOLD + 1
+            ).collect()
+            if len(head) <= O_canon.DRIVER_CC_THRESHOLD:
                 # O19+O20 fused into the map pass: the alias dictionary is
                 # broadcast-sized by contract, so link+canonicalize via a
                 # broadcast variable — no join, no extra shuffle.
                 canon_bc = docs_spans.sparkSession.sparkContext.broadcast(
-                    O_canon.alias_canonical_map(aliases)
+                    O_canon.alias_canonical_map_rows(head)
                 )
         t = O_fused.extract_triples_fused(docs_spans, prof, canon_bc).drop(
             "subj_id", "obj_id"
         )
         if canon_bc is not None:
-            linked = t
-            t = t.drop("subj_canon", "obj_canon")
+            # linked view: alias-derived etypes replace the tagger's;
+            # the pre-link `triples` stage keeps raw etypes (identical
+            # across plans and alias-dictionary sizes)
+            linked = (
+                t.drop("subj_ne", "obj_ne")
+                .withColumnRenamed("subj_ne_linked", "subj_ne")
+                .withColumnRenamed("obj_ne_linked", "obj_ne")
+            )
+            t = t.drop("subj_ne_linked", "obj_ne_linked", "subj_canon", "obj_canon")
         # sentence/chunk/DSG surfaces stay available lazily via the
         # unfused operators (only executed if the caller materializes them)
         sents = O_norm.split_sentences(docs_spans, prof)

@@ -149,10 +149,52 @@ def test_cc_driver_fastpath_equals_distributed(spark):
     from naruhodo_spark import synth
     from naruhodo_spark.operators.canon import alias_cc_labels
 
-    aliases = synth.alias_dictionary(spark)
+    # include an identity row (self-loop): both paths must still agree
+    aliases = synth.alias_dictionary(spark).unionByName(
+        spark.createDataFrame(
+            [("tokyo", "tokyo", 2)],
+            schema="alias string, canonical_id string, etype int",
+        )
+    )
     fast = alias_cc_labels(aliases)
     dist = alias_cc_labels(aliases, force_distributed=True)
     assert fast.exceptAll(dist).isEmpty() and dist.exceptAll(fast).isEmpty()
+
+
+def test_triples_stage_identical_with_and_without_aliases(spark, docs):
+    """The pre-link `triples` stage must not depend on the alias
+    dictionary (alias etypes belong to triples_linked only)."""
+    from naruhodo_spark import synth
+    from naruhodo_spark.pipeline import build_kg
+
+    cols = ["doc_id", "sent_id", "pred_id", "subj", "obj", "subj_ne", "obj_ne"]
+    a = build_kg(docs)["triples"].select(cols)
+    b = build_kg(docs, aliases=synth.alias_dictionary(spark))["triples"].select(cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_embedding_near_dups_no_topk_truncation(spark):
+    """A dense duplicate cluster: ALL pairs above threshold must emerge
+    (regression: a top-k cap silently dropped pairs)."""
+    from naruhodo_spark.ops.similarity import embedding_near_dups
+
+    n = 8
+    rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-4], 0) for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    )
+    pairs = embedding_near_dups(emb, threshold=0.99)
+    assert pairs.count() == n * (n - 1) // 2
+
+
+def test_export_links_resolve_to_nodes(spark):
+    from naruhodo_spark.api import parser
+
+    p = parser(spark).add("dave moved to tokyo. alice visited bob.")
+    obj = p.export_obj()
+    ids = {n["id"] for n in obj["nodes"]}
+    for l in obj["links"]:
+        assert l["source"] in ids and l["target"] in ids, l
 
 
 def test_salted_agg_equals_plain(spark, docs):
