@@ -120,15 +120,29 @@ def ngram_jaccard_pairs(
     )
 
 
+# modulus for the affine minhash family: largest prime < 2^48, so
+# h1 + i*h2 stays far below 2^63 (no ANSI overflow) in both engines
+MINHASH_P = 281474976710597
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
 ) -> DataFrame:
-    """MinHash signature per doc: sig_i = min over shingles of
-    md5(i ‖ ':' ‖ shingle) — engine-portable (identical in DuckDB).
-    Output: (doc_id, sig array<string>)."""
+    """MinHash signature per doc via the standard affine family
+    g_i(s) = (h1(s) + i·h2(s)) mod P with h1/h2 drawn from two md5
+    substrings — ONE md5 per shingle instead of one per (seed, shingle),
+    and still engine-portable (DuckDB computes the identical md5 hex and
+    hex→int cast, verified). Output: (doc_id, sig_0..sig_{n-1}: long)."""
     sh = shingles(docs, k)
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+    h2 = (
+        F.conv(F.substring(F.md5("shingle"), 13, 12), 16, 10).cast("long") * 2 + 1
+    )  # odd multiplier
+    sh = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_P)).alias(
+            f"sig_{i}"
+        )
         for i in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)

@@ -828,10 +828,22 @@ _register(
 
 
 def _minhash_oracle(n: int) -> str:
+    from naruhodo_spark.ops.dedup import MINHASH_P
+
     sigs = ",\n           ".join(
-        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n)
+        f"min((h1 + {i} * h2) % {MINHASH_P}) AS sig_{i}" for i in range(n)
     )
-    return _SHINGLES_SQL + f"SELECT doc_id, {sigs} FROM sh GROUP BY doc_id"
+    return (
+        _SHINGLES_SQL
+        + f"""
+    , h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
+             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
+      FROM sh)
+    SELECT doc_id, {sigs} FROM h GROUP BY doc_id
+    """
+    )
 
 
 _register(

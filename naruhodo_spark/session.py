@@ -24,19 +24,19 @@ def get_spark(
     - UTC session timezone for DuckDB-oracle parity.
 
     On a real cluster this is launched via ``spark-submit --py-files``
-    (see build_kg.py); ``master`` is then supplied by the submitter.
+    (see build_kg.py); ``master`` is then supplied by the submitter and
+    MUST win — never hardcode one over it. spark-submit's PythonRunner
+    exports PYSPARK_GATEWAY_PORT; a plain ``python script.py`` does not.
     """
-    master = master or f"local[{DEFAULT_CPUS}]"
-    cores = DEFAULT_CPUS if master.startswith("local[") else "200"
-    if master.startswith("local["):
-        inner = master[len("local[") : -1]
-        cores = str(os.cpu_count() or 32) if inner == "*" else inner
-    n_shuffle = shuffle_partitions or int(cores)
+    under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not under_spark_submit:
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
 
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -50,4 +50,8 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # shuffle partitions ≈ total cores (runtime-settable; resolved after
+    # session start so a submitter-provided master is respected)
+    n_shuffle = shuffle_partitions or spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(n_shuffle, 1)))
     return spark
