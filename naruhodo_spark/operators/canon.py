@@ -158,6 +158,32 @@ def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> Data
     return connected_components_driver_rows(head, aliases.sparkSession)
 
 
+def inclusive_merge_labels(names: DataFrame, col: str = "name") -> DataFrame:
+    """Reference ``inclusive(a, b)`` analog [PK naruhodo/utils/misc.py]:
+    merge entity names where one strictly contains the other (e.g.
+    "tokyo tower" ⊃ "tokyo"). The reference checks every new node against
+    all existing ones in driver memory; at scale that O(n²) becomes a
+    *blocked* pair join — candidates must share their first token, which
+    bounds the fan-out per block — followed by a substring filter and
+    connected components. Returns (node, label) for merged names only.
+    """
+    n = names.select(F.col(col).alias("name")).where(F.col("name") != "").distinct()
+    blk = F.element_at(F.split("name", " "), 1)
+    a = n.select(F.col("name").alias("a"), blk.alias("blk"))
+    b = n.select(F.col("name").alias("b"), blk.alias("blk"))
+    pairs = (
+        a.join(b, "blk")
+        .where(
+            (F.col("a") != F.col("b"))
+            & (F.length("b") >= 3)
+            & (F.length("a") > F.length("b"))
+            & F.col("a").contains(F.col("b"))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return connected_components(pairs)
+
+
 def apply_canonical_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
     """Rewrite subj_canon/obj_canon to their component label. The label set
     is alias-dictionary-sized → broadcast, no shuffle."""

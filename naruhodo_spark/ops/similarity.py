@@ -134,6 +134,74 @@ def lsh_candidate_pairs(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     )
 
 
+def _sq_dist_to(centroid: list[float]):
+    cent = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"), cent,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> list[list[float]]:
+    """Lloyd's k-means over DataFrame ops — the trained coarse quantizer
+    for IVF. Iterative driver loop (like the CC loop): assignment is a
+    Catalyst argmin over k broadcast centroids; the update step aggregates
+    per-(cell, dimension) means (k×dim rows to the driver — the quantizer
+    is driver-sized by definition). Deterministic: hash-seeded init,
+    centroids rounded each iteration so float summation order cannot flip
+    assignments across partitionings."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    init = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
+        .limit(k)
+        .collect()
+    )
+    cents = [[round(float(v), 6) for v in r["embedding"]] for r in init]
+    for _ in range(iters):
+        assigned = assign_cells(embeddings, cents)
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep old centroid
+        acc: dict[int, list[float]] = {}
+        for r in rows:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = round(r["m"], 6)
+        for cell, vec in acc.items():
+            new[cell] = vec
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def assign_cells(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment, pure Catalyst: array of squared
+    distances → array_position of the minimum (ties → lowest cell id)."""
+    dists = F.array(*[_sq_dist_to(c) for c in centroids])
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return embeddings.withColumn("cell", cell)
+
+
+def topk_ivf_trained(
+    embeddings: DataFrame, k: int = 3, n_cells: int = 8, iters: int = 3
+) -> DataFrame:
+    """IVF top-k with a TRAINED quantizer (vs topk_ivf which reuses the
+    dataset's label column as the cell assignment)."""
+    cents = kmeans_fit(embeddings, n_cells, iters)
+    assigned = assign_cells(embeddings, cents)
+    return topk_ivf(assigned.drop("label"), k=k, cell_col="cell")
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the semantic dedup tier):
     ALL same-cell pairs above the threshold — no top-k cap, which would

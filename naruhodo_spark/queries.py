@@ -909,6 +909,18 @@ _register(
     lambda spark, sf: SIM.lsh_candidate_pairs(_t(spark, sf, "embeddings")),
 )
 _register(
+    "sim_topk_ivf_trained",
+    lambda spark, sf: SIM.topk_ivf_trained(_t(spark, sf, "embeddings")),
+)
+_register(
+    "kg_inclusive_merge",
+    lambda spark, sf: O_canon.inclusive_merge_labels(
+        build_kg(_synth(spark), prof=_en())["ksg_nodes"].select(
+            F.col("rep").alias("name")
+        )
+    ),
+)
+_register(
     "sim_embedding_near_dups",
     lambda spark, sf: SIM.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.9

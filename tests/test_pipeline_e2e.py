@@ -187,6 +187,45 @@ def test_embedding_near_dups_no_topk_truncation(spark):
     assert pairs.count() == n * (n - 1) // 2
 
 
+def test_inclusive_merge(spark):
+    """Reference `inclusive` substring merging: names containing each
+    other land in one component with the shortest-lexicographic label."""
+    from naruhodo_spark.operators.canon import inclusive_merge_labels
+
+    names = spark.createDataFrame(
+        [("tokyo",), ("tokyo tower",), ("tokyo tower shop",), ("paris",),
+         ("paris hall",), ("kyoto",)],
+        schema="name string",
+    )
+    labels = {r["node"]: r["label"] for r in inclusive_merge_labels(names).collect()}
+    assert labels["tokyo tower shop"] == "tokyo"
+    assert labels["tokyo tower"] == "tokyo"
+    assert labels["paris hall"] == "paris"
+    assert "kyoto" not in labels  # nothing to merge
+
+
+def test_kmeans_ivf_trained(spark):
+    from naruhodo_spark.ops.similarity import (
+        assign_cells, kmeans_fit, topk_ivf_trained,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=4, iters=3)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    assigned = assign_cells(emb, cents)
+    cell_counts = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(cell_counts.values()) == emb.count()
+    top = topk_ivf_trained(emb, k=2, n_cells=4, iters=2)
+    assert top.count() > 0
+    # deterministic across partitionings
+    emb13 = emb.repartition(13)
+    cents13 = kmeans_fit(emb13, k=4, iters=3)
+    assert cents == cents13
+
+
 def test_export_links_resolve_to_nodes(spark):
     from naruhodo_spark.api import parser
 
