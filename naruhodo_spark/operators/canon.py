@@ -168,9 +168,20 @@ def inclusive_merge_labels(names: DataFrame, col: str = "name") -> DataFrame:
     connected components. Returns (node, label) for merged names only.
     """
     n = names.select(F.col(col).alias("name")).where(F.col("name") != "").distinct()
-    blk = F.element_at(F.split("name", " "), 1)
-    a = n.select(F.col("name").alias("a"), blk.alias("blk"))
-    b = n.select(F.col("name").alias("b"), blk.alias("blk"))
+    # blocking keys: first AND last token (covers head-final NPs like
+    # "the castle" ⊃ "castle" as well as prefixes like "tokyo tower" ⊃
+    # "tokyo"); each name appears under ≤2 keys, so fan-out stays bounded
+    toks = F.split("name", " ")
+    keyed = n.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.array(F.element_at(toks, 1), F.element_at(toks, -1))
+            )
+        ).alias("blk"),
+    )
+    a = keyed.select(F.col("name").alias("a"), "blk")
+    b = keyed.select(F.col("name").alias("b"), "blk")
     pairs = (
         a.join(b, "blk")
         .where(
@@ -180,6 +191,7 @@ def inclusive_merge_labels(names: DataFrame, col: str = "name") -> DataFrame:
             & F.col("a").contains(F.col("b"))
         )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
     )
     return connected_components(pairs)
 

@@ -70,6 +70,32 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the standard rolling-hash dedup/plagiarism sketch):
+    hash every token k-gram, slide a window of w hashes, keep each
+    window's minimum, emit the distinct minima. Pure Catalyst array
+    expressions (no UDF); hashes are md5-substring ints so the DuckDB
+    oracle reproduces them bit-for-bit."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    n = F.size(toks)
+    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")
+    ghash = lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 12), 16, 10).cast(
+        "long"
+    )
+    hs = F.transform(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))), ghash)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hs) - w + 1),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    return (
+        docs.where(n >= k + w - 1)
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-voting language heuristic: count marker-word hits per
     language over the token array, predict the argmax (ties broken by

@@ -708,6 +708,7 @@ _register(
 )
 
 
+
 def o8_tokens(spark, sf_dir):
     """posexplode with ordinal (the O8 sentence-split machinery on the
     flat corpus — pseudo-text has no terminators, so tokens stand in for
@@ -792,6 +793,25 @@ _SHINGLES_SQL = rf"""
              array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
       FROM idx)
 """
+
+_register(
+    "ts_winnowing",
+    lambda spark, sf: TS.winnowing_fingerprints(_t(spark, sf, "documents")),
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    gr AS (
+      SELECT doc_id,
+             [ (('0x' || substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 12))::UBIGINT)::BIGINT
+               for i in generate_series(1, len(t) - 2) ] AS hs
+      FROM toks WHERE len(t) >= 6)
+    SELECT doc_id,
+           unnest(list_distinct(
+             [ list_min(list_slice(hs, j, j + 3))
+               for j in generate_series(1, len(hs) - 3) ])) AS fp
+    FROM gr
+    """,
+)
 
 _register(
     "dd_exact_duplicates",
@@ -912,14 +932,20 @@ _register(
     "sim_topk_ivf_trained",
     lambda spark, sf: SIM.topk_ivf_trained(_t(spark, sf, "embeddings")),
 )
-_register(
-    "kg_inclusive_merge",
-    lambda spark, sf: O_canon.inclusive_merge_labels(
-        build_kg(_synth(spark), prof=_en())["ksg_nodes"].select(
-            F.col("rep").alias("name")
-        )
-    ),
-)
+def kg_inclusive_merge(spark, sf_dir):
+    """Substring-inclusive node merging over chunk SURFACES (which carry
+    determiners/modifiers: "the castle" ⊃ "castle"), the reference's
+    inclusive() analog."""
+    docs = _synth(spark)
+    sents = O_norm.split_sentences(docs, _en())
+    chunks = O_chunk.chunk_sentences(sents, _en())
+    names = chunks.select(F.col("surface").alias("name")).union(
+        chunks.select(F.col("main").alias("name"))
+    )
+    return O_canon.inclusive_merge_labels(names)
+
+
+QUERIES["kg_inclusive_merge"] = kg_inclusive_merge
 _register(
     "sim_embedding_near_dups",
     lambda spark, sf: SIM.embedding_near_dups(

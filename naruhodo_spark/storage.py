@@ -60,6 +60,23 @@ def table_exists(spark: SparkSession, name: str, base: str) -> bool:
         return False
 
 
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int, key: str
+) -> None:
+    """Bucketed managed table (pyspark-guide pattern): later equi-joins on
+    ``key`` between tables bucketed the same way are co-located — no
+    exchange on either side (asserted by tests/test_bucketing.py). The
+    Iceberg analog is ``bucket(N, key)`` partition transforms; this is
+    the session-catalog fallback."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def merge_upsert_by_key(
     spark: SparkSession,
     incoming: DataFrame,
