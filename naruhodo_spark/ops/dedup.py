@@ -79,7 +79,9 @@ def ngram_jaccard_pairs(
     (document frequency > df_cap — they contribute candidates
     quadratically but little signal) → self-join on shingle → count
     intersections → |A∩B| / (|A|+|B|−|A∩B|)."""
-    sh = shingles(docs, k)
+    # one materialization feeds sizes, the df-cap filter, and both join
+    # sides (lazy checkpoint — computed on first use, reused after)
+    sh = shingles(docs, k).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     rare = (
         sh.groupBy("shingle")
@@ -133,7 +135,10 @@ def minhash_signatures(
     substrings — ONE md5 per shingle instead of one per (seed, shingle),
     and still engine-portable (DuckDB computes the identical md5 hex and
     hex→int cast, verified). Output: (doc_id, sig_0..sig_{n-1}: long)."""
-    sh = shingles(docs, k)
+    return _signatures_from_shingles(shingles(docs, k), n_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
     h1 = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
     h2 = (
         F.conv(F.substring(F.md5("shingle"), 13, 12), 16, 10).cast("long") * 2 + 1
@@ -160,7 +165,11 @@ def minhash_lsh_pairs(
     The band join key is (band_idx, band_hash) — uniformly distributed,
     so the shuffle is balanced by construction."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes, k)
+    # the shingle index feeds BOTH the signatures and the exact-Jaccard
+    # verify; a lazy localCheckpoint materializes it once instead of
+    # recomputing the scan+explode per consumer
+    sh_cached = shingles(docs, k).localCheckpoint(eager=False)
+    sig = _signatures_from_shingles(sh_cached, n_hashes)
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -189,7 +198,7 @@ def minhash_lsh_pairs(
     # exact Jaccard for CANDIDATES ONLY (that is the whole point of LSH:
     # the full O(n²) verify never runs) — intersect each candidate pair's
     # shingle sets via two joins against the inverted index.
-    sh = shingles(docs, k)
+    sh = sh_cached
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -162,13 +162,35 @@ def with_part_id(docs: DataFrame, n_parts: int) -> DataFrame:
     )
 
 
+def _fingerprint_col():
+    """Order-independent CONTENT fingerprint of a partition's documents
+    (bit_xor of per-doc hashes over id + spans — commutative, and unlike
+    sum() safe under ANSI overflow checking)."""
+    return F.format_string("%016x", F.expr("bit_xor(xxhash64(doc_id, spans))"))
+
+
 def pending_parts(spark: SparkSession, docs_p: DataFrame, out_dir: str) -> DataFrame:
-    """O21 resume anti-join: drop partitions already recorded in the
-    manifest."""
-    if storage.table_exists(spark, "_manifest", out_dir):
-        done = storage.read_table(spark, "_manifest", out_dir).select("part_id").distinct()
-        return docs_p.join(F.broadcast(done), "part_id", "left_anti")
-    return docs_p
+    """O21 resume anti-join, lineage-aware (O38): a partition is done only
+    if the manifest has a row for it AND the recorded input fingerprint
+    still matches the current input — a partition whose documents changed
+    since the last run is reprocessed, not skipped."""
+    if not storage.table_exists(spark, "_manifest", out_dir):
+        return docs_p
+    manifest = storage.read_table(spark, "_manifest", out_dir)
+    # latest manifest row per part (parts can be re-recorded after a
+    # changed-input rerun)
+    latest = (
+        manifest.groupBy("part_id")
+        .agg(F.max(F.struct("ts", "input_fingerprint")).alias("m"))
+        .select("part_id", F.col("m.input_fingerprint").alias("done_fp"))
+    )
+    current = docs_p.groupBy("part_id").agg(_fingerprint_col().alias("cur_fp"))
+    done = (
+        current.join(F.broadcast(latest), "part_id")
+        .where(F.col("cur_fp") == F.col("done_fp"))
+        .select("part_id")
+    )
+    return docs_p.join(F.broadcast(done), "part_id", "left_anti")
 
 
 def _manifest_total_triples(spark: SparkSession, out_dir: str) -> int:
@@ -176,7 +198,9 @@ def _manifest_total_triples(spark: SparkSession, out_dir: str) -> int:
         return 0
     row = (
         storage.read_table(spark, "_manifest", out_dir)
-        .agg(F.sum("triple_count"))
+        .groupBy("part_id")  # latest row per part (reruns append)
+        .agg(F.max(F.struct("ts", "triple_count")).alias("m"))
+        .agg(F.sum("m.triple_count"))
         .first()
     )
     return int(row[0] or 0)
@@ -215,9 +239,7 @@ def run_partitioned(
             F.count(F.lit(1)).alias("doc_count"),
             # O38 lineage: order-independent content fingerprint of inputs
             # (bit_xor: commutative, no ANSI long-overflow unlike sum)
-            F.format_string(
-                "%016x", F.expr("bit_xor(xxhash64(doc_id))")
-            ).alias("input_fingerprint"),
+            _fingerprint_col().alias("input_fingerprint"),
         )
         .collect()
     }

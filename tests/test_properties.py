@@ -68,6 +68,17 @@ def test_pipeline_partitioning_independent(spark):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_approx_distinct_bounded(spark):
+    """approx_count_distinct (O29 sketch tier) within its documented
+    relative error of the exact count on real data."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+
+
 def test_weird_unicode_docs_survive(spark):
     from naruhodo_spark.pipeline import build_kg
 

@@ -40,6 +40,31 @@ def test_kill_resume_produces_identical_tables(spark, tmp_out):
     docs.unpersist()
 
 
+def test_resume_reprocesses_changed_partitions(spark, tmp_out):
+    """Lineage-aware resume (O38): a partition whose input documents
+    changed since the manifest row was written must be reprocessed; the
+    final tables must equal a clean run over the new input."""
+    out = f"{tmp_out}/lineage"
+    docs_v1 = synth.synth_documents(spark, 40, seed=42).persist()
+    docs_v2 = synth.synth_documents(spark, 40, seed=99).persist()  # changed
+
+    r1 = run_partitioned(spark, docs_v1, out, n_parts=4)
+    assert r1["parts_processed"] == 4
+    r2 = run_partitioned(spark, docs_v2, out, n_parts=4)
+    assert r2["parts_processed"] == 4  # fingerprints differ → redo all
+
+    clean = f"{tmp_out}/lineage_clean"
+    run_partitioned(spark, docs_v2, clean, n_parts=4)
+    a = storage.read_table(spark, "ksg_edges", out)
+    b = storage.read_table(spark, "ksg_edges", clean)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # unchanged input → still a no-op
+    r3 = run_partitioned(spark, docs_v2, out, n_parts=4)
+    assert r3["parts_processed"] == 0
+    docs_v1.unpersist(); docs_v2.unpersist()
+
+
 def test_incremental_ingest_matches_batch(spark, tmp_out):
     docs = synth.synth_documents(spark, 40).persist()
     # stream input: two file batches
