@@ -81,15 +81,25 @@ def winnowing_fingerprints(
     oracle reproduces them bit-for-bit."""
     toks = F.split(norm_text(F.col("text")), " ")
     n = F.size(toks)
-    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")
-    ghash = lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 12), 16, 10).cast(
-        "long"
+    # k-gram strings as a zip_with of k shifted token arrays, then one
+    # elementwise transform to hashes. The naive transform(sequence(...))
+    # form re-evaluated the token split per gram AND the whole gram-hash
+    # array per window position (no CSE across higher-order-function
+    # lambdas) — O(T^3) per document; this form is O(k·w) subtree evals.
+    mg = F.greatest(n - (k - 1), F.lit(0))
+    grams = F.slice(toks, 1, mg)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, mg), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    hs = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long")
     )
-    hs = F.transform(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))), ghash)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.size(hs) - w + 1),
-        lambda j: F.array_min(F.slice(hs, j, w)),
-    )
+    # sliding-window minimum = least() over w shifted views of hs
+    mw = F.greatest(F.size(hs) - (w - 1), F.lit(0))
+    mins = F.slice(hs, 1, mw)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(hs, j + 1, mw), lambda x, y: F.least(x, y))
     return (
         docs.where(n >= k + w - 1)
         .select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
