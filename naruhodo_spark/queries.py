@@ -6,9 +6,11 @@ gets an entry: a Spark callable ``(spark, sf_dir) -> DataFrame`` in
 oracle string in ``ORACLES`` producing identical column names and values
 (doubles rounded the same way on both sides; counts cast to bigint).
 
-Non-SQL-expressible entries (pandas-UDF chunker stages, LSH bucketing with
-engine-specific hashes, CC iteration) have no oracle → the driver records
+Non-SQL-expressible entries (pandas-UDF chunker stages, xxhash64-based
+bucketing, iterative CC / k-means) have no oracle → the driver records
 a rows-only check, and the golden pytest suite covers their semantics.
+The md5-based sketches (minhash signatures AND the full LSH banding plan,
+simhash) ARE oracled — md5 renders identically in both engines.
 """
 
 from __future__ import annotations
@@ -872,14 +874,93 @@ _register(
     _minhash_oracle(4),
 )
 
-# engine-specific hash bucketing + pandas-UDF stages → rows-only checks
+def _minhash_lsh_oracle() -> str:
+    """Full LSH plan in DuckDB: affine minhash signatures → band hashes
+    (md5 of '|'-joined sig values — decimal long rendering is identical
+    in both engines) → bucket candidates → exact Jaccard ≥ 0.5."""
+    from naruhodo_spark.ops.dedup import MINHASH_P, N_BANDS, N_MINHASH
+
+    rows = N_MINHASH // N_BANDS
+    sigs = ",\n             ".join(
+        f"min((h1 + {i} * h2) % {MINHASH_P}) AS sig_{i}" for i in range(N_MINHASH)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"sig_{b * rows + r}::VARCHAR" for r in range(rows))
+        )
+        for b in range(N_BANDS)
+    )
+    return (
+        _SHINGLES_SQL
+        + f"""
+    , h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
+             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {sigs}
+      FROM h GROUP BY doc_id),
+    buckets AS (
+{band_selects}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM buckets l JOIN buckets r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) >= 0.5
+    """
+    )
+
+
 _register(
     "dd_minhash_lsh_pairs",
     lambda spark, sf: D.minhash_lsh_pairs(_t(spark, sf, "documents")),
+    _minhash_lsh_oracle(),
 )
+
+# SimHash bit math in SQL: token hash = first 8 md5 bytes as uint64 (hex
+# substring — big-endian, matching numpy's MSB-first unpackbits); result
+# bit j = sign of Σ_tokens (2·bit_j − 1); two's-complement back to the
+# signed long the pandas UDF emits.
 _register(
     "dd_simhash",
     lambda spark, sf: D.simhash(_t(spark, sf, "documents")),
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+          FROM toks),
+    b AS (
+      SELECT doc_id, g.j,
+             sum(CASE WHEN (hv >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM h, generate_series(0, 63) AS g(j)
+      GROUP BY doc_id, g.j),
+    u AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN ((1::UBIGINT) << j)::HUGEINT
+                 ELSE 0 END) AS uv
+      FROM b GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
+                ELSE uv END AS BIGINT) AS simhash
+    FROM u
+    """,
 )
 
 
@@ -946,11 +1027,23 @@ def kg_inclusive_merge(spark, sf_dir):
 
 
 QUERIES["kg_inclusive_merge"] = kg_inclusive_merge
+# threshold 0.3: the synthetic embeddings are near-orthogonal (max
+# same-cell cosine ≈ 0.48 at sf0.01), so a production-style 0.9 cut
+# would make the oracle compare empty sets — 0.3 yields ~100 pairs and
+# a check with teeth. Production callers pass their own threshold.
 _register(
     "sim_embedding_near_dups",
     lambda spark, sf: SIM.embedding_near_dups(
-        _t(spark, sf, "embeddings"), threshold=0.9
+        _t(spark, sf, "embeddings"), threshold=0.3
     ),
+    f"""
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_COSINE_SQL} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.3
+    """,
 )
 
 
