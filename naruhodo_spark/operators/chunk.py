@@ -190,13 +190,25 @@ def chunk_sentence(sentence: str, prof: dict) -> list[dict]:
 _COLS = [f.name for f in S.CHUNKS.fields]
 
 
-def chunk_sentences(sents_df, prof: dict):
+def chunk_sentences(sents_df, prof: dict, vectorized: bool = True):
     """Spark surface: sentences DataFrame → chunks DataFrame via
     ``mapInPandas`` (iterator-of-Arrow-batches; the profile dict is
-    closure-captured once per task, not per row)."""
+    closure-captured once per task, not per row).
+
+    The default path is the columnar batch chunker (operators/vchunk.py
+    — whole-batch numpy passes, no per-token Python; asserted
+    row-identical to this module's per-sentence spec by
+    tests/test_vchunk_parity.py). The row-wise path remains for the JA
+    profile and as the executable spec."""
+    use_vec = vectorized and prof.get("lang") != "ja"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from naruhodo_spark.operators import vchunk as V
+
         for pdf in batches:
+            if use_vec:
+                yield V.chunk_batch(pdf, prof)
+                continue
             rows = []
             for doc_id, sent_id, sentence in zip(
                 pdf["doc_id"], pdf["sent_id"], pdf["sentence"]

@@ -153,19 +153,32 @@ _COLS = [
 _COLS_LINKED = _COLS + ["subj_ne_linked", "obj_ne_linked", "subj_canon", "obj_canon"]
 
 
-def extract_triples_fused(docs_spans, prof: dict, canon_bc=None):
+def extract_triples_fused(docs_spans, prof: dict, canon_bc=None,
+                          vectorized: bool = True):
     """documents(doc_id, spans) → resolved triples, one Arrow pass.
 
     With ``canon_bc`` (a Spark broadcast of canon.alias_canonical_map's
     dict), entity linking + canonicalization also happen in the same
     pass — O19's broadcast dictionary shipped as a broadcast variable
     rather than a join build side. Output then includes
-    subj_canon/obj_canon and alias-derived entity types."""
+    subj_canon/obj_canon and alias-derived entity types.
+
+    The default executor body is the columnar batch implementation
+    (operators/vchunk.py::fused_batch_en — whole-batch numpy passes, no
+    per-row Python [B BASELINE.json:15]); this module's per-document
+    functions are the executable spec it is tested identical against
+    (tests/test_vchunk_parity.py). JA stays on the spec path."""
     stop = set(prof.get("stop_mains", ()))
+    use_vec = vectorized and prof.get("lang") != "ja"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from naruhodo_spark.operators import vchunk as V
+
         canon = canon_bc.value if canon_bc is not None else None
         for pdf in batches:
+            if use_vec:
+                yield V.fused_batch_en(pdf, prof, stop, canon)
+                continue
             rows: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 rows.extend(doc_triples(doc_id, spans, prof, stop))
