@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--n-parts", type=int, default=None)
     ap.add_argument("--lang", default="en")
     ap.add_argument("--salted", action="store_true")
+    ap.add_argument(
+        "--wave-parts", type=int, default=None,
+        help="commit manifest every N partitions (kill loses ≤ one wave; "
+        "default: single wave)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -60,6 +65,7 @@ def main() -> None:
         prof=L.get_profile(args.lang),
         aliases=synth.alias_dictionary(spark),
         salted=args.salted,
+        wave_parts=args.wave_parts,
     )
     wall = time.time() - t0
     print(

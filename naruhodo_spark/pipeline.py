@@ -215,12 +215,22 @@ def run_partitioned(
     aliases: DataFrame | None = None,
     salted: bool = False,
     run_id: str | None = None,
+    wave_parts: int | None = None,
 ) -> dict[str, int]:
     """EP1′/EP2′: process only not-yet-done partitions, append their raw
     triples (partitioned by part_id — dynamic partition overwrite makes a
     re-run of a half-written partition idempotent), record manifest rows
     with lineage fingerprint + counters, then finalize the aggregated
     graph tables from ALL triples (cheap re-agg).
+
+    ``wave_parts``: commit granularity. None = one wave (one Spark job
+    for all pending partitions; manifest committed at the end — a kill
+    mid-job reprocesses everything pending). Setting it processes the
+    pending partitions in WAVES of that many parts, appending the
+    manifest after each wave, so a killed job loses at most one wave of
+    work instead of the whole run [B BASELINE.json:6 "killed job resumes
+    without recomputation"]. Wave cost is one extra Spark job + manifest
+    append each — keep waves ≳ the cluster's core count of partitions.
 
     Returns counters {parts_processed, docs, triples}.
     """
@@ -251,40 +261,52 @@ def run_partitioned(
             "triples": _manifest_total_triples(spark, out_dir),
         }
 
-    todo = todo.repartition(min(n_parts, len(part_stats)), "part_id")
     prof = prof or L.get_profile("en")
-    raw = O_fused.extract_triples_fused(todo.drop("part_id"), prof).drop(
-        "subj_id", "obj_id"
-    )
-    triples = with_part_id(raw, n_parts).persist()
-    storage.write_table(
-        triples, "triples_raw", out_dir, mode="overwrite", partition_by=["part_id"]
-    )
-    # exactly-once accounting from the persisted frame we just wrote
-    triple_counts = {
-        r["part_id"]: r["n"]
-        for r in triples.groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    manifest_rows = [
-        (
-            int(pid),
-            int(dc),
-            int(triple_counts.get(pid, 0)),
-            fp,
-            run_id,
-        )
-        for pid, (dc, fp) in sorted(part_stats.items())
+    pending_ids = sorted(part_stats)
+    wave_n = wave_parts or len(pending_ids)
+    waves = [
+        pending_ids[i : i + wave_n] for i in range(0, len(pending_ids), wave_n)
     ]
-    manifest = spark.createDataFrame(
-        manifest_rows,
-        schema="part_id int, doc_count long, triple_count long,"
-        " input_fingerprint string, run_id string",
-    ).withColumn("ts", F.current_timestamp())
-    storage.write_table(manifest, "_manifest", out_dir, mode="append")
+    todo = todo.persist(StorageLevel.MEMORY_AND_DISK) if len(waves) > 1 else todo
+    for wave in waves:
+        wave_df = (
+            todo if len(waves) == 1 else todo.where(F.col("part_id").isin(wave))
+        )
+        wave_df = wave_df.repartition(min(n_parts, len(wave)), "part_id")
+        raw = O_fused.extract_triples_fused(wave_df.drop("part_id"), prof).drop(
+            "subj_id", "obj_id"
+        )
+        triples = with_part_id(raw, n_parts).persist()
+        storage.write_table(
+            triples, "triples_raw", out_dir, mode="overwrite",
+            partition_by=["part_id"],
+        )
+        # exactly-once accounting from the persisted frame we just wrote
+        triple_counts = {
+            r["part_id"]: r["n"]
+            for r in triples.groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest_rows = [
+            (int(pid), int(part_stats[pid][0]),
+             int(triple_counts.get(pid, 0)), part_stats[pid][1], run_id)
+            for pid in wave
+        ]
+        manifest = spark.createDataFrame(
+            manifest_rows,
+            schema="part_id int, doc_count long, triple_count long,"
+            " input_fingerprint string, run_id string",
+        ).withColumn("ts", F.current_timestamp())
+        # the wave is durable once this append lands — a kill after this
+        # point never reprocesses the wave's partitions
+        storage.write_table(manifest, "_manifest", out_dir, mode="append")
+        triples.unpersist()
+    if len(waves) > 1:
+        todo.unpersist()
     finalize(spark, out_dir, aliases=aliases, salted=salted)
-    triples.unpersist()
     return {
-        "parts_processed": len(manifest_rows),
+        "parts_processed": len(pending_ids),
         "docs": int(sum(dc for dc, _ in part_stats.values())),
         "triples": _manifest_total_triples(spark, out_dir),
     }

@@ -124,3 +124,53 @@ def test_windowed_event_counts_batch_parity(spark):
     out = windowed_event_counts(ev)
     total = out.agg(F.sum("n")).first()[0]
     assert total == ev.count()
+
+
+def test_wave_commits_survive_midrun_kill(spark, tmp_out, monkeypatch):
+    """wave_parts: the manifest is appended after EVERY wave, so a job
+    killed mid-run loses at most one wave of work (the true
+    [B BASELINE.json:6] kill semantics — a single end-of-job commit
+    would lose everything pending). Simulated by making the SECOND
+    triples_raw write raise."""
+    from naruhodo_spark import pipeline as P
+
+    docs = synth.synth_documents(spark, 80).persist()
+    aliases = synth.alias_dictionary(spark)
+    out = f"{tmp_out}/waves"
+
+    real_write = storage.write_table
+    calls = {"triples_raw": 0}
+
+    def exploding_write(df, name, out_dir, **kw):
+        if name == "triples_raw":
+            calls["triples_raw"] += 1
+            if calls["triples_raw"] == 2:
+                raise RuntimeError("simulated mid-run kill")
+        return real_write(df, name, out_dir, **kw)
+
+    monkeypatch.setattr(P.storage, "write_table", exploding_write)
+    try:
+        run_partitioned(
+            spark, docs, out, n_parts=8, aliases=aliases, wave_parts=3
+        )
+        raise AssertionError("expected the simulated kill to propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(P.storage, "write_table", real_write)
+
+    # wave 1 (3 parts) must already be durable in the manifest
+    manifest = storage.read_table(spark, "_manifest", out)
+    assert manifest.select("part_id").distinct().count() == 3
+
+    # resume completes only the remaining parts
+    r2 = run_partitioned(
+        spark, docs, out, n_parts=8, aliases=aliases, wave_parts=3
+    )
+    assert r2["parts_processed"] == 5
+
+    clean = f"{tmp_out}/waves_clean"
+    run_partitioned(spark, docs, clean, n_parts=8, aliases=aliases)
+    a = storage.read_table(spark, "ksg_edges", out)
+    b = storage.read_table(spark, "ksg_edges", clean)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    docs.unpersist()
