@@ -120,6 +120,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
         "dd_minhash_lsh_pairs",
         "dd_ngram_jaccard_pairs",
         "sim_topk_ivf",
+        "sim_topk_ivf_blas",
         "ts_quality",
         "ts_langid",
     ]:

@@ -16,6 +16,8 @@ DuckDB oracle hashes identically.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -219,3 +221,57 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataF
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+_TOPK_SCHEMA = "vec_id long, neighbor_id long, cosine double, rank int"
+
+
+def topk_ivf_blas(embeddings: DataFrame, k: int = 3, cell_col: str = "label") -> DataFrame:
+    """IVF top-k with a BLAS kernel: ``applyInPandas`` per coarse cell,
+    one normalized gram matrix (X@X.T) per cell, vectorized composite-key
+    row sort for the (cosine desc, neighbor_id asc) tie-break on the
+    ROUNDED cosine — semantics identical to topk_ivf, arithmetic done by
+    the matrix engine instead of per-pair Catalyst array folds.
+
+    This is the SCALE path: per-cell cost is one n_cell×n_cell GEMM
+    (the quantizer bounds n_cell), and cells fan out across executors —
+    at 100 TB the pairwise stage is the entire cost, and BLAS beats
+    elementwise expression evaluation by an order of magnitude. The
+    Catalyst twin (topk_ivf) remains the oracle-checkable baseline;
+    tests assert the two agree exactly at the correctness tier.
+    """
+    import numpy as np
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64"),
+                 "rank": pd.Series([], dtype="int32")}
+            )
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = (X @ X.T) / np.outer(norms, norms)
+        np.round(S, 4, out=S)
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        # composite sort key: rounded cosine is an exact integer in
+        # [-10^4, 10^4] → (cos desc, id asc) = ascending composite
+        prim = np.round(S * 10000).astype(np.int64)
+        big = np.int64(1) << np.int64(42)
+        comp = (np.int64(10001) - prim) * big + ids[None, :]
+        np.fill_diagonal(comp, np.iinfo(np.int64).max)  # exclude self
+        kk = min(k, n - 1)
+        top = np.argsort(comp, axis=1, kind="stable")[:, :kk]
+        cos = np.take_along_axis(S, top, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "neighbor_id": ids[top].ravel(),
+                "cosine": cos.ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), n),
+            }
+        )
+
+    return embeddings.groupBy(cell_col).applyInPandas(per_cell, schema=_TOPK_SCHEMA)

@@ -1006,6 +1006,15 @@ _register(
 )
 
 _register(
+    "sim_topk_ivf_blas",
+    lambda spark, sf: SIM.topk_ivf_blas(_t(spark, sf, "embeddings"), k=3),
+    # identical semantics to sim_topk_ivf (same oracle): the BLAS kernel
+    # reproduces the Catalyst plan's values exactly (rounded to 4) and
+    # the pandas/Catalyst twins are asserted row-identical in tests
+    ORACLES["sim_topk_ivf"],
+)
+
+_register(
     "sim_lsh_candidates",
     lambda spark, sf: SIM.lsh_candidate_pairs(_t(spark, sf, "embeddings")),
 )

@@ -244,3 +244,19 @@ def test_salted_agg_equals_plain(spark, docs):
     plain = aggregate_edges(t)
     salted = aggregate_edges_salted(t, salt_buckets=7)
     assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+
+
+def test_topk_ivf_blas_equals_catalyst(spark):
+    """The BLAS applyInPandas kernel (scale path) must agree EXACTLY —
+    values, tie-breaks, ranks — with the Catalyst join+window twin
+    (oracle-checkable baseline) on the real embeddings table."""
+    from naruhodo_spark.ops.similarity import topk_ivf, topk_ivf_blas
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = topk_ivf(emb, k=3)
+    b = topk_ivf_blas(emb, k=3)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # singleton / tiny cells: n=1 cells emit nothing, n=2 emit 1 neighbor
+    tiny = emb.limit(3).withColumn("label", emb.vec_id % 2)
+    a2, b2 = topk_ivf(tiny, k=3), topk_ivf_blas(tiny, k=3)
+    assert a2.exceptAll(b2).isEmpty() and b2.exceptAll(a2).isEmpty()
