@@ -275,3 +275,12 @@ def topk_ivf_blas(embeddings: DataFrame, k: int = 3, cell_col: str = "label") ->
         )
 
     return embeddings.groupBy(cell_col).applyInPandas(per_cell, schema=_TOPK_SCHEMA)
+
+
+def topk_bruteforce_blas(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Brute-force cosine top-k via the BLAS kernel: one global cell.
+    The n×n gram matrix makes this the small-n correctness baseline only
+    — the scale paths are topk_ivf_blas (bounded cells) and LSH."""
+    return topk_ivf_blas(
+        embeddings.withColumn("_cell", F.lit(0)), k=k, cell_col="_cell"
+    )

@@ -1006,6 +1006,12 @@ _register(
 )
 
 _register(
+    "sim_topk_bruteforce_blas",
+    lambda spark, sf: SIM.topk_bruteforce_blas(_t(spark, sf, "embeddings"), k=3),
+    ORACLES["sim_topk_bruteforce"],
+)
+
+_register(
     "sim_topk_ivf_blas",
     lambda spark, sf: SIM.topk_ivf_blas(_t(spark, sf, "embeddings"), k=3),
     # identical semantics to sim_topk_ivf (same oracle): the BLAS kernel
