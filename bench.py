@@ -37,7 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "24"))
+# 96 × 5000 = 480k docs: large enough that the pipeline's ~2-3 s of
+# fixed job overhead stops dominating the docs/sec readout
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "96"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 
