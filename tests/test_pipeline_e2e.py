@@ -260,3 +260,38 @@ def test_topk_ivf_blas_equals_catalyst(spark):
     tiny = emb.limit(3).withColumn("label", emb.vec_id % 2)
     a2, b2 = topk_ivf(tiny, k=3), topk_ivf_blas(tiny, k=3)
     assert a2.exceptAll(b2).isEmpty() and b2.exceptAll(a2).isEmpty()
+
+
+def test_cc_long_chain_and_cycle(spark):
+    """Star-contraction CC must be DIAMETER-INDEPENDENT: plain min-label
+    propagation needs O(diameter) rounds and silently returned 34 wrong
+    labels on this 60-node chain at max_iter=25 (regression)."""
+    from naruhodo_spark.operators.canon import (
+        connected_components, connected_components_driver,
+    )
+
+    chain = spark.createDataFrame(
+        [("n%03d" % i, "n%03d" % (i + 1)) for i in range(59)],
+        "src string, dst string",
+    )
+    labels = connected_components(chain).collect()
+    assert all(r["label"] == "n000" for r in labels) and len(labels) == 60
+
+    cycle = spark.createDataFrame(
+        [("c%02d" % i, "c%02d" % ((i + 1) % 40)) for i in range(40)],
+        "src string, dst string",
+    )
+    l2 = connected_components(cycle).collect()
+    assert all(r["label"] == "c00" for r in l2) and len(l2) == 40
+
+    import random
+
+    rng = random.Random(11)
+    pairs = [
+        ("r%03d" % rng.randint(0, 150), "r%03d" % rng.randint(0, 150))
+        for _ in range(220)
+    ] + [("iso", "iso")]  # self-loop-only node keeps a label row
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    a = {(r["node"], r["label"]) for r in connected_components(e).collect()}
+    b = {(r["node"], r["label"]) for r in connected_components_driver(e).collect()}
+    assert a == b
