@@ -1062,6 +1062,38 @@ _register(
 )
 
 
+def cc_order_chains(spark, sf_dir):
+    """Distributed connected components (O20) on a SQL-expressible graph:
+    edges chain each customer's consecutive orders, so every component is
+    by construction exactly one customer's order set and the exact oracle
+    is MIN(o_orderkey) OVER (PARTITION BY o_custkey). The chains give the
+    components real diameter (= orders per customer), so this validates
+    the star-contraction loop's multi-hop convergence against DuckDB —
+    the kg_cc_labels surface can't be oracled because its alias graph
+    comes from the synth corpus, not the parquet tables. Node ids are
+    lpad-ed so lexicographic min == numeric min, then cast back."""
+    orders = _t(spark, sf_dir, "orders")
+    node = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    e = orders.select(node.alias("dst"), F.lag(node).over(w).alias("prev"))
+    edges = e.select(F.coalesce("prev", "dst").alias("src"), "dst")
+    return O_canon.connected_components(edges).select(
+        F.col("node").cast("bigint").alias("o_orderkey"),
+        F.col("label").cast("bigint").alias("component"),
+    )
+
+
+_register(
+    "cc_order_chains",
+    cc_order_chains,
+    """
+    SELECT o_orderkey,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    """,
+)
+
+
 # =====================================================================
 # KG pipeline (rows-only: chunker & downstream are pandas-UDF stages the
 # oracle cannot express; their semantics are golden-tested instead)
