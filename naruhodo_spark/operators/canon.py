@@ -20,6 +20,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_contract(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.)
+    over an oriented undirected pair set (hi > lo, any orderable type).
+    Returns the fixpoint edge set — a star forest (child=hi →
+    component-min=lo). Converges in O(log n) rounds on ANY graph shape —
+    unlike plain min-label propagation, whose round count is the
+    component DIAMETER: a 60-node alias chain silently returned 34 wrong
+    labels under propagation with the old max_iter=25. Raises if
+    max_iter is hit (log₂-ish rounds make 50 unreachable for any real
+    input) rather than returning non-converged labels."""
+
+    def _sig(df: DataFrame):
+        r = df.agg(F.count(F.lit(1)), F.expr("bit_xor(xxhash64(hi, lo))")).first()
+        return (r[0], r[1])
+
+    sig = _sig(e)
+    if sig[0] == 0:
+        return e
+    for _ in range(max_iter):
+        # LARGE-STAR: m(u) = min(neighbors(u) ∪ {u}); every neighbor
+        # v > u is rewired to m(u). (Needs the symmetric neighbor
+        # view; v > u ≥ m(u) keeps the output oriented hi > lo.)
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # SMALL-STAR: per node hi, m = min of its smaller neighbors;
+        # hi and every smaller neighbor collapse onto m.
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        j = large.join(mins2, "hi")
+        small = j.select(F.col("hi").alias("a"), F.col("m").alias("b")).union(
+            j.where(F.col("lo") != F.col("m")).select(
+                F.col("lo").alias("a"), F.col("m").alias("b")
+            )
+        )
+        e = (
+            small.select(
+                F.greatest("a", "b").alias("hi"),
+                F.least("a", "b").alias("lo"),
+            )
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()  # truncate lineage every round
+        )
+        new_sig = _sig(e)
+        if new_sig == sig:
+            return e
+        sig = new_sig
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -29,17 +91,15 @@ def connected_components(
     """Returns (node:string, label:string) — label = lexicographic min
     node id of the component. Deterministic across runs and partitionings.
 
-    Alternating large-star / small-star contraction (Kiveris et al.):
-    every round rewires each node's larger neighbors to its minimum
-    neighbor (large-star), then collapses the oriented pairs onto their
-    per-node minima (small-star). Converges in O(log n) rounds on ANY
-    graph shape — unlike plain min-label propagation, whose round count
-    is the component DIAMETER: a 60-node alias chain silently returned
-    34 wrong labels under propagation with the old max_iter=25. At
-    fixpoint the edge set is a star forest (child → component-min), read
-    off directly as the labels. Raises if max_iter is hit (log₂-ish
-    rounds make 50 unreachable for any real input) rather than returning
-    non-converged labels."""
+    The contraction loop (_star_contract) runs over xxhash64-encoded
+    LONG node ids, not the strings: every round shuffles the edge
+    frontier ~4×, and 8-byte keys roughly halve that traffic vs typical
+    node-id strings. Hashes are only component plumbing — the public
+    label is recovered afterwards as min(node string) per component, so
+    output is bit-identical to a string-keyed contraction. A collision
+    among node hashes (p ≈ n²/2⁶⁵ — negligible, but it would silently
+    merge two components) is detected upfront by count vs countDistinct
+    and falls back to contracting on the raw strings."""
     raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     # node set from the UNFILTERED edges, so self-loop-only nodes still
     # get a (node, node) label row (parity with the driver union-find)
@@ -49,76 +109,43 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    # canonical undirected pair set, oriented (hi > lo)
+    chk = nodes.agg(
+        F.count(F.lit(1)), F.countDistinct(F.xxhash64("node"))
+    ).first()
+    if chk[0] != chk[1]:
+        # hash collision: contract on the strings (label = min directly)
+        e = (
+            raw.where(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("hi"),
+                F.least("src", "dst").alias("lo"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        star = _star_contract(e, max_iter)
+        return nodes.join(
+            star.select(F.col("hi").alias("node"), F.col("lo").alias("label")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("label", "node").alias("label"))
+
+    hs, hd = F.xxhash64("src"), F.xxhash64("dst")
     e = (
         raw.where(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
-        )
+        .select(F.greatest(hs, hd).alias("hi"), F.least(hs, hd).alias("lo"))
         .distinct()
         .localCheckpoint()
     )
-
-    def _sig(df: DataFrame):
-        r = df.agg(
-            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(hi, lo))")
-        ).first()
-        return (r[0], r[1])
-
-    sig = _sig(e)
-    if sig[0] != 0:
-        for it in range(max_iter):
-            # LARGE-STAR: m(u) = min(neighbors(u) ∪ {u}); every neighbor
-            # v > u is rewired to m(u). (Needs the symmetric neighbor
-            # view; v > u ≥ m(u) keeps the output oriented hi > lo.)
-            sym = e.select(
-                F.col("hi").alias("u"), F.col("lo").alias("v")
-            ).union(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
-            mins = (
-                sym.groupBy("u")
-                .agg(F.min("v").alias("mn"))
-                .select("u", F.least("mn", F.col("u")).alias("m"))
-            )
-            large = (
-                sym.join(mins, "u")
-                .where(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-                .where(F.col("hi") != F.col("lo"))
-                .distinct()
-            )
-            # SMALL-STAR: per node hi, m = min of its smaller neighbors;
-            # hi and every smaller neighbor collapse onto m.
-            mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
-            j = large.join(mins2, "hi")
-            small = j.select(
-                F.col("hi").alias("a"), F.col("m").alias("b")
-            ).union(
-                j.where(F.col("lo") != F.col("m")).select(
-                    F.col("lo").alias("a"), F.col("m").alias("b")
-                )
-            )
-            e = (
-                small.select(
-                    F.greatest("a", "b").alias("hi"),
-                    F.least("a", "b").alias("lo"),
-                )
-                .where(F.col("hi") != F.col("lo"))
-                .distinct()
-                .localCheckpoint()  # truncate lineage every round
-            )
-            new_sig = _sig(e)
-            if new_sig == sig:
-                break
-            sig = new_sig
-        else:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
-    # fixpoint edge set is a star forest: (child=hi → component-min=lo)
-    star = e.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
-    return nodes.join(star, "node", "left").select(
-        "node", F.coalesce("label", "node").alias("label")
+    star = _star_contract(e, max_iter)
+    # membership: node → component id (root hash); roots map to themselves
+    memb = (
+        nodes.withColumn("h", F.xxhash64("node"))
+        .join(star, F.col("h") == F.col("hi"), "left")
+        .select("node", F.coalesce("lo", "h").alias("comp"))
     )
+    rep = memb.groupBy("comp").agg(F.min("node").alias("label"))
+    return memb.join(rep, "comp").select("node", "label")
 
 
 def connected_components_driver(edges: DataFrame) -> DataFrame:
