@@ -237,21 +237,14 @@ def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> Data
     return connected_components_driver_rows(head, aliases.sparkSession)
 
 
-def inclusive_merge_labels(names: DataFrame, col: str = "name") -> DataFrame:
-    """Reference ``inclusive(a, b)`` analog [PK naruhodo/utils/misc.py]:
-    merge entity names where one strictly contains the other (e.g.
-    "tokyo tower" ⊃ "tokyo"). The reference checks every new node against
-    all existing ones in driver memory; at scale that O(n²) becomes a
-    *blocked* pair join — candidates must share their first token, which
-    bounds the fan-out per block — followed by a substring filter and
-    connected components. Returns (node, label) for merged names only.
-    """
+def _inclusive_blocks(names: DataFrame, col: str = "name") -> DataFrame:
+    """(name, blk) blocking-key pairs for inclusive_merge_labels:
+    first AND last token of each distinct non-empty name (covers
+    head-final NPs like "the castle" ⊃ "castle" as well as prefixes like
+    "tokyo tower" ⊃ "tokyo"); each name appears under ≤2 keys."""
     n = names.select(F.col(col).alias("name")).where(F.col("name") != "").distinct()
-    # blocking keys: first AND last token (covers head-final NPs like
-    # "the castle" ⊃ "castle" as well as prefixes like "tokyo tower" ⊃
-    # "tokyo"); each name appears under ≤2 keys, so fan-out stays bounded
     toks = F.split("name", " ")
-    keyed = n.select(
+    return n.select(
         "name",
         F.explode(
             F.array_distinct(
@@ -259,6 +252,51 @@ def inclusive_merge_labels(names: DataFrame, col: str = "name") -> DataFrame:
             )
         ).alias("blk"),
     )
+
+
+def oversized_inclusive_blocks(
+    names: DataFrame, col: str = "name", max_block: int = 10_000
+) -> DataFrame:
+    """Audit companion to inclusive_merge_labels: the blocking keys whose
+    member count exceeds max_block, with counts — the blocks whose
+    candidate pairs the capped merge drops. Callers wanting the no-
+    silent-caps accounting aggregate/log this alongside the merge."""
+    return (
+        _inclusive_blocks(names, col)
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_names"))
+        .where(F.col("n_names") > max_block)
+    )
+
+
+def inclusive_merge_labels(
+    names: DataFrame, col: str = "name", max_block: int | None = 10_000
+) -> DataFrame:
+    """Reference ``inclusive(a, b)`` analog [PK naruhodo/utils/misc.py]:
+    merge entity names where one strictly contains the other (e.g.
+    "tokyo tower" ⊃ "tokyo"). The reference checks every new node against
+    all existing ones in driver memory; at scale that O(n²) becomes a
+    *blocked* pair join — candidates must share their first or last
+    token — followed by a substring filter and connected components.
+    Returns (node, label) for merged names only.
+
+    The pair join is quadratic WITHIN a block, so a hot blocking key
+    (every name starting with "the", a web-scale certainty) turns one
+    block into a cross-join; blocks larger than max_block are excluded
+    from pair generation (names in them can still merge through their
+    other key). The cap trades recall inside stop-word-headed blocks for
+    a bounded plan — audit what a given corpus loses with
+    oversized_inclusive_blocks(); pass max_block=None to disable."""
+    keyed = _inclusive_blocks(names, col)
+    if max_block is not None:
+        sizes = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("n_names"))
+        keyed = (
+            keyed.join(
+                F.broadcast(sizes.where(F.col("n_names") > max_block)),
+                "blk",
+                "left_anti",
+            )
+        )
     a = keyed.select(F.col("name").alias("a"), "blk")
     b = keyed.select(F.col("name").alias("b"), "blk")
     pairs = (

@@ -204,6 +204,39 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_inclusive_merge_block_cap(spark):
+    """Hot blocking keys (web-scale: every name starting with "the")
+    make the pair join quadratic within the block; max_block excludes
+    them from pair generation while other-key merges still fire, and
+    oversized_inclusive_blocks reports exactly what was dropped."""
+    from naruhodo_spark.operators.canon import (
+        inclusive_merge_labels, oversized_inclusive_blocks,
+    )
+
+    rows = [("the item %03d" % i,) for i in range(30)]
+    # mergeable through the hot "the" block only:
+    rows += [("the castle",), ("the castle keep",)]
+    # mergeable through its LAST token despite the hot first token:
+    rows += [("the old abbey",), ("abbey",)]
+    names = spark.createDataFrame(rows, schema="name string")
+
+    capped = {
+        r["node"]: r["label"]
+        for r in inclusive_merge_labels(names, max_block=8).collect()
+    }
+    assert capped.get("the old abbey") == "abbey"  # survives via last token
+    assert "the castle keep" not in capped  # dropped with the hot block
+
+    over = oversized_inclusive_blocks(names, max_block=8).collect()
+    assert [r["blk"] for r in over] == ["the"] and over[0]["n_names"] == 33
+
+    full = {
+        r["node"]: r["label"]
+        for r in inclusive_merge_labels(names, max_block=None).collect()
+    }
+    assert full["the castle keep"] == "the castle"
+
+
 def test_kmeans_ivf_trained(spark):
     from naruhodo_spark.ops.similarity import (
         assign_cells, kmeans_fit, topk_ivf_trained,
