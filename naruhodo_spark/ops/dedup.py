@@ -229,6 +229,51 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_groups(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    k: int = SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production dedup deliverable: (doc_id, group_id) for EVERY
+    doc, where group_id = min doc_id over the transitive closure of the
+    exact-duplicate and LSH-near-duplicate relations.
+
+    Tiered for scale: byte-identical docs collapse onto one
+    representative FIRST (one balanced shuffle on the content
+    fingerprint), and the LSH banding join runs over representatives
+    only. Identical docs have identical minhash signatures, so a
+    web-scale exact-dup cluster of d docs would otherwise put d copies
+    into the same band bucket and pay d²/2 candidate pairs in EVERY band
+    — the tier removes that cliff by construction (the band-bucket key
+    is uniform over DISTINCT contents). Exact membership edges + rep
+    near-dup pairs then merge transitively via distributed connected
+    components (star contraction, operators/canon.py)."""
+    from naruhodo_spark.operators.canon import connected_components
+
+    fp = docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
+    rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
+    memb = fp.join(rep, "fp").select("doc_id", "rep_id").localCheckpoint(eager=False)
+    reps = docs.join(
+        memb.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
+    )
+    pairs = minhash_lsh_pairs(
+        reps, n_hashes=n_hashes, n_bands=n_bands, k=k, threshold=threshold
+    )
+    # lpad so lexicographic min == numeric min inside the contraction
+    def pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    edges = memb.select(pad("doc_id").alias("src"), pad("rep_id").alias("dst")).unionByName(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("group_id"),
+    )
+
+
 _SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

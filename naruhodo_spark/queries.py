@@ -931,6 +931,85 @@ _register(
     _minhash_lsh_oracle(),
 )
 
+def _near_dup_groups_oracle() -> str:
+    """Full tiered-dedup composition in DuckDB: exact-fingerprint
+    membership → LSH pairs over representatives only (the Spark plan's
+    d²-bucket guard, mirrored) → transitive closure via a RECURSIVE CTE
+    → min doc_id per component. The one non-relational Spark stage (star
+    -contraction CC) is exactly the closure the recursion computes."""
+    from naruhodo_spark.ops.dedup import MINHASH_P, N_BANDS, N_MINHASH
+
+    rows = N_MINHASH // N_BANDS
+    sigs = ",\n             ".join(
+        f"min((h1 + {i} * h2) % {MINHASH_P}) AS sig_{i}" for i in range(N_MINHASH)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"sig_{b * rows + r}::VARCHAR" for r in range(rows))
+        )
+        for b in range(N_BANDS)
+    )
+    return rf"""
+    WITH RECURSIVE fp AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    rep AS (SELECT fp, min(doc_id) AS rep_id FROM fp GROUP BY fp),
+    memb AS (SELECT f.doc_id, r.rep_id FROM fp f JOIN rep r USING (fp)),
+    toks AS (
+      SELECT d.doc_id, string_split({_NORM_SQL}, ' ') AS t
+      FROM documents d JOIN rep r ON d.doc_id = r.rep_id),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+      FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM idx),
+    h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
+             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {sigs}
+      FROM h GROUP BY doc_id),
+    buckets AS (
+{band_selects}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM buckets l JOIN buckets r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) >= 0.5),
+    edges AS (
+      SELECT doc_id AS a, rep_id AS b FROM memb
+      UNION SELECT doc_a, doc_b FROM pairs),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, anc) AS (
+      SELECT doc_id, doc_id FROM fp
+      UNION
+      SELECT u.b, r.anc FROM reach r JOIN und u ON u.a = r.node)
+    SELECT node AS doc_id, min(anc) AS group_id FROM reach GROUP BY node
+    """
+
+
+_register(
+    "dd_near_dup_groups",
+    lambda spark, sf: D.near_dup_groups(_t(spark, sf, "documents")),
+    _near_dup_groups_oracle(),
+)
+
 # SimHash bit math in SQL: token hash = first 8 md5 bytes as uint64 (hex
 # substring — big-endian, matching numpy's MSB-first unpackbits); result
 # bit j = sign of Σ_tokens (2·bit_j − 1); two's-complement back to the

@@ -204,6 +204,42 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_near_dup_groups_tiered(spark):
+    """Tiered dedup (exact collapse → LSH over reps → CC closure) labels
+    every doc, merges exact dups with near-dup chains transitively, and
+    is semantically identical to running LSH over ALL docs (the tier is
+    a plan guard against d²-per-bucket exact-dup clusters, not a
+    semantics change)."""
+    from naruhodo_spark.operators.canon import connected_components
+    from naruhodo_spark.ops.dedup import minhash_lsh_pairs, near_dup_groups
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    rows = [
+        (1, base), (2, base), (3, base),      # exact-dup cluster
+        (4, near),                            # near-dup of the cluster
+        (5, "completely different words about spark catalyst plans and shuffles"),
+        (6, "completely different words about spark catalyst plans and shuffles"),
+        (7, "short doc"),                     # < k tokens: no shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    # naive twin: LSH over every doc, same closure
+    pairs = minhash_lsh_pairs(docs)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    e = docs.select(pad("doc_id").alias("src"), pad("doc_id").alias("dst")).unionByName(
+        pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
+    )
+    naive = {
+        int(r["node"]): int(r["label"])
+        for r in connected_components(e).collect()
+    }
+    assert naive == groups
+
+
 def test_inclusive_merge_block_cap(spark):
     """Hot blocking keys (web-scale: every name starting with "the")
     make the pair join quadratic within the block; max_block excludes
