@@ -121,6 +121,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
         "agg_cube_events",
         "dd_minhash_lsh_pairs",
         "dd_ngram_jaccard_pairs",
+        "dd_near_dup_groups",
         "sim_topk_ivf",
         "sim_topk_ivf_blas",
         "ts_quality",
