@@ -138,6 +138,21 @@ def stateful_doc_dedup(stream_docs: DataFrame) -> DataFrame:
     )
 
 
+def watermarked_doc_dedup(
+    stream_docs: DataFrame, ts_col: str = "ingest_ts", delay: str = "1 hour"
+) -> DataFrame:
+    """O25 — watermark-bounded re-delivery suppression via
+    ``dropDuplicatesWithinWatermark``: doc_id dedup state is kept only
+    for the watermark horizon, so state size is bounded by the
+    re-delivery window instead of growing with the all-time document
+    count. This is the scale-correct production form of
+    stateful_doc_dedup (whose NoTimeout state grows forever — kept as
+    the deterministic applyInPandasWithState demo, O26)."""
+    return stream_docs.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["doc_id"]
+    )
+
+
 def windowed_event_counts(events: DataFrame) -> DataFrame:
     """Harness coverage for watermark + tumbling window aggregation over
     the events table (the reference has no event-time concept — this is

@@ -119,6 +119,36 @@ def test_stateful_doc_dedup_across_batches(spark, tmp_out):
     assert len(ids) == 20
 
 
+def test_watermarked_doc_dedup(spark, tmp_out):
+    """dropDuplicatesWithinWatermark: a doc_id re-delivered within the
+    watermark horizon is suppressed; dedup state is watermark-bounded."""
+    from naruhodo_spark.streaming import watermarked_doc_dedup
+
+    docs = synth.synth_documents(spark, 20).withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2026-01-01 12:00:00"))
+    )
+    in_dir = f"{tmp_out}/win"
+    docs.coalesce(1).write.mode("append").parquet(in_dir)   # batch 1
+    docs.coalesce(1).write.mode("append").parquet(in_dir)   # batch 2: dup
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        watermarked_doc_dedup(stream)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .option("checkpointLocation", f"{tmp_out}/wmckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM wm_dedup_out").collect()]
+    assert sorted(ids) == sorted(set(ids)) and len(ids) == 20
+
+
 def test_windowed_event_counts_batch_parity(spark):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(ev)
