@@ -215,6 +215,72 @@ _register(
 )
 
 
+def q4_priority_exists(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape, adapted to the fixture
+    columns): Catalyst decorrelates the subquery into a left-semi join —
+    the optimizer capability SURVEY.md §4.2 lists as free. Expressed
+    through the SQL surface with DataFrame parameter binding."""
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM {lineitem}
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """,
+        orders=_t(spark, sf_dir, "orders"),
+        lineitem=_t(spark, sf_dir, "lineitem"),
+    )
+
+
+_register(
+    "q4_priority_exists",
+    q4_priority_exists,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): per-part average
+    quantity bound — decorrelated by Catalyst into an aggregate + join."""
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM {lineitem} l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """,
+        lineitem=_t(spark, sf_dir, "lineitem"),
+        part=_t(spark, sf_dir, "part"),
+    )
+
+
+_register(
+    "q17_small_qty_revenue",
+    q17_small_qty_revenue,
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+
+
 def joins_semi_anti(spark, sf_dir):
     """left-semi + left-anti (SURVEY.md O21 family): customers that have
     orders, but none above 400k."""
