@@ -108,3 +108,104 @@ def featurize_media(
             yield out
 
     return media.mapInPandas(fn, schema=MEDIA_FEATURES)
+
+
+RESIZED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_idx", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Callable | None = None,
+) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas stage. With a real
+    `resizer` (PIL — absent here) it re-encodes each payload; without
+    one, the deterministic stand-in payload is md5(ref|w|h) bytes so the
+    binary-out schema, batch shape, and downstream partitioning are
+    exercised for real. Only img-typed rows are resized; others pass
+    through the filter upstream."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id", "span_idx", "media_ref"]].copy()
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            if resizer is not None:
+                out["payload"] = [
+                    resizer(p, width, height) for p in pdf["payload"]
+                ]
+            else:
+                out["payload"] = [
+                    hashlib.md5(f"{r}|{width}|{height}".encode()).digest()
+                    for r in pdf["media_ref"]
+                ]
+            yield out
+
+    return media.where(F.col("media_type") == "img").mapInPandas(
+        fn, schema=RESIZED
+    )
+
+
+FRAMES = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_idx", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.IntegerType(), False),
+        T.StructField("frame_ref", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    frame_gap_ms: int = 1000,
+    prober: Callable | None = None,
+) -> DataFrame:
+    """Video frame sampling as a 1→N UDTF (mapInPandas emitting several
+    rows per input video — the batch shape a real ffmpeg sampler has).
+    A real `prober` would return per-video frame payloads; the stand-in
+    emits deterministic frame refs at a fixed cadence so the row fan-out,
+    schema, and per-document partitioning are real and tested."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, span_idx, ref, payload in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["media_ref"], pdf["payload"]
+            ):
+                frames = (
+                    prober(payload, n_frames)
+                    if prober is not None
+                    else [
+                        (i, i * frame_gap_ms, f"{ref}#f{i}")
+                        for i in range(n_frames)
+                    ]
+                )
+                rows.extend(
+                    (doc_id, int(span_idx), ref, int(fi), int(ts), fref)
+                    for fi, ts, fref in frames
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "span_idx", "media_ref",
+                    "frame_idx", "ts_ms", "frame_ref",
+                ],
+            )
+
+    return media.where(F.col("media_type") == "vid").mapInPandas(
+        fn, schema=FRAMES
+    )

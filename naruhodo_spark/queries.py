@@ -1299,6 +1299,17 @@ def mm_media_features(spark, sf_dir):
     return MM.featurize_media(MM.media_spans(_synth(spark)))
 
 
+def mm_resize(spark, sf_dir):
+    return MM.resize_images(MM.media_spans(_synth(spark)))
+
+
+def mm_frame_sample(spark, sf_dir):
+    """1→N frame-sampling UDTF; the synth corpus only carries img:// refs,
+    so the demo lifts them to video-typed rows first."""
+    media = MM.media_spans(_synth(spark)).withColumn("media_type", F.lit("vid"))
+    return MM.sample_frames(media)
+
+
 _JA_SENTS = [
     "彼女 は 本 を 読んだ 。",
     "太郎 が 花子 に 手紙 を 渡した 。",
@@ -1330,6 +1341,8 @@ for _n, _f in [
     ("kg_cc_labels", kg_cc_labels),
     ("kg_span_invariant", kg_span_invariant),
     ("mm_media_features", mm_media_features),
+    ("mm_resize", mm_resize),
+    ("mm_frame_sample", mm_frame_sample),
     ("kg_triples_ja", kg_triples_ja),
 ]:
     _register(_n, _f)
