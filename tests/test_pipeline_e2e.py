@@ -204,6 +204,41 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_ja_profile_semantics(spark):
+    """JA particle profile, semantically pinned (not rows-only): は/が
+    mark subjects, を marks objects, へ stays oblique (never an object),
+    ない negates, れた marks passive+past — mirroring the reference's
+    particle dicts [PK naruhodo/utils/dicts.py] on pre-segmented text."""
+    from naruhodo_spark import lang as L
+    from naruhodo_spark import schemas as S
+    from naruhodo_spark.pipeline import build_kg
+
+    sents = [
+        "彼 は 本 を 読まない 。",      # negation ない
+        "手紙 が 太郎 に 渡された 。",  # passive れた
+        "彼女 は 学校 へ 行った 。",    # oblique へ
+    ]
+    rows = [
+        (f"ja-{i}", [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+        for i, t in enumerate(sents)
+    ]
+    docs = spark.createDataFrame(rows, schema=S.DOCUMENTS_SPANS)
+    out = {
+        r["doc_id"]: r
+        for r in build_kg(docs, prof=L.get_profile("ja"))["triples"].collect()
+    }
+    neg = out["ja-0"]
+    assert (neg["subj"], neg["obj"], neg["pred"]) == ("彼", "本", "読まない")
+    assert neg["negative"] and not neg["passive"] and neg["tense"] == "present"
+    assert neg["subj_pro"] == S.PRO_PERSONAL
+    psv = out["ja-1"]
+    assert (psv["subj"], psv["pred"]) == ("手紙", "渡された")
+    assert psv["passive"] and psv["tense"] == "past" and not psv["negative"]
+    obl = out["ja-2"]
+    assert (obl["subj"], obl["pred"]) == ("彼女", "行った")
+    assert obl["obj"] is None  # へ-marked 学校 must NOT become the object
+
+
 def test_near_dup_groups_tiered(spark):
     """Tiered dedup (exact collapse → LSH over reps → CC closure) labels
     every doc, merges exact dups with near-dup chains transitively, and
