@@ -66,6 +66,23 @@ class parser:  # noqa: N801 — name mirrors the reference API
         self._kg = None
         return self
 
+    def add_stream(
+        self, input_dir: str, out_dir: str, checkpoint: str | None = None
+    ):
+        """Continuous ingest: drain a spans-parquet directory through the
+        pipeline, upserting graph tables at out_dir per micro-batch
+        (streaming.incremental_ingest). Returns the finished query."""
+        from naruhodo_spark.streaming import incremental_ingest
+
+        return incremental_ingest(
+            self.spark,
+            input_dir,
+            out_dir,
+            prof=self.prof,
+            aliases=self.aliases,
+            checkpoint=checkpoint,
+        )
+
     def reset(self) -> "parser":
         self._staged, self._docs_df, self._kg = [], None, None
         return self
