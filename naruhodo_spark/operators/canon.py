@@ -219,22 +219,31 @@ def alias_canonical_map_rows(rows) -> dict[str, tuple[str, int | None]]:
     return out
 
 
-def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> DataFrame:
-    """Components over the alias dictionary's (alias → canonical_id) edges,
-    merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity).
-    Broadcast-sized dicts take the driver union-find fast path; larger
-    graphs (or force_distributed) use the iterative self-join CC.
-    The size probe collects up to threshold+1 rows ONCE and reuses them
-    for the union-find (no second scan)."""
-    edges = aliases.select(
-        F.col("alias").alias("src"), F.col("canonical_id").alias("dst")
-    )
+def cc_labels_auto(edges: DataFrame, force_distributed: bool = False) -> DataFrame:
+    """Size-gated CC dispatch: edge sets up to DRIVER_CC_THRESHOLD rows
+    take the driver union-find (O(E α(E)) beats ~log n rounds of
+    distributed shuffles by seconds of fixed latency); larger graphs (or
+    force_distributed) run the star-contraction loop. The size probe
+    collects up to threshold+1 rows ONCE and reuses them for the
+    union-find (no second scan). Outputs are asserted identical by
+    tests, so the gate is purely a physical-plan choice."""
     if force_distributed:
         return connected_components(edges)
     head = edges.limit(DRIVER_CC_THRESHOLD + 1).collect()
     if len(head) > DRIVER_CC_THRESHOLD:
         return connected_components(edges)
-    return connected_components_driver_rows(head, aliases.sparkSession)
+    return connected_components_driver_rows(head, edges.sparkSession)
+
+
+def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> DataFrame:
+    """Components over the alias dictionary's (alias → canonical_id) edges,
+    merging multi-hop alias chains (a→b, b→c ⇒ {a,b,c} one entity).
+    Broadcast-sized dicts take the driver union-find fast path; larger
+    graphs (or force_distributed) use the iterative self-join CC."""
+    edges = aliases.select(
+        F.col("alias").alias("src"), F.col("canonical_id").alias("dst")
+    )
+    return cc_labels_auto(edges, force_distributed=force_distributed)
 
 
 def _inclusive_blocks(names: DataFrame, col: str = "name") -> DataFrame:

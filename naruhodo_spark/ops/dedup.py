@@ -248,9 +248,10 @@ def near_dup_groups(
     into the same band bucket and pay d²/2 candidate pairs in EVERY band
     — the tier removes that cliff by construction (the band-bucket key
     is uniform over DISTINCT contents). Exact membership edges + rep
-    near-dup pairs then merge transitively via distributed connected
-    components (star contraction, operators/canon.py)."""
-    from naruhodo_spark.operators.canon import connected_components
+    near-dup pairs then merge transitively via connected components
+    (size-gated: driver union-find for small edge sets, distributed star
+    contraction beyond DRIVER_CC_THRESHOLD — operators/canon.py)."""
+    from naruhodo_spark.operators.canon import cc_labels_auto
 
     fp = docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
     rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
@@ -268,7 +269,7 @@ def near_dup_groups(
     edges = memb.select(pad("doc_id").alias("src"), pad("rep_id").alias("dst")).unionByName(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     )
-    return connected_components(edges).select(
+    return cc_labels_auto(edges).select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("group_id"),
     )
