@@ -31,6 +31,44 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_RE)
 
 
+def chunk_windows(
+    docs: DataFrame, max_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Context-window chunking for training pipelines: split each doc
+    into ≤max_tokens-token windows advancing by (max_tokens − overlap),
+    so consecutive chunks share `overlap` tokens and the tail is never
+    orphaned below the overlap width. Pure Catalyst (sequence →
+    posexplode → slice): one narrow pass, no UDF, no shuffle.
+
+    The token array is materialized as a COLUMN before the explode —
+    inlining the split expression into per-start slices would re-run the
+    tokenizer once per window (the HOF common-subexpression pitfall,
+    docs/PLANS.md)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    d = docs.withColumn("toks", F.split(norm_text(F.col("text")), " ")).withColumn(
+        "starts",
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size("toks") - F.lit(overlap), F.lit(1)),
+            F.lit(stride),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode("starts").alias("chunk_idx", "s"), "toks"
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice("toks", F.col("s"), max_tokens), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(max_tokens), F.size("toks") - F.col("s") + 1).alias(
+            "n_tokens"
+        ),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy: ceil(chars/4)
     (the industry rule-of-thumb bytes-per-token constant)."""

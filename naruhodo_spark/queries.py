@@ -882,6 +882,24 @@ _register(
 )
 
 _register(
+    "ts_chunk_windows",
+    lambda spark, sf: TS.chunk_windows(_t(spark, sf, "documents")),
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 8, 1), 56)) AS s
+      FROM toks)
+    SELECT doc_id,
+           (s - 1) // 56 AS chunk_idx,
+           array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
+           least(64, len(t) - s + 1) AS n_tokens
+    FROM st
+    """,
+)
+
+_register(
     "dd_exact_duplicates",
     lambda spark, sf: D.exact_duplicates(_t(spark, sf, "documents")),
     rf"""

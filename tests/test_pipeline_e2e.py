@@ -204,6 +204,39 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_chunk_windows_invariants(spark):
+    """Context-window chunking: full coverage (concatenating chunks minus
+    overlaps reconstructs the doc), fixed overlap between consecutive
+    chunks, tail never orphaned, short docs → one chunk."""
+    from naruhodo_spark.ops.textstats import chunk_windows
+
+    words = " ".join(f"w{i:03d}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "tiny doc"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_windows(docs, max_tokens=64, overlap=8)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    long_chunks = [r for r in rows if r[0] == 1]
+    # starts at 1, 57, 113 → 3 chunks of 64, 64, 38 tokens
+    assert [r[3] for r in long_chunks] == [64, 64, 38]
+    toks = [c[2].split(" ") for c in long_chunks]
+    assert toks[0][56:] == toks[1][:8]          # fixed 8-token overlap
+    assert toks[1][56:] == toks[2][:8]
+    # reconstruction: chunk 0 + tails of chunks 1..n == original
+    rebuilt = toks[0] + [t for c in toks[1:] for t in c[8:]]
+    assert rebuilt == words.split(" ")
+    assert [r[2] for r in rows if r[0] == 2] == ["tiny doc"]
+    assert len([r for r in rows if r[0] == 3]) == 1  # empty doc → 1 chunk
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_windows(docs, max_tokens=8, overlap=8)
+
+
 def test_ja_profile_semantics(spark):
     """JA particle profile, semantically pinned (not rows-only): は/が
     mark subjects, を marks objects, へ stays oblique (never an object),
