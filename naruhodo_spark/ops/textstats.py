@@ -31,6 +31,85 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_RE)
 
 
+def hash_split(
+    docs: DataFrame, train: float = 0.9, val: float = 0.05, seed: str = "split42"
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash bucketing of doc_id: md5(seed|doc_id) → bucket ∈ [0, 10000).
+    Resume-stable (pure function of the key, no RNG state), no shuffle,
+    engine-portable (md5 renders identically in DuckDB), and stable
+    under repartitioning — the properties a 100 TB split needs that
+    ``df.randomSplit`` (partition-order-dependent RNG) lacks."""
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    split = (
+        F.when(b < int(train * 10000), "train")
+        .when(b < int((train + val) * 10000), "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+def sentence_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide sentence-level dedup (standard training-data cleaning:
+    boilerplate sentences recur across pages). Emits one row per DISTINCT
+    normalized sentence — its first occurrence (min (doc_id, sent_idx))
+    and its corpus frequency. Downstream filters n_occurrences to drop
+    boilerplate or rebuild cleaned docs."""
+    from pyspark.sql import Window as W
+
+    sents = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(norm_text(F.col("text")), r"[.!?]+")).alias(
+                "sent_idx", "sentence"
+            ),
+        )
+        .withColumn("sentence", F.trim("sentence"))
+        .where(F.col("sentence") != "")
+    )
+    w = W.partitionBy("sentence").orderBy("doc_id", "sent_idx")
+    return (
+        sents.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_occurrences", F.count(F.lit(1)).over(W.partitionBy("sentence")))
+        .where(F.col("rn") == 1)
+        .select("sentence", "doc_id", "sent_idx", "n_occurrences")
+    )
+
+
+def vocabulary(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus vocabulary with document frequency and smoothed IDF
+    (ln((N+1)/(df+1))). The distinct-per-doc explode keeps the shuffle
+    key uniform (token), and min_df prunes the hapax tail that dominates
+    vocabulary size at web scale."""
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .withColumn(
+            "idf", F.round(F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6)
+        )
+    )
+
+
 def chunk_windows(
     docs: DataFrame, max_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:

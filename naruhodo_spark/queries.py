@@ -882,6 +882,56 @@ _register(
 )
 
 _register(
+    "ts_hash_split",
+    lambda spark, sf: TS.hash_split(_t(spark, sf, "documents")),
+    """
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 (('0x' || substr(md5('split42|' || doc_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT % 10000 AS b
+          FROM documents)
+    """,
+)
+
+_register(
+    "ts_sentence_dedup",
+    lambda spark, sf: TS.sentence_dedup(_t(spark, sf, "documents")),
+    rf"""
+    WITH sp AS (
+      SELECT doc_id, string_split_regex({_NORM_SQL}, '[.!?]+') AS s FROM documents),
+    idx AS (
+      SELECT doc_id, s, unnest(generate_series(1, len(s))) AS i FROM sp),
+    sents AS (
+      SELECT doc_id, i - 1 AS sent_idx, trim(s[i]) AS sentence FROM idx),
+    f AS (SELECT * FROM sents WHERE sentence <> ''),
+    r AS (SELECT sentence, doc_id, sent_idx,
+                 row_number() OVER (PARTITION BY sentence
+                                    ORDER BY doc_id, sent_idx) AS rn,
+                 count(*) OVER (PARTITION BY sentence) AS n_occurrences
+          FROM f)
+    SELECT sentence, doc_id, sent_idx, n_occurrences FROM r WHERE rn = 1
+    """,
+)
+
+_register(
+    "ts_vocabulary",
+    lambda spark, sf: TS.vocabulary(_t(spark, sf, "documents")),
+    rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+        FROM documents)
+      WHERE token <> ''),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT token, count(*) AS df,
+           round(ln((nd + 1.0) / (count(*) + 1)), 6) AS idf
+    FROM tok, n GROUP BY token, nd HAVING count(*) >= 2
+    """,
+)
+
+_register(
     "ts_chunk_windows",
     lambda spark, sf: TS.chunk_windows(_t(spark, sf, "documents")),
     rf"""
