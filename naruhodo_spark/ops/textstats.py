@@ -179,6 +179,42 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    the fraction of a doc's 2-grams occupied by its single most frequent
+    2-gram, and the fraction that are duplicates of an earlier one.
+    High values flag boilerplate/spam. Computed by explode → per-(doc,
+    gram) count — a uniform-key shuffle that scales, where the tempting
+    all-in-one HOF (`filter(grams, x -> x == g)` per gram) is O(n²) per
+    document and melts on long docs."""
+    d = docs.withColumn("toks", F.split(norm_text(F.col("text")), " "))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice("toks", 1, m),
+        F.slice("toks", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        (F.sum("c") - F.count(F.lit(1))).alias("dups"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.round(F.col("top") / F.col("total"), 4), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.coalesce(F.round(F.col("dups") / F.col("total"), 4), F.lit(0.0)).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Deterministic content fingerprint (md5 of normalized text) — the
     exact-dedup key and the lineage id for document-level provenance."""

@@ -882,6 +882,27 @@ _register(
 )
 
 _register(
+    "ts_repetition",
+    lambda spark, sf: TS.repetition_scores(_t(spark, sf, "documents")),
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    g AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram FROM idx),
+    per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top,
+                   sum(c) - count(*) AS dups
+            FROM per GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(round(top / total, 4), 0.0) AS top_bigram_frac,
+           coalesce(round(dups / total, 4), 0.0) AS dup_bigram_frac
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+
+_register(
     "ts_hash_split",
     lambda spark, sf: TS.hash_split(_t(spark, sf, "documents")),
     """
