@@ -65,9 +65,13 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
     boilerplate sentences recur across pages). Emits one row per DISTINCT
     normalized sentence — its first occurrence (min (doc_id, sent_idx))
     and its corpus frequency. Downstream filters n_occurrences to drop
-    boilerplate or rebuild cleaned docs."""
-    from pyspark.sql import Window as W
+    boilerplate or rebuild cleaned docs.
 
+    Arg-min via groupBy + min(struct), NOT a window over
+    partitionBy(sentence): a web-scale boilerplate sentence with 10⁹
+    occurrences would land in ONE window partition (window sorts have no
+    partial aggregation), while the hash-agg min/count collapse hot keys
+    map-side before the shuffle."""
     sents = (
         docs.select(
             "doc_id",
@@ -78,12 +82,18 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
         .withColumn("sentence", F.trim("sentence"))
         .where(F.col("sentence") != "")
     )
-    w = W.partitionBy("sentence").orderBy("doc_id", "sent_idx")
     return (
-        sents.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_occurrences", F.count(F.lit(1)).over(W.partitionBy("sentence")))
-        .where(F.col("rn") == 1)
-        .select("sentence", "doc_id", "sent_idx", "n_occurrences")
+        sents.groupBy("sentence")
+        .agg(
+            F.min(F.struct("doc_id", "sent_idx")).alias("first"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .select(
+            "sentence",
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.sent_idx").alias("sent_idx"),
+            "n_occurrences",
+        )
     )
 
 
