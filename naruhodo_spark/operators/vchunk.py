@@ -437,8 +437,8 @@ def chunk_batch(pdf: pd.DataFrame, prof: dict) -> pd.DataFrame:
 # ---------------------------------------------------------------------
 
 _WS = re.compile(r"\s+")
-_CTRL = re.compile(r"[\n\r\t]+")
 _BRACKETS = re.compile(r"(《[^》]*》|【[^】]*】|（[^）]*）|\([^)]*\)|\[[^\]]*\])")
+_BRACKET_OPEN = re.compile(r"[《【（(\[]")
 
 
 def _split_sentences_batch(pdf: pd.DataFrame, prof: dict):
@@ -462,13 +462,14 @@ def _split_sentences_batch(pdf: pd.DataFrame, prof: dict):
         z = np.array([], dtype=np.int64)
         return z, z, pd.Series([], dtype=object)
 
-    s = (
-        pd.Series(texts)
-        .str.replace(_BRACKETS, "", regex=True)
-        .str.replace(_CTRL, " ", regex=True)
-        .str.replace(_WS, " ", regex=True)
-        .str.strip()
-    )
+    s = pd.Series(texts)
+    # the bracket-strip alternation is the priciest regex; most web text
+    # has no brackets, so gate it behind a single-char-class contains()
+    has_br = s.str.contains(_BRACKET_OPEN, regex=True)
+    if has_br.any():
+        s = s.mask(has_br, s[has_br].str.replace(_BRACKETS, "", regex=True))
+    # NOTE no _CTRL pass: \s+ → " " makes [\n\r\t]+ → " " a no-op prefix
+    s = s.str.replace(_WS, " ", regex=True).str.strip()
     if prof.get("lang") != "ja":
         s = s.str.lower()
     parts = s.str.split(prof["sentence_re"], regex=True)
