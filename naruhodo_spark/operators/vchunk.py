@@ -529,7 +529,13 @@ def fused_batch_en(
     is_arg_c = (cty == S.CTYPE_NOUN) | (cty == S.CTYPE_PRONOUN)
 
     # --- argument→predicate attachment (spec: triples_from_chunklist)
-    is_stop = np.fromiter((t in stop for t in cmain), bool, nck)
+    # khash-backed isin, not a per-chunk Python genexpr (cmain is the
+    # full chunk array — everything else loops only over factorize uniques)
+    is_stop = (
+        pd.Series(cmain).isin(stop).to_numpy()
+        if stop
+        else np.zeros(nck, dtype=bool)
+    )
     att = is_arg_c & ~is_stop & (cpar >= 0)
     par_g = np.where(att, offs[cseg] + cpar, 0)
     att &= is_pred_c[par_g]
