@@ -189,6 +189,29 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Training-data scrubbing: mask emails, URLs, and long digit runs
+    (id/phone-shaped) with typed placeholders, plus per-doc match counts
+    for filter policies. Pure Catalyst regexps chosen from the
+    RE2/Java/PCRE common subset so the DuckDB oracle is byte-identical."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ \t\n]+"
+    num = r"[0-9]{9,}"
+    t = F.col("text")
+    red = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), url, "<URL>"),
+        num,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(url), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(num), F.lit(0))).alias("n_nums"),
+    )
+
+
 def repetition_scores(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021, public):
     the fraction of a doc's 2-grams occupied by its single most frequent

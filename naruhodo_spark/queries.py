@@ -882,6 +882,25 @@ _register(
 )
 
 _register(
+    "ts_redact",
+    lambda spark, sf: TS.redact_pii(_t(spark, sf, "documents")),
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ \t\n]+', '<URL>', 'g'),
+             '[0-9]{9,}', '<NUM>', 'g') AS text_redacted,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+           len(regexp_extract_all(text, '[0-9]{9,}')) AS n_nums
+    FROM documents
+    """,
+)
+
+_register(
     "ts_repetition",
     lambda spark, sf: TS.repetition_scores(_t(spark, sf, "documents")),
     rf"""

@@ -204,6 +204,26 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_redact_pii(spark):
+    from naruhodo_spark.ops.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@acme-corp.co.uk or https://a.io/p?q=1 now"),
+            (2, "id 123456789012 and id 98765432109876 ok"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["text_redacted"] == "contact <EMAIL> or <URL> now"
+    assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+    assert out[2]["text_redacted"] == "id <NUM> and id <NUM> ok"
+    assert out[2]["n_nums"] == 2
+    assert out[3]["text_redacted"] == out[3]["text_redacted"] == "clean text with no pii at all"
+    assert (out[3]["n_emails"], out[3]["n_urls"], out[3]["n_nums"]) == (0, 0, 0)
+
+
 def test_chunk_windows_invariants(spark):
     """Context-window chunking: full coverage (concatenating chunks minus
     overlaps reconstructs the doc), fixed overlap between consecutive
