@@ -60,6 +60,36 @@ def hash_split(
     return docs.select("doc_id", split.alias("split"))
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strat_col: str = "lang",
+    default_rate: float = 1.0,
+    seed: str = "strat42",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the standard rebalancing
+    of language/source mix in a web corpus: keep a doc iff its hash
+    bucket falls under its stratum's rate. Same md5 bucketing as
+    hash_split, so membership is content-stable, repartition-invariant,
+    and reproducible across engines (df.sample is none of those)."""
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = F.lit(default_rate)
+    for k in sorted(rates):
+        rate = F.when(F.col(strat_col) == k, F.lit(rates[k])).otherwise(rate)
+    return docs.where(b < (rate * 10000).cast("long"))
+
+
 def sentence_dedup(docs: DataFrame) -> DataFrame:
     """Corpus-wide sentence-level dedup (standard training-data cleaning:
     boilerplate sentences recur across pages). Emits one row per DISTINCT

@@ -882,6 +882,22 @@ _register(
 )
 
 _register(
+    "ts_stratified_sample",
+    lambda spark, sf: TS.stratified_sample(
+        _t(spark, sf, "documents"), rates={"en": 0.5, "zh": 0.2}
+    ).select("doc_id", "lang"),
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5('strat42|' || doc_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT % 10000 AS b
+      FROM documents)
+    WHERE b < CAST((CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'zh' THEN 0.2
+                              ELSE 1.0 END) * 10000 AS BIGINT)
+    """,
+)
+
+_register(
     "ts_redact",
     lambda spark, sf: TS.redact_pii(_t(spark, sf, "documents")),
     r"""
