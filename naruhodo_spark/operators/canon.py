@@ -32,6 +32,15 @@ def _star_contract(e: DataFrame, max_iter: int) -> DataFrame:
     input) rather than returning non-converged labels."""
 
     def _sig(df: DataFrame):
+        # convergence = equal (count, bit_xor-of-row-hashes) signatures
+        # for successive edge sets: one cheap agg instead of the exact
+        # exceptAll diff (an extra join per round). A collision between
+        # two DIFFERENT successive sets (~2⁻⁶⁴/round) would exit the
+        # loop early with wrong labels — accepted, same order of risk as
+        # the node-hash-collision guard in connected_components, and the
+        # star forest the labels are read from is still internally
+        # consistent. Swap for an exceptAll-based check if that risk
+        # ever matters more than a per-round join.
         r = df.agg(F.count(F.lit(1)), F.expr("bit_xor(xxhash64(hi, lo))")).first()
         return (r[0], r[1])
 
@@ -217,6 +226,15 @@ def alias_canonical_map_rows(rows) -> dict[str, tuple[str, int | None]]:
         # alias match also overrides the entity type (link_entities)
         out[r["alias"]] = (label[r["alias"]], r["etype"])
     return out
+
+
+def pad_numeric_id(col_name: str):
+    """Zero-pad a NON-NEGATIVE integral id to 20 chars so lexicographic
+    min == numeric min inside the contraction (int64 max is 19 digits —
+    never truncates; a 12-char pad would silently truncate ids ≥ 10^12,
+    e.g. hash-derived ones, colliding distinct nodes). Negative ids are
+    not supported ('-' sorts before '0')."""
+    return F.lpad(F.col(col_name).cast("string"), 20, "0")
 
 
 def cc_labels_auto(edges: DataFrame, force_distributed: bool = False) -> DataFrame:

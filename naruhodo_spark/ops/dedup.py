@@ -251,7 +251,7 @@ def near_dup_groups(
     near-dup pairs then merge transitively via connected components
     (size-gated: driver union-find for small edge sets, distributed star
     contraction beyond DRIVER_CC_THRESHOLD — operators/canon.py)."""
-    from naruhodo_spark.operators.canon import cc_labels_auto
+    from naruhodo_spark.operators.canon import cc_labels_auto, pad_numeric_id
 
     fp = docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
     rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
@@ -262,10 +262,7 @@ def near_dup_groups(
     pairs = minhash_lsh_pairs(
         reps, n_hashes=n_hashes, n_bands=n_bands, k=k, threshold=threshold
     )
-    # lpad so lexicographic min == numeric min inside the contraction
-    def pad(c: str):
-        return F.lpad(F.col(c).cast("string"), 12, "0")
-
+    pad = pad_numeric_id
     edges = memb.select(pad("doc_id").alias("src"), pad("rep_id").alias("dst")).unionByName(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     )

@@ -31,16 +31,13 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_RE)
 
 
-def hash_split(
-    docs: DataFrame, train: float = 0.9, val: float = 0.05, seed: str = "split42"
-) -> DataFrame:
-    """Deterministic train/val/test assignment by content-independent
-    hash bucketing of doc_id: md5(seed|doc_id) → bucket ∈ [0, 10000).
-    Resume-stable (pure function of the key, no RNG state), no shuffle,
-    engine-portable (md5 renders identically in DuckDB), and stable
-    under repartitioning — the properties a 100 TB split needs that
-    ``df.randomSplit`` (partition-order-dependent RNG) lacks."""
-    b = (
+def _hash_bucket(seed: str) -> Column:
+    """md5(seed|doc_id) → bucket ∈ [0, 10000): the shared deterministic
+    bucketing behind hash_split and stratified_sample. Pure function of
+    the key (no RNG state) → resume-stable, shuffle-free,
+    repartition-invariant, and engine-portable (md5 renders identically
+    in DuckDB)."""
+    return (
         F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
@@ -52,9 +49,26 @@ def hash_split(
         ).cast("long")
         % 10000
     )
+
+
+def _rate_buckets(rate: float) -> int:
+    """rate → bucket threshold, rounded (int() truncation turns the
+    double 0.57*10000 = 5699.999… into 5699, one bucket short of the
+    documented fraction — 573 of the 9999 four-decimal rates misround
+    that way)."""
+    return int(round(rate * 10000))
+
+
+def hash_split(
+    docs: DataFrame, train: float = 0.9, val: float = 0.05, seed: str = "split42"
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash bucketing of doc_id — the properties a 100 TB split needs that
+    ``df.randomSplit`` (partition-order-dependent RNG) lacks."""
+    b = _hash_bucket(seed)
     split = (
-        F.when(b < int(train * 10000), "train")
-        .when(b < int((train + val) * 10000), "val")
+        F.when(b < _rate_buckets(train), "train")
+        .when(b < _rate_buckets(train + val), "val")
         .otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
@@ -71,23 +85,18 @@ def stratified_sample(
     of language/source mix in a web corpus: keep a doc iff its hash
     bucket falls under its stratum's rate. Same md5 bucketing as
     hash_split, so membership is content-stable, repartition-invariant,
-    and reproducible across engines (df.sample is none of those)."""
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 10000
-    )
-    rate = F.lit(default_rate)
+    and reproducible across engines (df.sample is none of those).
+    Thresholds are integer bucket counts computed driver-side — a
+    `(rate * 10000).cast("long")` column would truncate double
+    arithmetic (0.2 * 10000 = 1999.999… → 1999) and diverge from any
+    decimal-arithmetic oracle on the boundary bucket."""
+    b = _hash_bucket(seed)
+    thr = F.lit(_rate_buckets(default_rate))
     for k in sorted(rates):
-        rate = F.when(F.col(strat_col) == k, F.lit(rates[k])).otherwise(rate)
-    return docs.where(b < (rate * 10000).cast("long"))
+        thr = F.when(F.col(strat_col) == k, F.lit(_rate_buckets(rates[k]))).otherwise(
+            thr
+        )
+    return docs.where(b < thr)
 
 
 def sentence_dedup(docs: DataFrame) -> DataFrame:
@@ -139,14 +148,19 @@ def vocabulary(docs: DataFrame, min_df: int = 2) -> DataFrame:
         .where(F.col("token") != "")
         .distinct()
     )
-    n_docs = docs.select("doc_id").distinct().count()
+    # corpus size rides along as a 1-row crossJoin (broadcast NL join of
+    # a single row) — an eager .count() here would scan the input at
+    # PLAN-CONSTRUCTION time and again at execution
+    nd = docs.agg(F.countDistinct("doc_id").alias("nd"))
     return (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(nd))
         .withColumn(
-            "idf", F.round(F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 6)
+            "idf", F.round(F.log((F.col("nd") + 1) / (F.col("df") + 1)), 6)
         )
+        .drop("nd")
     )
 
 
@@ -225,20 +239,22 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     for filter policies. Pure Catalyst regexps chosen from the
     RE2/Java/PCRE common subset so the DuckDB oracle is byte-identical."""
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    url = r"https?://[^ \t\n]+"
+    url = r"https?://[^ \t\r\n]+"  # \r excluded: CRLF text must not leak into <URL>
     num = r"[0-9]{9,}"
-    t = F.col("text")
-    red = F.regexp_replace(
-        F.regexp_replace(F.regexp_replace(t, email, "<EMAIL>"), url, "<URL>"),
-        num,
-        "<NUM>",
-    )
+    # sequential: emails first, URLs on the email-redacted text, digit
+    # runs last. Each count is taken on the SAME stage input its
+    # replacement runs on, so n_* == number of placeholders actually
+    # emitted (digits inside an already-masked URL are not re-counted).
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, email, "<EMAIL>")
+    t2 = F.regexp_replace(t1, url, "<URL>")
+    t3 = F.regexp_replace(t2, num, "<NUM>")
     return docs.select(
         "doc_id",
-        red.alias("text_redacted"),
-        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(url), F.lit(0))).alias("n_urls"),
-        F.size(F.regexp_extract_all(t, F.lit(num), F.lit(0))).alias("n_nums"),
+        t3.alias("text_redacted"),
+        F.size(F.regexp_extract_all(t0, F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(url), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all(t2, F.lit(num), F.lit(0))).alias("n_nums"),
     )
 
 

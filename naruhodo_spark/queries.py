@@ -901,18 +901,21 @@ _register(
     "ts_redact",
     lambda spark, sf: TS.redact_pii(_t(spark, sf, "documents")),
     r"""
+    WITH s1 AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM documents),
+    s2 AS (
+      SELECT *, regexp_replace(t1, 'https?://[^ \t\r\n]+', '<URL>', 'g') AS t2
+      FROM s1)
     SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               'https?://[^ \t\n]+', '<URL>', 'g'),
-             '[0-9]{9,}', '<NUM>', 'g') AS text_redacted,
-           len(regexp_extract_all(text,
+           regexp_replace(t2, '[0-9]{9,}', '<NUM>', 'g') AS text_redacted,
+           len(regexp_extract_all(t0,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
-           len(regexp_extract_all(text, '[0-9]{9,}')) AS n_nums
-    FROM documents
+           len(regexp_extract_all(t1, 'https?://[^ \t\r\n]+')) AS n_urls,
+           len(regexp_extract_all(t2, '[0-9]{9,}')) AS n_nums
+    FROM s2
     """,
 )
 
@@ -1340,9 +1343,10 @@ def cc_order_chains(spark, sf_dir):
     the star-contraction loop's multi-hop convergence against DuckDB —
     the kg_cc_labels surface can't be oracled because its alias graph
     comes from the synth corpus, not the parquet tables. Node ids are
-    lpad-ed so lexicographic min == numeric min, then cast back."""
+    zero-padded (canon.pad_numeric_id) so lexicographic min == numeric
+    min, then cast back."""
     orders = _t(spark, sf_dir, "orders")
-    node = F.lpad(F.col("o_orderkey").cast("string"), 12, "0")
+    node = O_canon.pad_numeric_id("o_orderkey")
     w = W.partitionBy("o_custkey").orderBy("o_orderkey")
     e = orders.select(node.alias("dst"), F.lag(node).over(w).alias("prev"))
     edges = e.select(F.coalesce("prev", "dst").alias("src"), "dst")

@@ -207,11 +207,13 @@ def test_inclusive_merge(spark):
 def test_redact_pii(spark):
     from naruhodo_spark.ops.textstats import redact_pii
 
+    clean = "clean text with no pii at all"
     docs = spark.createDataFrame(
         [
             (1, "contact bob.smith+x@acme-corp.co.uk or https://a.io/p?q=1 now"),
             (2, "id 123456789012 and id 98765432109876 ok"),
-            (3, "clean text with no pii at all"),
+            (3, clean),
+            (4, "see https://x.io/123456789012\r\nnext line"),
         ],
         "doc_id long, text string",
     )
@@ -220,8 +222,12 @@ def test_redact_pii(spark):
     assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
     assert out[2]["text_redacted"] == "id <NUM> and id <NUM> ok"
     assert out[2]["n_nums"] == 2
-    assert out[3]["text_redacted"] == out[3]["text_redacted"] == "clean text with no pii at all"
+    assert out[3]["text_redacted"] == clean  # no-PII doc round-trips
     assert (out[3]["n_emails"], out[3]["n_urls"], out[3]["n_nums"]) == (0, 0, 0)
+    # \r never leaks into <URL>, and digits swallowed by the URL mask are
+    # NOT double-counted as <NUM> (counts == placeholders emitted)
+    assert out[4]["text_redacted"] == "see <URL>\r\nnext line"
+    assert (out[4]["n_urls"], out[4]["n_nums"]) == (1, 0)
 
 
 def test_chunk_windows_invariants(spark):
@@ -316,8 +322,9 @@ def test_near_dup_groups_tiered(spark):
     assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
     # naive twin: LSH over every doc, same closure
+    from naruhodo_spark.operators.canon import pad_numeric_id as pad
+
     pairs = minhash_lsh_pairs(docs)
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
     e = docs.select(pad("doc_id").alias("src"), pad("doc_id").alias("dst")).unionByName(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     )
