@@ -202,6 +202,43 @@ def chunk_windows(
     )
 
 
+def pack_sequences(
+    docs: DataFrame, max_tokens: int = 2048, shard_docs: int = 100_000
+) -> DataFrame:
+    """Deterministic sequence packing for training batch prep: lay docs
+    out in doc_id order and assign each to the pack where its START
+    offset lands (floor(running_start / max_tokens)) — the relational
+    formulation of first-fit-in-order packing; a doc straddling a pack
+    boundary belongs to the pack it starts in and downstream
+    splits/truncates at materialization.
+
+    Scale shape: packing runs WITHIN doc_id shards of shard_docs docs
+    (pack identity = (shard, pack_in_shard)), because packing needs
+    deterministic order, not global contiguity — a single global window
+    would funnel the whole corpus through one partition's sort."""
+    toks = F.split(norm_text(F.col("text")), " ")
+    d = docs.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / shard_docs).alias("shard"),
+        F.size(toks).alias("n_tokens"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "shard",
+        start.alias("start_offset"),
+        F.floor(start / max_tokens).alias("pack_in_shard"),
+        "n_tokens",
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + a BPE-ish subword proxy: ceil(chars/4)
     (the industry rule-of-thumb bytes-per-token constant)."""

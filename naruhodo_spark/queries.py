@@ -882,6 +882,28 @@ _register(
 )
 
 _register(
+    "ts_pack_sequences",
+    lambda spark, sf: TS.pack_sequences(
+        _t(spark, sf, "documents"), max_tokens=256, shard_docs=100
+    ),
+    rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 100 AS shard,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM d)
+    SELECT doc_id, shard, start_offset,
+           start_offset // 256 AS pack_in_shard, n_tokens
+    FROM s
+    """,
+)
+
+_register(
     "ts_stratified_sample",
     lambda spark, sf: TS.stratified_sample(
         _t(spark, sf, "documents"), rates={"en": 0.5, "zh": 0.2}
