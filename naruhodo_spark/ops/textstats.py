@@ -164,6 +164,37 @@ def vocabulary(docs: DataFrame, min_df: int = 2) -> DataFrame:
     )
 
 
+def vocab_ids(vocab: DataFrame) -> DataFrame:
+    """(token, id) with id = 1-based rank in token order; 0 is reserved
+    for OOV. The global row_number window is intentional: a vocabulary
+    is broadcast-sized by construction (min_df pruning), so the single-
+    partition sort is over vocab rows, never the corpus."""
+    from pyspark.sql import Window as W
+
+    return vocab.select(
+        "token", F.row_number().over(W.orderBy("token")).alias("id")
+    )
+
+
+def encode_tokens(docs: DataFrame, ids: DataFrame, oov_id: int = 0) -> DataFrame:
+    """Encode each doc's token stream to integer ids against a
+    (token, id) table: posexplode → broadcast hash join (the id table is
+    vocab-sized) → positional reassembly via array_sort of (pos, id)
+    structs. One shuffle, keyed by doc_id."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(norm_text(F.col("text")), " ")).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    j = tok.join(F.broadcast(ids), "token", "left").withColumn(
+        "id", F.coalesce("id", F.lit(oov_id))
+    )
+    return j.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+        ).alias("token_ids")
+    )
+
+
 def chunk_windows(
     docs: DataFrame, max_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:

@@ -882,6 +882,33 @@ _register(
 )
 
 _register(
+    "ts_encode_tokens",
+    lambda spark, sf: TS.encode_tokens(
+        _t(spark, sf, "documents"),
+        TS.vocab_ids(TS.vocabulary(_t(spark, sf, "documents"))),
+    ),
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+      FROM toks WHERE len(t) >= 1),
+    tok AS (
+      SELECT doc_id, i AS pos, t[i] AS token FROM idx WHERE t[i] <> ''),
+    voc AS (
+      SELECT token FROM (SELECT DISTINCT doc_id, token FROM tok)
+      GROUP BY token HAVING count(*) >= 2),
+    ids AS (
+      SELECT token, row_number() OVER (ORDER BY token) AS id FROM voc),
+    enc AS (
+      SELECT t.doc_id, t.pos, coalesce(i.id, 0) AS id
+      FROM tok t LEFT JOIN ids i USING (token))
+    SELECT doc_id, list(id ORDER BY pos) AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+)
+
+_register(
     "ts_pack_sequences",
     lambda spark, sf: TS.pack_sequences(
         _t(spark, sf, "documents"), max_tokens=256, shard_docs=100
