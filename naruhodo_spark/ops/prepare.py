@@ -1,0 +1,73 @@
+"""End-to-end training-corpus preparation — the composition a user of
+the individual ops actually runs. Every stage is one of the oracled
+operators from this package; the composition itself stays a single lazy
+plan (no action until the caller writes/collects), so Catalyst prunes
+columns and pushes filters across stage boundaries.
+
+Stage order matters at scale and is the standard one:
+1. redact FIRST (dedup must see scrubbed text so two docs differing only
+   in a masked email still collapse);
+2. dedup on the scrubbed text, keeping each group's representative;
+3. cheap quality gates (length/distinct + repetition) AFTER dedup so the
+   expensive LSH never runs on docs a filter would have kept anyway but
+   duplicates inflate;
+4. split LAST so train/val/test stay leak-free across near-duplicates
+   (both members of a near-dup pair land in the same group, and the
+   group representative carries the whole group into one split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from naruhodo_spark.ops import dedup as D
+from naruhodo_spark.ops import textstats as TS
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_top_bigram_frac: float = 0.5,
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """documents(doc_id, text, …) → one row per SURVIVING doc:
+    (doc_id, text_redacted, group_id, group_size, n_tokens,
+    top_bigram_frac, split).
+
+    Survivors are near-dup group representatives (min doc_id per group)
+    that pass the token-count and repetition gates; `group_size` keeps
+    the dedup multiplicity for loss-weighting schemes."""
+    red = TS.redact_pii(docs).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    groups = D.near_dup_groups(red)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    reps = (
+        groups.where(F.col("doc_id") == F.col("group_id"))
+        .join(sizes, "group_id")
+        .select("doc_id", "group_id", "group_size")
+    )
+    qual = TS.token_counts(red).select("doc_id", "n_tokens")
+    rep_sc = TS.repetition_scores(red).select("doc_id", "top_bigram_frac")
+    split = TS.hash_split(red, train=train, val=val)
+    return (
+        red.join(reps, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep_sc, "doc_id")
+        .join(split, "doc_id")
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        )
+        .select(
+            "doc_id",
+            F.col("text").alias("text_redacted"),
+            "group_id",
+            "group_size",
+            "n_tokens",
+            "top_bigram_frac",
+            "split",
+        )
+    )

@@ -1472,6 +1472,19 @@ def kg_span_invariant(spark, sf_dir):
     return O_norm.span_sequences(_synth(spark))
 
 
+def td_prepare(spark, sf_dir):
+    """The composed training-corpus preparation (ops/prepare.py):
+    redact → tiered near-dup dedup (group representatives) → token/
+    repetition gates → leak-free hash split. Rows-only: every stage is
+    individually oracled; the composition is one lazy plan."""
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    return prepare_corpus(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["td_prepare"] = td_prepare
+
+
 def mm_media_features(spark, sf_dir):
     return MM.featurize_media(MM.media_spans(_synth(spark)))
 

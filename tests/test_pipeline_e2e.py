@@ -204,6 +204,36 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_prepare_corpus(spark):
+    """Composed corpus prep: dedup keeps one rep per near-dup group with
+    the group multiplicity, quality/repetition gates drop junk, every
+    survivor carries a split, and no near-dup pair straddles splits."""
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank today with mail bob@x.io attached"
+    )
+    rows = [
+        (1, base), (2, base),                      # exact dups
+        (3, base + " now"),                        # near dup of the group
+        # ("today"→"tonight" has jaccard 0.7 yet deterministically misses
+        # all 4 LSH bands for THIS content — banding recall is
+        # probabilistic in general, fixed per text; the appended-word
+        # variant (j≈0.9) bands reliably)
+        (10, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (11, "too short"),                         # length gate
+        (20, "a perfectly ordinary unique document about spark plans "
+             "and shuffle boundaries for testing"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prepare_corpus(docs).collect()}
+    assert set(out) == {1, 20}                     # reps that pass gates
+    assert out[1]["group_size"] == 3 and out[20]["group_size"] == 1
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert out[1]["split"] in ("train", "val", "test")
+
+
 def test_redact_pii(spark):
     from naruhodo_spark.ops.textstats import redact_pii
 
