@@ -393,6 +393,51 @@ _register(
 )
 
 
+def win_session_window(spark, sf_dir):
+    """Native F.session_window twin of win_sessionize — the built-in
+    session operator (shared by batch and Structured Streaming, SURVEY
+    O26). A session closes after 30 min of inactivity; only the start is
+    projected (the exclusive end is start-of-last + gap, an engine-
+    specific convention the oracle need not replicate)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_register(
+    "win_session_window",
+    win_session_window,
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts)) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+
+
 def agg_cube_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "dow", F.date_format("ts", "E")
