@@ -393,6 +393,41 @@ _register(
 )
 
 
+def join_asof_attribution(spark, sf_dir):
+    """As-of join (ops/asof.py): each purchase gets the user's latest
+    prior-or-equal view (marketing attribution). Views are pre-aggregated
+    unique per (user, ts) — the deterministic as-of contract. Oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from naruhodo_spark.ops.asof import join_asof
+
+    ev = _t(spark, sf_dir, "events")
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("view_value"))
+    )
+    return join_asof(buys, views)
+
+
+_register(
+    "join_asof_attribution",
+    join_asof_attribution,
+    """
+    SELECT b.event_id, b.user_id, b.ts, b.purchase_value,
+           v.ts AS asof_ts, v.view_value AS asof_view_value
+    FROM (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+          FROM events WHERE event_type = 'purchase') b
+    ASOF LEFT JOIN (SELECT user_id, ts, round(max(value), 2) AS view_value
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY user_id, ts) v
+      ON b.user_id = v.user_id AND b.ts >= v.ts
+    """,
+)
+
+
 def win_session_window(spark, sf_dir):
     """Native F.session_window twin of win_sessionize — the built-in
     session operator (shared by batch and Structured Streaming, SURVEY

@@ -204,6 +204,30 @@ def test_inclusive_merge(spark):
     assert "kyoto" not in labels  # nothing to merge
 
 
+def test_join_asof(spark):
+    """As-of join semantics: latest right at-or-before each left ts per
+    key; equal-ts right rows ARE visible; no prior right → nulls; all
+    payload columns come from the same matched row."""
+    from naruhodo_spark.ops.asof import join_asof
+
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 205, "b"), ("u2", 50, "c"), ("u3", 10, "d")],
+        "user_id string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0, "x"), ("u1", 200, 2.0, "y"), ("u2", 60, 3.0, "z")],
+        "user_id string, ts long, v double, lbl string",
+    )
+    out = {
+        (r["user_id"], r["ts"]): (r["asof_ts"], r["asof_v"], r["asof_lbl"])
+        for r in join_asof(left, right).collect()
+    }
+    assert out[("u1", 100)] == (100, 1.0, "x")   # equal ts matches
+    assert out[("u1", 205)] == (200, 2.0, "y")   # latest prior
+    assert out[("u2", 50)] == (None, None, None)  # right is later only
+    assert out[("u3", 10)] == (None, None, None)  # key absent from right
+
+
 def test_prepare_corpus(spark):
     """Composed corpus prep: dedup keeps one rep per near-dup group with
     the group multiplicity, quality/repetition gates drop junk, every
