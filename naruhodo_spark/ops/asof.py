@@ -15,6 +15,41 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def join_range(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    start: str = "start",
+    end: str = "end",
+    ts: str = "ts",
+    bucket: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (half-open [start, end), integral
+    numeric bounds): each left interval is exploded into the fixed-width
+    buckets it overlaps, right rows equi-join on (key, bucket(ts)), and
+    the exact containment filter runs on the co-located pairs — the
+    bucketized plan that keeps a temporal join an EQUI-join (shuffle on
+    a uniform composite key) instead of the theta-join cross-product per
+    key. Each matching pair surfaces exactly once (a ts lives in exactly
+    one bucket), so no dedup pass is needed. Pick `bucket` near the
+    typical interval width: wider buckets explode fewer rows, narrower
+    ones co-locate less dead weight."""
+    l2 = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bucket), F.floor((F.col(end) - 1) / bucket)
+            )
+        ),
+    )
+    r2 = right.withColumn("_b", F.floor(F.col(ts) / bucket))
+    return (
+        l2.join(r2, [key, "_b"])
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_b")
+    )
+
+
 def join_asof(
     left: DataFrame,
     right: DataFrame,

@@ -428,6 +428,40 @@ _register(
 )
 
 
+def join_range_activation(spark, sf_dir):
+    """Bucketized range join (ops/asof.py): clicks within one hour after
+    a signup, per user — interval containment kept as an equi-join on
+    (user, time-bucket), never a theta cross-product."""
+    from naruhodo_spark.ops.asof import join_range
+
+    ev = _t(spark, sf_dir, "events")
+    sign = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + 3600).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("ts"),
+    )
+    return join_range(sign, clicks).select("user_id", "signup_id", "click_id")
+
+
+_register(
+    "join_range_activation",
+    join_range_activation,
+    """
+    SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND floor(epoch(c.ts)) >= floor(epoch(s.ts))
+     AND floor(epoch(c.ts)) <  floor(epoch(s.ts)) + 3600
+    """,
+)
+
+
 def win_session_window(spark, sf_dir):
     """Native F.session_window twin of win_sessionize — the built-in
     session operator (shared by batch and Structured Streaming, SURVEY
