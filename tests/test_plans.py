@@ -1,0 +1,59 @@
+"""Physical-plan regression guards (docs/PLANS.md made executable):
+the scale properties the 100 TB design assumes — filters reaching the
+parquet scan, column pruning, broadcast joins for small sides, subquery
+decorrelation — asserted on the compiled plans so a refactor that
+silently loses one fails here, not on a cluster."""
+
+import pytest
+
+from naruhodo_spark import queries as Q
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = Q.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # projection pruning: the 7 referenced columns only — l_orderkey and
+    # l_partkey must NOT be read
+    assert "ReadSchema" in p
+    sch = p.split("ReadSchema:", 1)[1]
+    assert "l_returnflag" in sch and "l_orderkey" not in sch
+
+
+def test_q6_all_predicates_pushed(spark):
+    p = _plan(spark, "q6_forecast_revenue")
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({c})" in p or c in p.split("PushedFilters", 1)[1]
+
+
+def test_q3_broadcasts_dimensions(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "q3_shipping_priority")
+
+
+def test_q4_exists_decorrelates_to_semijoin(spark):
+    p = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in p
+
+
+def test_q17_scalar_subquery_decorrelates(spark):
+    p = _plan(spark, "q17_small_qty_revenue")
+    # correlated scalar subquery → per-part aggregate joined back, no
+    # per-row subquery node
+    assert "avg(l_quantity)" in p and "Subquery" not in p
+
+
+def test_asof_join_is_single_window_no_cross_product(spark):
+    p = _plan(spark, "join_asof_attribution")
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_stays_equi_join(spark):
+    p = _plan(spark, "join_range_activation")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
