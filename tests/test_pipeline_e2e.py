@@ -228,6 +228,44 @@ def test_join_asof(spark):
     assert out[("u3", 10)] == (None, None, None)  # key absent from right
 
 
+def test_join_asof_matches_pandas_merge_asof(spark):
+    """Randomized equivalence against an independent reference
+    implementation: pandas merge_asof(direction='backward',
+    allow_exact_matches=True) computes exactly our as-of semantics."""
+    import random
+
+    import pandas as pd
+
+    from naruhodo_spark.ops.asof import join_asof
+
+    rng = random.Random(7)
+    for trial in range(4):
+        lrows = [
+            (f"u{rng.randint(0, 4)}", rng.randint(0, 60), i)
+            for i in range(rng.randint(1, 40))
+        ]
+        rpairs = {(f"u{rng.randint(0, 5)}", rng.randint(0, 60)) for _ in range(30)}
+        rrows = [(k, t, rng.random()) for (k, t) in rpairs]  # unique (key, ts)
+        left = spark.createDataFrame(lrows, "user_id string, ts long, row_id long")
+        right = spark.createDataFrame(rrows, "user_id string, ts long, v double")
+        got = {
+            r["row_id"]: (r["asof_ts"], r["asof_v"])
+            for r in join_asof(left, right).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["user_id", "ts", "row_id"]).sort_values("ts")
+        rp = pd.DataFrame(rrows, columns=["user_id", "ts", "v"]).sort_values("ts")
+        exp = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True, suffixes=("", "_r"),
+        )
+        for _, row in exp.iterrows():
+            want_v = None if pd.isna(row["v"]) else row["v"]
+            g_ts, g_v = got[row["row_id"]]
+            assert g_v == want_v, (trial, row["row_id"], g_v, want_v)
+            # no match ⇒ every payload field null, including the ts
+            assert (g_ts is None) == (want_v is None)
+
+
 def test_prepare_corpus(spark):
     """Composed corpus prep: dedup keeps one rep per near-dup group with
     the group multiplicity, quality/repetition gates drop junk, every
