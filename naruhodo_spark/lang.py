@@ -145,6 +145,14 @@ JA_PRON = {
     "そこ": S.PRO_LOCATIVE, "あそこ": S.PRO_LOCATIVE,
 }
 JA_STOP_MAINS = ["する", "なる", "ある", "いる", "こと", "もの"]
+# copulas split off as their own bunsetsu by the raw-text segmenter
+# (operators/jaseg.py): 寺だ → 寺|だ, matching how CaboCha emits the
+# copula as the sentence-final predicate
+JA_COPULAS = ["だ", "です", "だった", "でした"]
+# hiragana-only content words the segmenter must NOT mistake for a
+# particle-led split at a token boundary (した would otherwise lose し)
+JA_HIRA_CONTENT = ["する", "した", "なる", "なった", "ある", "あった",
+                   "いる", "いた", "こと", "もの"]
 
 
 def ja_profile() -> dict:
@@ -158,6 +166,8 @@ def ja_profile() -> dict:
         "obj_particles": set(JA_OBJ_PARTICLES),
         "negations": {"ない", "ぬ", "ず"},
         "stop_mains": set(JA_STOP_MAINS),
+        "copulas": set(JA_COPULAS),
+        "hira_content": set(JA_HIRA_CONTENT) | set(JA_PRON),
         "sentence_re": r"[。！？!?]+",
         "verb_suffixes": ("する", "した", "れた", "れる", "った", "う", "く",
                           "ぐ", "す", "つ", "ぬ", "ぶ", "む", "る", "た", "だ"),

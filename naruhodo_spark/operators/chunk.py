@@ -143,11 +143,20 @@ def chunk_sentence_en(sentence: str, prof: dict) -> list[dict]:
 
 
 def chunk_sentence_ja(sentence: str, prof: dict) -> list[dict]:
-    """SOV particle profile over pre-segmented Japanese (whitespace between
-    tokens; no morphological analyzer exists in this environment —
-    SURVEY.md §7.0). Case particles attach as `func` of the *preceding*
-    chunk, mirroring [PK naruhodo/backends/cabocha.py] func extraction."""
-    toks = _tokens(sentence)
+    """SOV particle profile. Input may be pre-segmented (whitespace
+    between tokens — the r01 contract) or RAW Japanese: sentences with
+    no whitespace run through the longest-match segmenter
+    (operators/jaseg.py) first, replacing the CaboCha/JUMAN morphology
+    the reference shells out to [PK naruhodo/backends/cabocha.py] —
+    no analyzer binary exists in this environment (SURVEY.md §7.0).
+    Case particles attach as `func` of the *preceding* chunk, mirroring
+    [PK naruhodo/backends/cabocha.py] func extraction."""
+    if sentence and not any(ch.isspace() for ch in sentence):
+        from naruhodo_spark.operators.jaseg import segment_ja
+
+        toks = segment_ja(sentence, prof)
+    else:
+        toks = _tokens(sentence)
     chunks: list[dict] = []
 
     def emit(surface, main, ctype, pro, neg, tense):

@@ -1,0 +1,146 @@
+"""Raw-Japanese segmentation (SURVEY.md O11, r01 VERDICT "What's
+missing" #1).
+
+The reference feeds raw Japanese through CaboCha/JUMAN morphological
+analysis [PK naruhodo/backends/cabocha.py]; neither binary exists in
+this sandbox, so the r01 JA path required pre-segmented (whitespace-
+tokenized) input. This module closes most of that gap with a
+deterministic longest-match segmenter over the particle / copula /
+pronoun tables in lang.py plus character-class transitions — the
+classical dictionary-plus-charclass heuristic (pure Python over the
+tiny lexicons; it runs inside the same mapInPandas batch as the JA
+row-wise chunker spec, so no extra job stages or per-row UDF calls are
+added).
+
+Rules (deliberately simple, each anchored to a fixture test):
+
+1. A kanji / katakana / ASCII run starts a content token; a class
+   transition (kanji→katakana, etc.) closes it.
+2. Hiragana directly after kanji/katakana attaches as okurigana
+   (読 + んだ → 読んだ) UNLESS the hiragana run STARTS with a function
+   word (particle or copula) by longest match — then the content token
+   closes and the function word becomes its own token (彼女 + は →
+   彼女 | は;  寺 + だ → 寺 | だ). Function words are only recognized
+   at the start of a hiragana run, never inside one, which is what
+   keeps the だ of 読んだ attached.
+3. At a clean boundary, hiragana longest-matches content words first
+   (ここ, する, した …), then function words (で, から …), else it
+   accumulates as a hiragana content token.
+4. CJK/ASCII punctuation is a token boundary and is dropped (the
+   sentence terminators 。！？ are already consumed upstream by
+   split_sentences).
+
+Known limits (documented, not silent): hiragana-only content words
+outside the lexicon that BEGIN with a particle string (e.g. にわとり)
+mis-split; compound verbs with internal particles are out of scope.
+Pre-segmented input (any whitespace present) bypasses segmentation
+entirely, so the r01 fixtures behave exactly as before.
+"""
+
+from __future__ import annotations
+
+
+def _is_hira(ch: str) -> bool:
+    return "぀" <= ch <= "ゟ"
+
+
+def _is_kata(ch: str) -> bool:
+    return "゠" <= ch <= "ヿ" or ch == "ー"
+
+
+def _is_kanji(ch: str) -> bool:
+    return "一" <= ch <= "鿿" or ch in "々〆"  # 々〆
+
+
+def _is_ascii_word(ch: str) -> bool:
+    return ch.isascii() and ch.isalnum()
+
+
+def _char_class(ch: str) -> str:
+    if _is_hira(ch):
+        return "hira"
+    if _is_kata(ch):
+        return "kata"
+    if _is_kanji(ch):
+        return "kanji"
+    if _is_ascii_word(ch):
+        return "ascii"
+    return "other"  # punctuation / symbols / whitespace → boundary
+
+
+def _lexicons(prof: dict) -> tuple[list[str], list[str]]:
+    """(content words, function words), each sorted longest-first for
+    greedy longest-match. Tiny lists (≈30 entries) — per-call
+    construction is noise next to the chunker itself."""
+    content = sorted(prof.get("hira_content", ()), key=len, reverse=True)
+    func = sorted(
+        set(prof.get("particles", ())) | set(prof.get("copulas", ())),
+        key=len,
+        reverse=True,
+    )
+    return content, func
+
+
+def _match(text: str, i: int, words: list[str]) -> str:
+    for w in words:  # longest-first
+        if text.startswith(w, i):
+            return w
+    return ""
+
+
+def segment_ja(text: str, prof: dict) -> list[str]:
+    """Segment an UNSEGMENTED Japanese sentence into bunsetsu-ish tokens
+    consumable by chunk_sentence_ja. Deterministic; pure function of
+    (text, profile)."""
+    content_lex, func_lex = _lexicons(prof)
+    tokens: list[str] = []
+    cur = ""  # open content token
+    i, n = 0, len(text)
+
+    def flush() -> None:
+        nonlocal cur
+        if cur:
+            tokens.append(cur)
+            cur = ""
+
+    while i < n:
+        ch = text[i]
+        cls = _char_class(ch)
+        if cls == "other":
+            flush()
+            i += 1
+            continue
+        if not cur:
+            # clean boundary: content lexicon first, then function words
+            m = _match(text, i, content_lex) or _match(text, i, func_lex)
+            if m:
+                tokens.append(m)
+                i += len(m)
+                continue
+            cur = ch
+            i += 1
+            continue
+        prev_cls = _char_class(cur[-1])
+        if cls == "hira":
+            if prev_cls != "hira":
+                # start of a hiragana run after kanji/katakana/ascii:
+                # function word here closes the content token (rule 2)
+                m = _match(text, i, func_lex)
+                if m:
+                    flush()
+                    tokens.append(m)
+                    i += len(m)
+                    continue
+            cur += ch  # okurigana / inflection attaches
+            i += 1
+            continue
+        if prev_cls == cls:
+            cur += ch
+            i += 1
+            continue
+        # class transition (kanji↔katakana↔ascii, or hira→non-hira:
+        # the okurigana run ended) → new content word
+        flush()
+        continue  # reprocess ch at the clean boundary
+    flush()
+    return tokens

@@ -33,8 +33,14 @@ def join_range(
     key. Each matching pair surfaces exactly once (a ts lives in exactly
     one bucket), so no dedup pass is needed. Pick `bucket` near the
     typical interval width: wider buckets explode fewer rows, narrower
-    ones co-locate less dead weight."""
-    l2 = left.withColumn(
+    ones co-locate less dead weight.
+
+    Malformed intervals (end <= start — empty by the half-open contract)
+    are dropped BEFORE the explode: F.sequence defaults to step −1 when
+    stop < start, so a bad interval like (10^9, 0) would otherwise
+    explode into ~start/bucket rows (executor-OOM-sized) only to be
+    discarded by the containment filter."""
+    l2 = left.where(F.col(end) > F.col(start)).withColumn(
         "_b",
         F.explode(
             F.sequence(
@@ -64,7 +70,15 @@ def join_asof(
 
     The right payload rides as ONE struct so all its columns come from
     the SAME matched row (independent per-column last() fills could mix
-    rows when payload columns contain nulls)."""
+    rows when payload columns contain nulls).
+
+    Right rows with a NULL ts are dropped: Spark sorts nulls first, so
+    such a row would otherwise become a universal 'earliest' match —
+    diverging from DuckDB ASOF / pandas merge_asof, which never match
+    NULL timestamps. (A LEFT row with NULL ts needs no handling: it
+    sorts to the partition head and finds no prior right row → null
+    payload, same as the native implementations.)"""
+    right = right.where(F.col(ts).isNotNull())
     rpay = [c for c in right.columns if c != key]
     payload = F.struct(*[F.col(c) for c in rpay])
     l = left.withColumn("_lr", F.lit(1)).withColumn(

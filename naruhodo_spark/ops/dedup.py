@@ -283,26 +283,57 @@ _SIMHASH_SCHEMA = T.StructType(
 def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over word tokens, vectorized pandas UDF
     (mapInPandas). Token hashes are the first 8 bytes of md5 — portable
-    and deterministic. Near-dups = Hamming distance ≤ 3 (downstream)."""
+    and deterministic. Near-dups = Hamming distance ≤ 3 (downstream).
+
+    Batch body is factorize-then-scatter (the vchunk.py trick), not a
+    per-token Python loop: tokens across the whole Arrow batch are
+    factorized once, each UNIQUE token is md5-hashed once, and the ±1
+    bit contributions land via one np.add.at scatter per batch — web
+    text repeats tokens heavily, so unique-token hashing plus pure-numpy
+    accumulation is ~10× the per-(doc,token) hashlib loop it replaced
+    (r01 VERDICT finding #6), with bit-identical output (md5 contract
+    unchanged, verified by the unchanged dd_simhash oracle)."""
     import hashlib
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = str(text).lower().split()
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    bits = np.unpackbits(
-                        np.frombuffer(
-                            hashlib.md5(t.encode()).digest()[:8], dtype=np.uint8
-                        )
-                    )
-                    acc += bits.astype(np.int64) * 2 - 1
-                val = int.from_bytes(
-                    np.packbits(acc > 0).tobytes(), "big", signed=True
+            n_docs = len(pdf)
+            if n_docs == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "simhash": pd.Series([], dtype="int64")}
                 )
-                out.append((int(doc_id), val))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+                continue
+            tok_lists = [str(t).lower().split() for t in pdf["text"]]
+            counts = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=n_docs
+            )
+            flat = [t for toks in tok_lists for t in toks]
+            doc_idx = np.repeat(np.arange(n_docs), counts)
+            codes, uniques = pd.factorize(pd.Index(flat)) if flat else (
+                np.array([], dtype=np.int64), [])
+            # one md5 per UNIQUE token; 64 bits → (n_unique, 64) ±1 matrix
+            uhash = np.array(
+                [
+                    np.frombuffer(hashlib.md5(u.encode()).digest()[:8], np.uint8)
+                    for u in uniques
+                ],
+                dtype=np.uint8,
+            ).reshape(len(uniques), 8)
+            ubits = (
+                np.unpackbits(uhash, axis=1).astype(np.int64) * 2 - 1
+            )  # MSB-first, matching the hex-substring oracle
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            np.add.at(acc, doc_idx, ubits[codes])
+            packed = np.packbits(acc > 0, axis=1)  # big-endian bytes
+            vals = [
+                int.from_bytes(row.tobytes(), "big", signed=True) for row in packed
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "simhash": np.array(vals, dtype=np.int64),
+                }
+            )
 
     return docs.select("doc_id", "text").mapInPandas(fn, schema=_SIMHASH_SCHEMA)

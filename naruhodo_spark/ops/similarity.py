@@ -256,14 +256,18 @@ def topk_ivf_blas(embeddings: DataFrame, k: int = 3, cell_col: str = "label") ->
         S = (X @ X.T) / np.outer(norms, norms)
         np.round(S, 4, out=S)
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
-        # composite sort key: rounded cosine is an exact integer in
-        # [-10^4, 10^4] → (cos desc, id asc) = ascending composite
+        # (cosine desc, id asc) tie-break via lexsort on the ROUNDED
+        # cosine (an exact integer in [-10^4, 10^4], so its negation is
+        # overflow-free) — no packed composite key, so arbitrary int64
+        # vec_ids (negative, xxhash64-sized) order correctly and the
+        # path stays exactly equal to the Catalyst twin's row_number
+        # ordering
         prim = np.round(S * 10000).astype(np.int64)
-        big = np.int64(1) << np.int64(42)
-        comp = (np.int64(10001) - prim) * big + ids[None, :]
-        np.fill_diagonal(comp, np.iinfo(np.int64).max)  # exclude self
+        neg = -prim
+        np.fill_diagonal(neg, np.iinfo(np.int64).max)  # exclude self
         kk = min(k, n - 1)
-        top = np.argsort(comp, axis=1, kind="stable")[:, :kk]
+        order = np.lexsort((np.broadcast_to(ids, neg.shape), neg))
+        top = order[:, :kk]
         cos = np.take_along_axis(S, top, axis=1)
         return pd.DataFrame(
             {

@@ -180,7 +180,12 @@ def encode_tokens(docs: DataFrame, ids: DataFrame, oov_id: int = 0) -> DataFrame
     """Encode each doc's token stream to integer ids against a
     (token, id) table: posexplode → broadcast hash join (the id table is
     vocab-sized) → positional reassembly via array_sort of (pos, id)
-    structs. One shuffle, keyed by doc_id."""
+    structs. One shuffle, keyed by doc_id.
+
+    Docs whose normalized text yields zero tokens come back with an
+    EMPTY token_ids array rather than disappearing (the groupBy only
+    sees exploded rows, so a bare agg would drop them — same left-join
+    re-attach pattern as repetition_scores)."""
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(norm_text(F.col("text")), " ")).alias("pos", "token"),
@@ -188,10 +193,14 @@ def encode_tokens(docs: DataFrame, ids: DataFrame, oov_id: int = 0) -> DataFrame
     j = tok.join(F.broadcast(ids), "token", "left").withColumn(
         "id", F.coalesce("id", F.lit(oov_id))
     )
-    return j.groupBy("doc_id").agg(
+    agg = j.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
         ).alias("token_ids")
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
     )
 
 

@@ -70,26 +70,43 @@ def incremental_ingest(
         )
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        """Per-batch cost is O(batch + |aggregated tables|), never
-        O(all raw triples): the batch's partial aggregates merge into the
-        stored edge/node tables (weights/counts are additive — the
-        commutative-merge property the module docstring relies on). With
-        Iceberg this becomes a single MERGE INTO; the parquet emulation
-        rewrites the aggregated tables, which stay small relative to the
-        raw stream."""
+        """Per-batch cost is O(batch + |aggregated tables| + |seen ids|):
+        the batch's partial aggregates merge into the stored edge/node
+        tables (weights/counts are additive — the commutative-merge
+        property the module docstring relies on). With Iceberg this
+        becomes a single MERGE INTO; the parquet emulation rewrites the
+        aggregated tables, which stay small relative to the raw stream.
+
+        Re-delivery suppression anti-joins against a COMPACT
+        ``doc_ids_seen`` table (one row per all-time doc_id), never the
+        raw triples table — scanning ``triples_raw`` would make every
+        batch pay for the full corpus history (r01 VERDICT finding #7).
+        The production-streaming form of this guard is
+        ``watermarked_doc_dedup`` (bounded state); the seen-ids table is
+        the batch-emulation equivalent and is what resume reads."""
         from naruhodo_spark.pipeline import build_kg
 
         batch = batch_df.dropDuplicates(["doc_id"])
-        if storage.table_exists(spark, "triples_raw", out_dir):
+        if storage.table_exists(spark, "doc_ids_seen", out_dir):
+            seen = storage.read_table(spark, "doc_ids_seen", out_dir)
+        elif storage.table_exists(spark, "triples_raw", out_dir):
+            # recovery / legacy layout: rebuild the compact id table from
+            # raw once (a crash between the two appends below loses only
+            # the id append; under Iceberg they are one transaction)
             seen = (
                 storage.read_table(spark, "triples_raw", out_dir)
                 .select("doc_id")
                 .distinct()
             )
+        else:
+            seen = None
+        if seen is not None:
             batch = batch.join(seen, "doc_id", "left_anti")  # re-delivery
+        batch_ids = batch.select("doc_id").localCheckpoint()
         kg = build_kg(batch, prof=prof, aliases=aliases)
         new_triples = kg["triples"].localCheckpoint()
         storage.write_table(new_triples, "triples_raw", out_dir, mode="append")
+        storage.write_table(batch_ids, "doc_ids_seen", out_dir, mode="append")
         for name, batch_tbl, merge in [
             ("ksg_edges", kg["ksg_edges"], _merge_edges),
             ("ksg_nodes", kg["ksg_nodes"], _merge_nodes),

@@ -1,11 +1,19 @@
 """Driver-contract mimic (SURVEY.md §5.2 tier 3): every oracle-backed
 query must match DuckDB on row count, sorted column names, and
 order-insensitive values at sf0.01 — the same comparison the grading
-driver performs."""
+driver performs.
 
-import math
+The comparison is DTYPE-FAITHFUL, mirroring the real driver's
+pandas-rendered value hash: both sides go through pandas, columns are
+sorted by name, rows sorted by all columns (this crashes on unhashable
+array cells — exactly like the driver's canonicalizer, so array-shaped
+surfaces fail HERE first), and every cell is compared via its string
+rendering, under which bigint 56 != float 56.0. The r01 leniency
+(rounding floats and comparing 56 == 56.0 as equal) let two
+HUGEINT-vs-BIGINT oracle bugs through to the driver."""
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -31,25 +39,31 @@ def ddb():
     con.close()
 
 
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    return v
+def _canon(pdf):
+    """Driver-style canonicalization: sort columns by name, sort rows by
+    all columns (pandas sort_values — unhashable cells raise, as in the
+    driver), render every cell as its dtype-faithful string."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    pdf = pdf.reset_index(drop=True)
+
+    def render(v):
+        if v is None or v is pd_NaT or (isinstance(v, float) and np.isnan(v)):
+            return "<null>"
+        if isinstance(v, (np.floating, float)):
+            # shortest-repr of the double — 56.0 renders "56.0", never "56"
+            return repr(float(v))
+        if isinstance(v, (np.integer, int)):
+            return repr(int(v))
+        return str(v)
+
+    return [tuple(render(v) for v in row) for row in pdf.itertuples(index=False)]
 
 
-def _sort_key(row):
-    return tuple((v is None, str(v)) for v in row)
+import pandas as _pd
 
-
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=_sort_key
-    )
+pd_NaT = _pd.NaT
 
 
 def test_all_queries_have_callables():
@@ -58,24 +72,31 @@ def test_all_queries_have_callables():
         assert name in QUERIES
 
 
+def test_all_oracled_queries_inside_driver_window():
+    """The driver verifies the FIRST 50 registered queries. Every oracle
+    must sit inside that window or its correctness signal is lost
+    (r01: 6 oracled queries fell outside)."""
+    first50 = list(QUERIES)[:50]
+    outside = [n for n in ORACLES if n not in first50]
+    assert outside == [], f"oracled queries outside 50-query window: {outside}"
+    assert [n for n in first50 if n not in ORACLES] == []
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
+    duck_pdf = ddb.execute(ORACLES[name]).df()
 
-    res = ddb.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
-
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {list(spark_pdf.columns)} vs"
+        f" {list(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
-    a = _normalize(spark_rows, spark_cols)
-    b = _normalize(duck_rows, duck_cols)
+    a = _canon(spark_pdf)
+    b = _canon(duck_pdf)
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
     assert a == b, f"{name}: value mismatch at {mism}: " + "; ".join(
         f"{a[i]} != {b[i]}" for i in mism
