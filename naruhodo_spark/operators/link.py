@@ -8,6 +8,20 @@ is the canonical surface with `#n` dedup suffixes
 Spark mapping: the alias dictionary is small (≤ millions of rows even at
 10^12-doc scale) → **broadcast hash join**, zero shuffle
 [B BASELINE.json:6 "broadcast entity-alias dictionary for linking"].
+
+**Deliberate divergence from the reference (SURVEY.md §1.3, D5)**: the
+reference disambiguates repeated same-surface mentions into distinct
+``name#2``/``name#3`` nodes per occurrence context
+[PK naruhodo/core/KnowledgeCoreJa.py]. This build canonicalizes BY
+SURFACE — two mentions with the same lowercase surface (or the same
+alias-dictionary canonical id) are ONE node, always. Rationale: ``#n``
+splitting keys node identity on per-document mention order, which is
+not stable under distributed, order-free aggregation (the same corpus
+partitioned differently would mint different ``#n`` ids), and the KSG
+edge weights the engine aggregates are exactly the statistic ``#n``
+splitting would fragment. Cross-document entity resolution beyond
+surface identity is the alias dictionary's job. Pinned by
+tests/test_pipeline_e2e.py::test_same_surface_mentions_merge.
 """
 
 from __future__ import annotations

@@ -551,3 +551,31 @@ def test_cc_long_chain_and_cycle(spark):
     a = {(r["node"], r["label"]) for r in connected_components(e).collect()}
     b = {(r["node"], r["label"]) for r in connected_components_driver(e).collect()}
     assert a == b
+
+
+def test_same_surface_mentions_merge(spark):
+    """Deliberate divergence from the reference's #n node splitting
+    (operators/link.py docstring; SURVEY.md §1.3 D5): two mentions with
+    the same surface in DIFFERENT documents are ONE canonical node, so
+    their edge weights aggregate instead of minting alice / alice#2.
+    This is the distributed-stable choice — #n identity depends on
+    per-document mention order, which no order-free aggregation can
+    reproduce."""
+    from naruhodo_spark import schemas as S
+
+    mk = lambda i, t: (
+        f"d-{i:03d}",
+        [{"kind": "text", "text": t, "media_ref": "", "offset": 0}],
+    )
+    docs = spark.createDataFrame(
+        [mk(0, "alice visited tokyo."), mk(1, "alice visited tokyo.")],
+        schema=S.DOCUMENTS_SPANS,
+    )
+    kg = build_kg(docs)
+    edges = kg["ksg_edges"].collect()
+    nodes = {r["node_id"] for r in kg["ksg_nodes"].collect()}
+    # one merged edge with weight 2 — not two #n-split alice nodes
+    e = [r for r in edges if r["subj"] == "alice" and r["obj"] == "tokyo"]
+    assert len(e) == 1 and e[0]["weight"] == 2
+    assert "alice" in nodes
+    assert not any("#" in n for n in nodes)
