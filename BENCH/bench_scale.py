@@ -203,8 +203,17 @@ Notes
   skew-join splitting is enabled in the session factory.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # manually-authored sections (kill-resume drill, CC-at-scale, round
+    # reconciliations) live below a marker line and survive regeneration
+    marker = ("<!-- MANUAL SECTIONS BELOW — preserved by bench_scale.py"
+              " on regeneration -->\n")
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            tail = marker + prev.split(marker, 1)[1]
     with open(out_path, "w") as f:
-        f.write(md)
+        f.write(md + ("\n" + tail if tail else ""))
     print(json.dumps({"efficiency": round(eff, 3), "written": out_path}))
 
 

@@ -82,17 +82,15 @@ def materialize_docs(spark, sf_dir: str, replicate: int, path: str):
     return out.count(), out
 
 
-def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
+def run_kg(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
+    """KG pipeline timing (input materialization + count OUTSIDE the
+    timer). Run on the task.cpus=2 session — see main()."""
     from pyspark.sql import functions as F
 
-    from naruhodo_spark import queries as Q
     from naruhodo_spark import synth
     from naruhodo_spark.pipeline import build_kg
 
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-
-    # --- KG pipeline (input materialization + count OUTSIDE the timer) ---
+    out: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="bench_docs_")
     try:
         n_docs, docs = materialize_docs(spark, sf_dir, replicate, tmp)
@@ -100,16 +98,32 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
         kg_sec = _timed(
             lambda: _noop(build_kg(docs, aliases=aliases)["ksg_edges"])
         )
-        timings["kg_pipeline"] = kg_sec
+        out["kg_pipeline"] = kg_sec
         edges = build_kg(docs, aliases=aliases)["ksg_edges"]
         n_triples = int(edges.agg(F.sum("weight")).first()[0] or 0)
-        extras["kg_docs"] = n_docs
-        extras["kg_triples"] = n_triples
-        extras["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
-        extras["kg_triples_per_sec"] = round(n_triples / kg_sec, 1)
+        out["kg_docs"] = n_docs
+        out["kg_triples"] = n_triples
+        out["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
+        out["kg_triples_per_sec"] = round(n_triples / kg_sec, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     _clear_persisted(spark)
+    return out
+
+
+def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
+        kg_result: dict | None = None) -> dict:
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    if kg_result is None:
+        kg_result = run_kg(spark, sf_dir, replicate)
+    timings["kg_pipeline"] = kg_result["kg_pipeline"]
+    extras.update(
+        {k: v for k, v in kg_result.items() if k != "kg_pipeline"}
+    )
+
+    from naruhodo_spark import queries as Q
 
     # --- headline operator queries ---
     for name in [
@@ -152,25 +166,45 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
     }
 
 
-def main() -> None:
-    from naruhodo_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="naruhodo_spark-bench", master=f"local[{CPUS}]",
-        shuffle_partitions=int(CPUS),
-    )
-    # warmup outside the timings: JVM codegen, parquet reader, AND the
-    # Python worker pool + Arrow path (a small fused pipeline forks the
-    # pandas workers and imports numpy/pandas on every core)
+def _warmup(spark, cpus: int) -> None:
+    """JVM codegen, parquet reader, AND the Python worker pool + Arrow
+    path (a small fused pipeline forks the pandas workers and imports
+    numpy/pandas on every core) — all outside the timings."""
     from naruhodo_spark import synth
     from naruhodo_spark.pipeline import build_kg
 
     spark.range(1000000).selectExpr("sum(id)").collect()
-    wdocs = synth.synth_documents(spark, 256, num_partitions=int(CPUS))
+    wdocs = synth.synth_documents(spark, 256, num_partitions=cpus)
     build_kg(wdocs, aliases=synth.alias_dictionary(spark))[
         "ksg_edges"
     ].write.format("noop").mode("overwrite").save()
-    result = run(spark)
+
+
+def main() -> None:
+    from naruhodo_spark.session import get_spark
+
+    cpus = int(CPUS)
+    # Phase 1 — the KG pipeline, with spark.task.cpus=2: a pandas-UDF
+    # task occupies one JVM thread AND one Python worker, so admitting
+    # `cores` concurrent tasks on a `cores`-vcpu box double-subscribes
+    # the CPU (measured here: 30k docs/s at local[32]/task.cpus=1 vs
+    # 74k at local[32]/task.cpus=2 vs 62k at local[16] — same workload).
+    # Same setting a production cluster uses for pandas-UDF-heavy jobs.
+    spark = get_spark(
+        app_name="naruhodo_spark-bench-kg", master=f"local[{cpus}]",
+        shuffle_partitions=cpus, extra_conf={"spark.task.cpus": "2"},
+    )
+    _warmup(spark, cpus)
+    kg_result = run_kg(spark)
+    spark.stop()
+
+    # Phase 2 — everything else (Catalyst-dominated): plain task sizing
+    spark = get_spark(
+        app_name="naruhodo_spark-bench", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    _warmup(spark, cpus)
+    result = run(spark, kg_result=kg_result)
     print(json.dumps(result))
 
 

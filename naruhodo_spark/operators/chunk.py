@@ -207,9 +207,9 @@ def chunk_sentences(sents_df, prof: dict, vectorized: bool = True):
     The default path is the columnar batch chunker (operators/vchunk.py
     — whole-batch numpy passes, no per-token Python; asserted
     row-identical to this module's per-sentence spec by
-    tests/test_vchunk_parity.py). The row-wise path remains for the JA
-    profile and as the executable spec."""
-    use_vec = vectorized and prof.get("lang") != "ja"
+    tests/test_vchunk_parity.py; r2 added the JA columnar twin). The
+    row-wise path remains as the executable spec."""
+    use_vec = vectorized
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from naruhodo_spark.operators import vchunk as V

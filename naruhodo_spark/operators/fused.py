@@ -164,12 +164,13 @@ def extract_triples_fused(docs_spans, prof: dict, canon_bc=None,
     subj_canon/obj_canon and alias-derived entity types.
 
     The default executor body is the columnar batch implementation
-    (operators/vchunk.py::fused_batch_en — whole-batch numpy passes, no
-    per-row Python [B BASELINE.json:15]); this module's per-document
-    functions are the executable spec it is tested identical against
-    (tests/test_vchunk_parity.py). JA stays on the spec path."""
+    (operators/vchunk.py::fused_batch — whole-batch numpy passes, no
+    per-row Python [B BASELINE.json:15], both profiles — r2 added the
+    JA columnar twin); this module's per-document functions are the
+    executable spec it is tested identical against
+    (tests/test_vchunk_parity.py)."""
     stop = set(prof.get("stop_mains", ()))
-    use_vec = vectorized and prof.get("lang") != "ja"
+    use_vec = vectorized
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from naruhodo_spark.operators import vchunk as V
@@ -177,7 +178,7 @@ def extract_triples_fused(docs_spans, prof: dict, canon_bc=None,
         canon = canon_bc.value if canon_bc is not None else None
         for pdf in batches:
             if use_vec:
-                yield V.fused_batch_en(pdf, prof, stop, canon)
+                yield V.fused_batch(pdf, prof, stop, canon)
                 continue
             rows: list[tuple] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):

@@ -1,5 +1,5 @@
-"""Vectorized (columnar) EN chunker + fused extraction — the batch twin
-of operators/chunk.py::chunk_sentence_en and operators/fused.py.
+"""Vectorized (columnar) chunkers + fused extraction — the batch twins
+of operators/chunk.py::chunk_sentence_en/_ja and operators/fused.py.
 
 The row-wise functions are the *executable spec* (they mirror the
 reference's per-sentence processing and generate the golden fixtures);
@@ -24,8 +24,8 @@ are processed at C speed instead of a Python loop per token:
 
 Equality with the row-wise spec is asserted by
 tests/test_vchunk_parity.py across golden, synthetic, testdata and
-randomized corpora. The JA profile stays on the row-wise path (its
-corpora are small demo fixtures; EN is the scale profile).
+randomized corpora (EN), and tests/test_vchunk_ja.py (JA — r2 added the
+columnar SOV twin chunk_arrays_ja, closing the last row-wise hot path).
 """
 
 from __future__ import annotations
@@ -82,14 +82,14 @@ def _run_bounds(tgt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
-def _run_join(tgt: np.ndarray, toks: np.ndarray):
-    """' '.join of each contiguous run → (run_target, joined) arrays."""
+def _run_join(tgt: np.ndarray, toks: np.ndarray, sep: str = " "):
+    """sep.join of each contiguous run → (run_target, joined) arrays."""
     if len(tgt) == 0:
         return tgt, np.array([], dtype=object)
     starts, ends = _run_bounds(tgt)
     lst = toks.tolist()
     joined = np.array(
-        [" ".join(lst[a:b]) for a, b in zip(starts, ends)], dtype=object
+        [sep.join(lst[a:b]) for a, b in zip(starts, ends)], dtype=object
     )
     return tgt[starts], joined
 
@@ -114,17 +114,8 @@ def _map_onto(pos: np.ndarray, keys: np.ndarray, vals: np.ndarray, default):
     return out
 
 
-def chunk_arrays_en(
-    seg: np.ndarray, sentences: pd.Series, prof: dict
-) -> pd.DataFrame:
-    """All chunks of a batch of sentences, columnar.
-
-    seg: int ordinal per sentence (0..n-1, ascending). Returns a frame
-    with columns [seg, chunk_id, parent, surface, main, func, ctype,
-    ne_type, pro, negative, passive, tense] sorted by (seg, chunk_id),
-    exactly matching chunk.chunk_sentence_en per sentence.
-    """
-    empty = pd.DataFrame(
+def _empty_chunks() -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "seg": np.array([], dtype=np.int64),
             "chunk_id": np.array([], dtype=np.int32),
@@ -140,6 +131,59 @@ def chunk_arrays_en(
             "tense": pd.Series([], dtype=object),
         }
     )
+
+
+def _attach_parents(chk: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized chunk._assign_parents over a (seg, chunk_id)-sorted
+    chunk frame: predicates chain forward (last predicate = root),
+    non-predicates attach to the nearest predicate by chunk distance
+    (tie → preceding); with no predicate, everything hangs off the last
+    chunk. Shared by the EN and JA columnar chunkers."""
+    cseg = chk["seg"].to_numpy()
+    ck = chk["chunk_id"].to_numpy().astype(np.float64)
+    is_pred = chk["ctype"].isin((S.CTYPE_VERB, S.CTYPE_ADJ)).to_numpy()
+    pk = np.where(is_pred, ck, np.nan)
+    prev_incl = _ffill(cseg, pk)
+    next_incl = _bfill(cseg, pk)
+    next_strict = np.r_[next_incl[1:], np.nan]
+    next_strict[np.r_[cseg[1:] != cseg[:-1], True]] = np.nan
+    cstarts, cends = _run_bounds(cseg)
+    sizes = cends - cstarts
+    seg_size = np.repeat(sizes, sizes).astype(np.float64)
+    has_pred = np.repeat(np.logical_or.reduceat(is_pred, cstarts), sizes)
+
+    a, b = prev_incl, next_incl
+    # non-predicates: nearest predicate by chunk distance, tie → preceding
+    near = np.where(
+        np.isnan(a),
+        b,
+        np.where(np.isnan(b), a, np.where((ck - a) <= (b - ck), a, b)),
+    )
+    parent = np.where(
+        is_pred,
+        np.where(np.isnan(next_strict), -1.0, next_strict),
+        np.where(
+            has_pred,
+            near,
+            np.where(ck != seg_size - 1, seg_size - 1.0, -1.0),
+        ),
+    )
+    chk["parent"] = np.nan_to_num(parent, nan=-1.0).astype(np.int32)
+    chk["chunk_id"] = chk["chunk_id"].astype(np.int32)
+    return chk
+
+
+def chunk_arrays_en(
+    seg: np.ndarray, sentences: pd.Series, prof: dict
+) -> pd.DataFrame:
+    """All chunks of a batch of sentences, columnar.
+
+    seg: int ordinal per sentence (0..n-1, ascending). Returns a frame
+    with columns [seg, chunk_id, parent, surface, main, func, ctype,
+    ne_type, pro, negative, passive, tense] sorted by (seg, chunk_id),
+    exactly matching chunk.chunk_sentence_en per sentence.
+    """
+    empty = _empty_chunks()
     if len(sentences) == 0:
         return empty
 
@@ -370,47 +414,150 @@ def chunk_arrays_en(
     chk = chk.sort_values(["seg", "chunk_id"], kind="stable", ignore_index=True)
     if not len(chk):
         return empty
+    return _attach_parents(chk)
 
-    # --- dependency links (_assign_parents, vectorized)
-    cseg = chk["seg"].to_numpy()
-    ck = chk["chunk_id"].to_numpy().astype(np.float64)
-    is_pred = chk["ctype"].isin((S.CTYPE_VERB, S.CTYPE_ADJ)).to_numpy()
-    pk = np.where(is_pred, ck, np.nan)
-    prev_incl = _ffill(cseg, pk)
-    next_incl = _bfill(cseg, pk)
-    next_strict = np.r_[next_incl[1:], np.nan]
-    next_strict[np.r_[cseg[1:] != cseg[:-1], True]] = np.nan
-    cstarts, cends = _run_bounds(cseg)
-    sizes = cends - cstarts
-    seg_size = np.repeat(sizes, sizes).astype(np.float64)
-    has_pred = np.repeat(np.logical_or.reduceat(is_pred, cstarts), sizes)
 
-    a, b = prev_incl, next_incl
-    # non-predicates: nearest predicate by chunk distance, tie → preceding
-    near = np.where(
-        np.isnan(a),
-        b,
-        np.where(np.isnan(b), a, np.where((ck - a) <= (b - ck), a, b)),
+def chunk_arrays_ja(
+    seg: np.ndarray, sentences: pd.Series, prof: dict
+) -> pd.DataFrame:
+    """Columnar twin of chunk.chunk_sentence_ja (the r01 VERDICT's last
+    row-wise hot path): whole-batch numpy passes over the SOV particle
+    profile, raw or pre-segmented input.
+
+    - sentence-level factorize: duplicate sentences tokenize/segment once
+      (segment_ja is the only per-unique-sentence Python left — it is
+      char-level by nature)
+    - token-level factorize: classification (particle / pronoun /
+      negation / verb-suffix / noun) runs once per UNIQUE token
+    - particle attachment: a particle at sentence position > 0 attaches
+      to the PREVIOUS emission (after the first token a chunk always
+      exists, so this is exactly the row-wise "if chunks" guard);
+      attached particles form contiguous runs per emission → run-wise
+      ''.join for the surface suffix, run-last for func
+    - a particle AT sentence start emits as a noun chunk (the row-wise
+      elif chain falls through: particles are not pronouns and match no
+      negation/verb suffix)
+
+    Equality with the row-wise spec is asserted by
+    tests/test_vchunk_parity.py (fixtures + randomized token streams).
+    """
+    empty = _empty_chunks()
+    if len(sentences) == 0:
+        return empty
+
+    from naruhodo_spark.operators.jaseg import segment_ja
+
+    def toks_of(s: str) -> list[str]:
+        if s and not any(ch.isspace() for ch in s):
+            return segment_ja(s, prof)
+        return [t for t in (r.strip(_PUNCT) for r in s.split()) if t]
+
+    sinv, suniq = pd.factorize(pd.Index(sentences.tolist()))
+    utoks = [toks_of(s) for s in suniq]
+    toks_per = [utoks[i] for i in sinv]
+    counts = np.fromiter(map(len, toks_per), np.int64, len(toks_per))
+    tseg = np.repeat(seg, counts)
+    flat = [t for lst in toks_per for t in lst]
+    if not flat:
+        return empty
+    tinv, uniq_o = pd.factorize(pd.Index(flat))
+    uniq = np.asarray(uniq_o, dtype=object)
+    tok = uniq[tinv]
+    n = len(tok)
+    pos = np.arange(n)
+
+    # --- per-unique-token classification (row-wise elif priority)
+    nu = len(uniq)
+    particles = prof["particles"]
+    prod = prof["pro"]
+    negs = tuple(prof["negations"])
+    sufs = tuple(prof["verb_suffixes"])
+    is_part_u = np.fromiter((t in particles for t in uniq), bool, nu)
+    pro_u = np.fromiter((prod.get(t, S.PRO_NONE) for t in uniq), np.int32, nu)
+    is_neg_u = np.fromiter((t.endswith(negs) for t in uniq), bool, nu)
+    is_suf_u = np.fromiter((t.endswith(sufs) for t in uniq), bool, nu)
+    past_u = np.fromiter((t.endswith(("た", "だ")) for t in uniq), bool, nu)
+    pas_u = np.fromiter(
+        (t.endswith(("れた", "れる", "られた", "られる")) for t in uniq), bool, nu
     )
-    parent = np.where(
-        is_pred,
-        np.where(np.isnan(next_strict), -1.0, next_strict),
-        np.where(
-            has_pred,
-            near,
-            np.where(ck != seg_size - 1, seg_size - 1.0, -1.0),
-        ),
+
+    # first token of each sentence (segment starts)
+    is_first = np.r_[True, tseg[1:] != tseg[:-1]]
+    att_part = is_part_u[tinv] & ~is_first  # attaches to previous emission
+    em = ~att_part
+
+    # chunk ordinal of each emission within its sentence
+    cum = np.cumsum(em.astype(np.int64))
+    seg_start = np.flatnonzero(is_first)
+    base = (cum - em)[seg_start]
+    k_all = cum - np.repeat(base, np.diff(np.r_[seg_start, n])) - 1
+
+    # --- particle runs onto their previous emission
+    fpos = pos.astype(np.float64)
+    prev_em = _ffill(tseg, np.where(em, fpos, np.nan))
+    tgt = prev_em[att_part].astype(np.int64)
+    pj_tgt, pj_join = _run_join(tgt, tok[att_part], sep="")
+    if len(tgt):
+        p_starts, p_ends = _run_bounds(tgt)
+        pl_tgt, pl_tok = tgt[p_starts], tok[att_part][p_ends - 1]
+    else:
+        pl_tgt, pl_tok = tgt, np.array([], dtype=object)
+
+    # --- emission chunks
+    epos = pos[em]
+    eseg = tseg[em]
+    ek = k_all[em]
+    einv = tinv[em]
+    etok = tok[em]
+
+    pro_v = pro_u[einv]
+    is_pron_e = pro_v != S.PRO_NONE
+    is_negv_e = ~is_pron_e & is_neg_u[einv]
+    is_verb_e = is_negv_e | (~is_pron_e & is_suf_u[einv])
+
+    suffix = _map_onto(epos, pj_tgt, pj_join, "")
+    func_v = _map_onto(epos, pl_tgt, pl_tok, "")
+    surface = etok.copy()
+    smask = suffix != ""
+    surface[smask] = [t + s for t, s in zip(etok[smask], suffix[smask])]
+
+    ctype = np.where(
+        is_pron_e,
+        S.CTYPE_PRONOUN,
+        np.where(is_verb_e, S.CTYPE_VERB, S.CTYPE_NOUN),
+    ).astype(np.int32)
+    # tense: pronoun branch hardcodes present; negation/verb branches use
+    # the た/だ suffix; nouns present
+    tense = np.where(is_verb_e & past_u[einv], "past", "present")
+
+    chk = pd.DataFrame(
+        {
+            "seg": eseg,
+            "chunk_id": ek.astype(np.int64),
+            "surface": surface,
+            "main": etok,
+            "func": func_v,
+            "ctype": ctype,
+            "ne_type": np.full(len(epos), S.ETYPE_UNKNOWN, dtype=np.int32),
+            "pro": np.where(is_pron_e, pro_v, S.PRO_NONE).astype(np.int32),
+            "negative": is_negv_e,
+            # row-wise emit computes pas_flag(surface) for EVERY chunk
+            # from the surface AT EMIT TIME (before particles append)
+            "passive": pas_u[einv],
+            "tense": tense,
+        }
     )
-    chk["parent"] = np.nan_to_num(parent, nan=-1.0).astype(np.int32)
-    chk["chunk_id"] = chk["chunk_id"].astype(np.int32)
-    return chk
+    # already in (seg, chunk_id) order by construction
+    return _attach_parents(chk)
 
 
 def chunk_batch(pdf: pd.DataFrame, prof: dict) -> pd.DataFrame:
-    """(doc_id, sent_id, sentence) batch → S.CHUNKS-shaped batch
-    (EN/SVO profiles; callers dispatch JA to the row-wise path)."""
+    """(doc_id, sent_id, sentence) batch → S.CHUNKS-shaped batch.
+    Dispatches on the profile: EN/SVO → chunk_arrays_en, JA/SOV →
+    chunk_arrays_ja."""
     seg = np.arange(len(pdf))
-    chk = chunk_arrays_en(seg, pdf["sentence"].astype(str), prof)
+    arrays = chunk_arrays_ja if prof.get("lang") == "ja" else chunk_arrays_en
+    chk = arrays(seg, pdf["sentence"].astype(str), prof)
     idx = chk["seg"].to_numpy()
     out = pd.DataFrame(
         {
@@ -493,11 +640,12 @@ def _split_sentences_batch(pdf: pd.DataFrame, prof: dict):
     return d, sid.astype(np.int64), pd.Series(sent)
 
 
-def fused_batch_en(
+def fused_batch(
     pdf: pd.DataFrame, prof: dict, stop: set, canon: dict | None
 ) -> pd.DataFrame:
     """One (doc_id, spans) Arrow batch → resolved/carried(/linked) triple
-    rows, columnar. Mirrors fused.doc_triples over the whole batch.
+    rows, columnar. Mirrors fused.doc_triples over the whole batch, for
+    BOTH profiles (EN/SVO positional roles, JA/SOV particle roles).
 
     All per-chunk addressing goes through a flat global index
     gidx(seg, chunk_id) = seg_offset[seg] + chunk_id (chunk ids are
@@ -507,7 +655,8 @@ def fused_batch_en(
     Python."""
     d_ord, sids, sents = _split_sentences_batch(pdf, prof)
     seg = np.arange(len(sents))
-    chk = chunk_arrays_en(seg, sents, prof)
+    arrays = chunk_arrays_ja if prof.get("lang") == "ja" else chunk_arrays_en
+    chk = arrays(seg, sents, prof)
     nck = len(chk)
 
     cseg = chk["seg"].to_numpy()
@@ -540,9 +689,15 @@ def fused_batch_en(
     par_g = np.where(att, offs[cseg] + cpar, 0)
     att &= is_pred_c[par_g]
 
-    bare = cfunc == ""
-    role_subj = att & bare & (ck < cpar)
-    role_obj = att & bare & (ck > cpar)
+    if prof.get("order") == "sov":
+        # particle-driven roles (triples._role_col): が/は → subj,
+        # を → obj, regardless of position
+        role_subj = att & ((cfunc == "が") | (cfunc == "は"))
+        role_obj = att & (cfunc == "を")
+    else:
+        bare = cfunc == ""
+        role_subj = att & bare & (ck < cpar)
+        role_obj = att & bare & (ck > cpar)
 
     # deterministic choice: nearest-preceding subject (max chunk_id),
     # nearest-following object (min chunk_id), scattered per predicate
@@ -665,3 +820,7 @@ def fused_batch_en(
             "subj_canon", "obj_canon",
         ]
     ]
+
+
+# backward-compatible alias (pre-r2 name, EN-only then)
+fused_batch_en = fused_batch

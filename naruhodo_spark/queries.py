@@ -1700,7 +1700,25 @@ def kg_triples_ja(spark, sf_dir):
     return build_kg(docs, prof=L.get_profile("ja"))["triples"]
 
 
+def kg_web_source(spark, sf_dir):
+    """O3 web source: the naruhodo_web Python DataSource (fetch stubbed
+    — no network here; partitioned URL fan-out and spans schema real)
+    feeding the standard pipeline."""
+    from naruhodo_spark.websource import WebDocumentSource
+
+    spark.dataSource.register(WebDocumentSource)
+    urls = "|".join(f"https://example.org/page{i}" for i in range(8))
+    docs = (
+        spark.read.format("naruhodo_web")
+        .option("urls", urls)
+        .option("n_partitions", "4")
+        .load()
+    )
+    return build_kg(docs, prof=_en())["triples"]
+
+
 for _n, _f in [
+    ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),
     ("kg_ksg_edges", kg_ksg_edges),

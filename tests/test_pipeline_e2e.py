@@ -579,3 +579,29 @@ def test_same_surface_mentions_merge(spark):
     assert len(e) == 1 and e[0]["weight"] == 2
     assert "alice" in nodes
     assert not any("#" in n for n in nodes)
+
+
+def test_blas_topk_handles_extreme_vec_ids(spark):
+    """ADVICE r01: the packed composite sort key silently broke for
+    negative ids (ordering flip) and ids >= 2^42 (int64 overflow). The
+    lexsort replacement must keep the BLAS path exactly equal to the
+    Catalyst twin for xxhash64-sized and negative ids, including on
+    cosine TIES (all-equal vectors) where the id tie-break decides."""
+    from naruhodo_spark.ops.similarity import topk_ivf, topk_ivf_blas
+
+    ids = [-(2**62), -7, 0, 3, 2**42, 2**62 + 11]
+    rows = [
+        # three identical vectors → cosine ties broken purely by id asc
+        (ids[0], 0, [1.0, 0.0, 0.0]),
+        (ids[1], 0, [1.0, 0.0, 0.0]),
+        (ids[4], 0, [1.0, 0.0, 0.0]),
+        (ids[2], 0, [0.9, 0.1, 0.0]),
+        (ids[3], 1, [0.0, 1.0, 0.0]),
+        (ids[5], 1, [0.0, 0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    a = sorted(map(tuple, topk_ivf(emb, k=2).collect()))
+    b = sorted(map(tuple, topk_ivf_blas(emb, k=2).collect()))
+    assert a == b and len(a) > 0
