@@ -135,3 +135,21 @@ class parser:  # noqa: N801 — name mirrors the reference API
         EX.export_json(kg["ksg_nodes"], kg["ksg_edges"], filename, max_nodes)
 
     exportJSON = export_json
+
+    # -- plot sink (reference: show / plotToFile, O6) ----------------------
+    def show(self, max_nodes: int = 200) -> dict:
+        """Reference ``show()``: returns the plotly-figure dict (no
+        plotting library in this environment — the dict IS the figure;
+        plotly renders it unchanged where installed)."""
+        from naruhodo_spark import plot as PL
+
+        return PL.plot_figure(self.nodes, self.edges, max_nodes)
+
+    def plot_to_file(self, filename: str, max_nodes: int = 200) -> None:
+        """Reference ``plotToFile()``: standalone SVG (or the figure
+        dict as .json)."""
+        from naruhodo_spark import plot as PL
+
+        PL.plot_to_file(self.nodes, self.edges, filename, max_nodes)
+
+    plotToFile = plot_to_file

@@ -1717,7 +1717,22 @@ def kg_web_source(spark, sf_dir):
     return build_kg(docs, prof=_en())["triples"]
 
 
+def kg_media_links(spark, sf_dir):
+    """Media–entity co-occurrence edges over the interleaved synth
+    corpus (operators/media.py): each media span links ``appears_with``
+    to entities in the adjacent text spans. Rows-only: the adjacency
+    arithmetic rides the pandas-UDF pipeline's sent_id encoding; exact
+    semantics are pinned in tests/test_media_links.py."""
+    from naruhodo_spark.operators import media as O_media
+
+    docs = _synth(spark)
+    kg = build_kg(docs, prof=_en())
+    nodes, edges = O_media.media_entity_edges(docs, kg["triples"])
+    return edges
+
+
 for _n, _f in [
+    ("kg_media_links", kg_media_links),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),

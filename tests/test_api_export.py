@@ -50,3 +50,61 @@ def test_ja_facade(spark):
     p.add("彼女 は 本 を 読んだ 。")
     edges = {(r["subj"], r["pred"], r["obj"]) for r in p.edges.collect()}
     assert ("彼女", "読んだ", "本") in edges
+
+
+def test_plot_sink_svg_and_figure(spark, tmp_path):
+    """O6: show()/plotToFile() — bounded subgraph, deterministic seeded
+    layout, well-formed SVG, plotly-shaped figure dict."""
+    import xml.etree.ElementTree as ET
+
+    from naruhodo_spark import plot as PL
+
+    p = parser(spark, lang="en")
+    p.add("alice visited bob. she praised carol.")
+    p.add("dave moved to tokyo.")
+
+    fig = p.show(max_nodes=50)
+    assert set(fig) == {"data", "layout"}
+    edge_trace, node_trace = fig["data"]
+    assert node_trace["mode"] == "markers+text"
+    n = len(node_trace["x"])
+    assert n == p.nodes.count() <= 50
+    assert len(node_trace["marker"]["size"]) == n
+    # every edge segment references a laid-out coordinate triple (x0,x1,None)
+    assert len(edge_trace["x"]) % 3 == 0
+    json.dumps(fig)  # figure must be pure-JSON serializable
+
+    # determinism: same seed -> identical layout
+    fig2 = p.show(max_nodes=50)
+    assert fig["data"][1]["x"] == fig2["data"][1]["x"]
+
+    out = tmp_path / "g.svg"
+    p.plot_to_file(str(out))
+    root = ET.parse(out).getroot()
+    assert root.tag.endswith("svg")
+    tags = [c.tag.split("}")[-1] for c in root]
+    assert tags.count("circle") == n
+    assert "line" in tags
+
+    jout = tmp_path / "g.json"
+    p.plot_to_file(str(jout))
+    assert json.loads(jout.read_text())["data"]
+
+
+def test_plot_top_subgraph_bounds(spark):
+    """max_nodes truly bounds the collect; induced edges keep both
+    endpoints inside the selection (checked vs a driver recomputation)."""
+    from naruhodo_spark import plot as PL
+
+    p = parser(spark, lang="en")
+    p.add_all(
+        [f"user{i} praised item{i % 3}." for i in range(20)]
+        + ["alice visited bob."] * 5
+    )
+    node_rows, edge_rows = PL.top_subgraph(p.nodes, p.edges, max_nodes=6)
+    assert len(node_rows) == 6
+    all_counts = sorted((r["count"] for r in p.nodes.collect()), reverse=True)
+    assert sorted((r["count"] for r in node_rows), reverse=True) == all_counts[:6]
+    kept = {r["node_id"] for r in node_rows}
+    for e in edge_rows:
+        assert e["source"] in kept and e["target"] in kept
