@@ -1731,8 +1731,27 @@ def kg_media_links(spark, sf_dir):
     return edges
 
 
+def kg_entity_salience(spark, sf_dir):
+    """Graph analytics over the built KSG (operators/graphstats.py):
+    weighted PageRank (iterative join+agg power iteration, numpy-pinned
+    in tests/test_graphstats.py) joined with degree/strength stats —
+    the 'which entities matter' surface users run on the reference's
+    networkx graph, as a distributed DataFrame program."""
+    from naruhodo_spark.operators import graphstats as O_gs
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    pr = O_gs.pagerank(edges, iterations=8)
+    deg = O_gs.degree_stats(edges)
+    return (
+        pr.join(deg, "node")
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
+    ("kg_entity_salience", kg_entity_salience),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),

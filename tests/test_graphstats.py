@@ -1,0 +1,74 @@
+"""PageRank / degree stats (operators/graphstats.py) vs a dense numpy
+power iteration implementing the identical update rule."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from naruhodo_spark.operators import graphstats as G
+
+
+def _edges_df(spark, triples):
+    return spark.createDataFrame(
+        [(s, p, o, w, False, False) for (s, p, o, w) in triples],
+        "subj string, pred string, obj string, weight long,"
+        " negative boolean, passive boolean",
+    )
+
+
+def _numpy_pagerank(pairs, d=0.85, iters=15):
+    nodes = sorted({u for u, v, w in pairs} | {v for u, v, w in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for u, v, w in pairs:
+        W[idx[u], idx[v]] += w
+    out = W.sum(axis=1)
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (P.T @ r + dangling / n)
+    return {v: r[i] for v, i in idx.items()}
+
+
+def test_pagerank_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    names = [f"n{i}" for i in range(12)]
+    triples = []
+    for _ in range(30):
+        u, v = rng.choice(12, size=2, replace=False)
+        triples.append((names[u], "rel", names[v], int(rng.integers(1, 5))))
+    # a dangling node: appears only as an object
+    triples.append((names[0], "rel", "sink", 3))
+
+    df = _edges_df(spark, triples)
+    got = {r["node"]: r["rank"] for r in G.pagerank(df).collect()}
+    want = _numpy_pagerank([(s, o, w) for (s, p, o, w) in triples])
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_objectless_triples_target_pred_node(spark):
+    df = _edges_df(spark, [("alice", "run", "", 2)])
+    got = {r["node"] for r in G.pagerank(df, iterations=3).collect()}
+    assert got == {"alice", "pred:run"}
+
+
+def test_pagerank_empty(spark):
+    df = _edges_df(spark, [])
+    assert G.pagerank(df).count() == 0
+
+
+def test_degree_stats(spark):
+    df = _edges_df(
+        spark,
+        [("a", "r", "b", 2), ("a", "r", "c", 1), ("b", "r", "c", 4)],
+    )
+    got = {r["node"]: r.asDict() for r in G.degree_stats(df).collect()}
+    assert got["a"]["out_degree"] == 2 and got["a"]["in_degree"] == 0
+    assert got["a"]["out_strength"] == 3.0
+    assert got["c"]["in_degree"] == 2 and got["c"]["in_strength"] == 5.0
+    assert got["b"]["out_strength"] == 4.0 and got["b"]["in_strength"] == 2.0
