@@ -1749,9 +1749,30 @@ def kg_entity_salience(spark, sf_dir):
     )
 
 
+def td_decontam(spark, sf_dir):
+    """Benchmark decontamination (ops/decontam.py): per-doc n-gram
+    overlap counts against an eval set deterministically carved from the
+    corpus itself (token windows of every 7th doc — guaranteed
+    non-vacuous). Rows-only here; a hash-free DuckDB string-n-gram
+    mirror verifies the xxhash64 plan in tests/test_decontam.py."""
+    from naruhodo_spark.ops import decontam as D
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    bench = docs.where(F.col("doc_id").cast("long") % 7 == 0).select(
+        F.concat(F.lit("b-"), "doc_id").alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 3, 8), " "
+        ).alias("text"),
+    )
+    return D.contamination_flags(docs, bench, n=5)
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
+    ("td_decontam", td_decontam),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),
