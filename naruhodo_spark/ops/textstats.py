@@ -99,6 +99,39 @@ def stratified_sample(
     return docs.where(b < thr)
 
 
+def source_quota(
+    docs: DataFrame,
+    cap: int,
+    strat_col: str = "source",
+    seed: str = "quota42",
+) -> DataFrame:
+    """Per-source document cap (RefinedWeb/C4-style domain quotas):
+    sources under ``cap`` pass whole; over-cap sources are downsampled
+    to ≈cap docs via the shared deterministic md5 bucketing.
+
+    This is a RATE-based cap (expected size cap ± binomial noise), not
+    an exact top-N — exact would require a per-source ordering, i.e. a
+    sort window on a key whose skew is the entire reason the quota
+    exists. The group sizes come from one map-side-combined aggregation
+    kept AS A DATAFRAME (at web scale there are millions of domains —
+    never driver-collected) and join back on the stratum key; the
+    aggregated counts table is small relative to the corpus, so AQE
+    picks a broadcast join when it fits. The keep test is integer-only:
+    bucket·count < cap·10000 avoids the double-truncation boundary bug
+    documented on stratified_sample.
+    """
+    counts = docs.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_n"))
+    b = _hash_bucket(seed)
+    return (
+        docs.join(counts, strat_col)
+        .where(
+            (F.col("_n") <= cap)
+            | (b * F.col("_n") < F.lit(cap) * F.lit(10000))
+        )
+        .drop("_n")
+    )
+
+
 def sentence_dedup(docs: DataFrame) -> DataFrame:
     """Corpus-wide sentence-level dedup (standard training-data cleaning:
     boilerplate sentences recur across pages). Emits one row per DISTINCT

@@ -1769,10 +1769,21 @@ def td_decontam(spark, sf_dir):
     return D.contamination_flags(docs, bench, n=5)
 
 
+def ts_source_quota(spark, sf_dir):
+    """Per-source quota cap (ops/textstats.source_quota): sources over
+    the cap are deterministically rate-downsampled to ≈cap docs; the
+    exact keep rule is mirrored in DuckDB in tests/test_source_quota.py
+    (rows-only here — the 50-oracle driver window is full)."""
+    return TS.source_quota(
+        _t(spark, sf_dir, "documents"), cap=10
+    ).select("doc_id", "source")
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),
+    ("ts_source_quota", ts_source_quota),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),
