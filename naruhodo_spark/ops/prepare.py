@@ -11,7 +11,14 @@ Stage order matters at scale and is the standard one:
 3. cheap quality gates (length/distinct + repetition) AFTER dedup so the
    expensive LSH never runs on docs a filter would have kept anyway but
    duplicates inflate;
-4. split LAST so train/val/test stay leak-free across near-duplicates
+4. optional benchmark decontamination (ops/decontam.py) on the scrubbed
+   survivors — after dedup so the broadcast n-gram join scans each
+   surviving text once, before the split so no contaminated doc leaks
+   into ANY split;
+5. optional per-source quota (ops/textstats.source_quota) next — mix
+   control belongs after every content filter so the cap reflects the
+   corpus that will actually be trained on;
+6. split LAST so train/val/test stay leak-free across near-duplicates
    (both members of a near-dup pair land in the same group, and the
    group representative carries the whole group into one split).
 """
@@ -31,6 +38,9 @@ def prepare_corpus(
     max_top_bigram_frac: float = 0.5,
     train: float = 0.9,
     val: float = 0.05,
+    bench: DataFrame | None = None,
+    decontam_n: int = 13,
+    source_cap: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, …) → one row per SURVIVING doc:
     (doc_id, text_redacted, group_id, group_size, n_tokens,
@@ -52,7 +62,7 @@ def prepare_corpus(
     qual = TS.token_counts(red).select("doc_id", "n_tokens")
     rep_sc = TS.repetition_scores(red).select("doc_id", "top_bigram_frac")
     split = TS.hash_split(red, train=train, val=val)
-    return (
+    out = (
         red.join(reps, "doc_id")
         .join(qual, "doc_id")
         .join(rep_sc, "doc_id")
@@ -71,3 +81,20 @@ def prepare_corpus(
             "split",
         )
     )
+    if bench is not None:
+        from naruhodo_spark.ops import decontam as DC
+
+        out = out.withColumnRenamed("text_redacted", "text")
+        out = DC.decontaminate(out, bench, n=decontam_n).withColumnRenamed(
+            "text", "text_redacted"
+        )
+    if source_cap is not None:
+        # quota needs the source column back (the survivors projection
+        # dropped it); join from the input on doc_id, cap, then re-prune
+        out = (
+            TS.source_quota(
+                out.join(docs.select("doc_id", "source"), "doc_id"),
+                cap=source_cap,
+            ).drop("source")
+        )
+    return out

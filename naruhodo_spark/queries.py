@@ -1653,11 +1653,19 @@ def kg_span_invariant(spark, sf_dir):
 def td_prepare(spark, sf_dir):
     """The composed training-corpus preparation (ops/prepare.py):
     redact → tiered near-dup dedup (group representatives) → token/
-    repetition gates → leak-free hash split. Rows-only: every stage is
-    individually oracled; the composition is one lazy plan."""
+    repetition gates → benchmark decontamination → per-source quota →
+    leak-free hash split. Rows-only: every stage is individually
+    oracled/mirrored; the composition is one lazy plan."""
     from naruhodo_spark.ops.prepare import prepare_corpus
 
-    return prepare_corpus(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("b-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 2, 7), " "
+        ).alias("text"),
+    )
+    return prepare_corpus(docs, bench=bench, decontam_n=5, source_cap=20)
 
 
 QUERIES["td_prepare"] = td_prepare

@@ -605,3 +605,37 @@ def test_blas_topk_handles_extreme_vec_ids(spark):
     a = sorted(map(tuple, topk_ivf(emb, k=2).collect()))
     b = sorted(map(tuple, topk_ivf_blas(emb, k=2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_prepare_corpus_decontam_and_quota(spark):
+    """Extended composition: a benchmark doc knocks out the matching
+    survivor BEFORE the split; the source cap then bounds a hot source —
+    both stages optional and off by default (prior test unchanged)."""
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    uniq = (
+        "a perfectly ordinary unique document about spark plans "
+        "and shuffle boundaries for testing"
+    )
+    rows = [(1, uniq, "srcA")] + [
+        # fully disjoint vocab per doc so near-dup grouping keeps them apart
+        (100 + i, " ".join(f"tok{i}x{j}" for j in range(12)), "srcB")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # no options: everything survives (each doc is its own group)
+    base = prepare_corpus(docs)
+    assert base.count() == 41
+
+    bench = spark.createDataFrame(
+        [("b1", "document about spark plans and shuffle boundaries")],
+        "doc_id string, text string",
+    )
+    out = prepare_corpus(docs, bench=bench, decontam_n=5, source_cap=10)
+    got = out.collect()
+    ids = {r["doc_id"] for r in got}
+    assert 1 not in ids                      # decontaminated away
+    n_b = len([i for i in ids if i >= 100])  # quota bit the hot source
+    assert 0 < n_b < 40
+    assert set(out.columns) == set(base.columns)
