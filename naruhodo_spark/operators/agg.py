@@ -90,3 +90,33 @@ def aggregate_nodes(triples: DataFrame) -> DataFrame:
     ).withColumn("name", F.col("node_id")).select(
         "node_id", "name", "rep", "etype", "pro", "count"
     )
+
+
+def edge_provenance(triples: DataFrame) -> DataFrame:
+    """Per-canonical-edge lineage: (subj, pred, obj, n_docs, n_mentions,
+    first_doc, last_doc) — which documents support each KSG edge.
+
+    Skew-safe by construction: the distinct-document count is the
+    standard two-phase distinct — pre-aggregate on (edge, doc_id) so a
+    hot edge's mentions combine map-side per document before the
+    per-edge reduce. A direct ``countDistinct(doc_id)`` would funnel
+    every mention of a 'god edge' into a single task's hash set; here
+    the second phase sees one row per supporting document, bounded by
+    corpus doc count, never by mention multiplicity.
+    """
+    per_doc = (
+        triples.where(F.col("subj_canon").isNotNull())
+        .groupBy(
+            F.col("subj_canon").alias("subj"),
+            F.col("pred").alias("pred"),
+            F.coalesce(F.col("obj_canon"), F.lit("")).alias("obj"),
+            "doc_id",
+        )
+        .agg(F.count(F.lit(1)).alias("mentions"))
+    )
+    return per_doc.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mentions").alias("n_mentions"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -145,6 +145,7 @@ def build_kg(
         else O_agg.aggregate_edges(t)
     )
     stages["ksg_nodes"] = O_agg.aggregate_nodes(t)
+    stages["edge_provenance"] = O_agg.edge_provenance(t)
     return stages
 
 

@@ -1792,6 +1792,12 @@ for _n, _f in [
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),
     ("ts_source_quota", ts_source_quota),
+    (
+        "kg_edge_provenance",
+        lambda spark, sf_dir: build_kg(_synth(spark), prof=_en())[
+            "edge_provenance"
+        ],
+    ),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),

@@ -72,3 +72,34 @@ def test_degree_stats(spark):
     assert got["a"]["out_strength"] == 3.0
     assert got["c"]["in_degree"] == 2 and got["c"]["in_strength"] == 5.0
     assert got["b"]["out_strength"] == 4.0 and got["b"]["in_strength"] == 2.0
+
+
+def test_edge_provenance(spark):
+    """edge_provenance (operators/agg.py): two-phase distinct-doc
+    support counts per canonical edge, vs a driver recomputation; and
+    n_mentions must equal aggregate_edges' weight for every edge."""
+    from naruhodo_spark.operators import agg as A
+    from naruhodo_spark.api import parser
+
+    p = parser(spark, lang="en")
+    p.add_all(
+        ["alice visited bob."] * 3       # doc0..2: 3 docs, 1 mention each
+        + ["alice visited bob. alice visited bob."]  # doc3: 2 mentions
+        + ["carol praised dave."]
+    )
+    kg = p.build()
+    prov = {
+        (r["subj"], r["pred"], r["obj"]): r.asDict()
+        for r in A.edge_provenance(kg["triples_linked"]).collect()
+    }
+    e = prov[("alice", "visit", "bob")]
+    assert e["n_docs"] == 4 and e["n_mentions"] == 5
+    assert prov[("carol", "praise", "dave")]["n_docs"] == 1
+
+    weights = {
+        (r["subj"], r["pred"], r["obj"]): r["weight"]
+        for r in kg["ksg_edges"].collect()
+    }
+    assert set(prov) == set(weights)
+    for k in weights:
+        assert prov[k]["n_mentions"] == weights[k], k
