@@ -54,7 +54,8 @@ _DEFAULT_COLOR = "#9d9d9d"
 
 
 def top_subgraph(
-    nodes: DataFrame, edges: DataFrame, max_nodes: int = 200
+    nodes: DataFrame, edges: DataFrame, max_nodes: int = 200,
+    max_edges: int | None = None,
 ) -> tuple[list[dict], list[dict]]:
     """Distributed selection of the viewer subgraph.
 
@@ -63,8 +64,13 @@ def top_subgraph(
     the edges whose BOTH endpoints survive, via a broadcast semi-join
     (the k-row node set is broadcast; the edge table is never
     collected). Objectless triples resolve to the predicate node, the
-    same rule as export.links_json.
+    same rule as export.links_json. The induced edge set is worst-case
+    O(max_nodes²) on a dense subgraph, so the edge collect is ALSO
+    bounded: heaviest ``max_edges`` (default 20·max_nodes) by
+    (weight desc, subj, pred, obj) — another rank-k, deterministic.
     """
+    if max_edges is None:
+        max_edges = 20 * max_nodes
     top = nodes.orderBy(F.col("count").desc(), F.col("node_id")).limit(max_nodes)
     kept = F.broadcast(top.select(F.col("node_id").alias("_kid")))
 
@@ -77,7 +83,8 @@ def top_subgraph(
         .join(
             kept.withColumnRenamed("_kid", "_dst"), "_dst", "left_semi"
         )
-        .orderBy("subj", "pred", "obj")
+        .orderBy(F.col("weight").desc(), "subj", "pred", "obj")
+        .limit(max_edges)
     )
 
     node_rows = [r.asDict() for r in top.collect()]
