@@ -36,6 +36,10 @@ def main() -> None:
         help="commit manifest every N partitions (kill loses ≤ one wave; "
         "default: single wave)",
     )
+    ap.add_argument(
+        "--provenance", action="store_true",
+        help="also write the edge_provenance lineage table",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -66,6 +70,7 @@ def main() -> None:
         aliases=synth.alias_dictionary(spark),
         salted=args.salted,
         wave_parts=args.wave_parts,
+        provenance=args.provenance,
     )
     wall = time.time() - t0
     print(

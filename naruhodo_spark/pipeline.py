@@ -217,6 +217,7 @@ def run_partitioned(
     salted: bool = False,
     run_id: str | None = None,
     wave_parts: int | None = None,
+    provenance: bool = False,
 ) -> dict[str, int]:
     """EP1′/EP2′: process only not-yet-done partitions, append their raw
     triples (partitioned by part_id — dynamic partition overwrite makes a
@@ -255,7 +256,8 @@ def run_partitioned(
         .collect()
     }
     if not part_stats:
-        finalize(spark, out_dir, aliases=aliases, salted=salted)
+        finalize(spark, out_dir, aliases=aliases, salted=salted,
+                 provenance=provenance)
         return {
             "parts_processed": 0,
             "docs": 0,
@@ -305,7 +307,8 @@ def run_partitioned(
         triples.unpersist()
     if len(waves) > 1:
         todo.unpersist()
-    finalize(spark, out_dir, aliases=aliases, salted=salted)
+    finalize(spark, out_dir, aliases=aliases, salted=salted,
+             provenance=provenance)
     return {
         "parts_processed": len(pending_ids),
         "docs": int(sum(dc for dc, _ in part_stats.values())),
@@ -318,8 +321,12 @@ def finalize(
     out_dir: str,
     aliases: DataFrame | None = None,
     salted: bool = False,
+    provenance: bool = False,
 ) -> None:
-    """Aggregate ALL raw triples into the canonical graph tables."""
+    """Aggregate ALL raw triples into the canonical graph tables.
+
+    ``provenance=True`` additionally writes the edge_provenance lineage
+    table (operators/agg.edge_provenance)."""
     if not storage.table_exists(spark, "triples_raw", out_dir):
         return
     t = storage.read_table(spark, "triples_raw", out_dir)
@@ -341,3 +348,7 @@ def finalize(
     nodes = O_agg.aggregate_nodes(t)
     storage.write_table(edges, "ksg_edges", out_dir)
     storage.write_table(nodes, "ksg_nodes", out_dir)
+    if provenance:
+        storage.write_table(
+            O_agg.edge_provenance(t), "edge_provenance", out_dir
+        )
