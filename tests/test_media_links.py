@@ -146,3 +146,38 @@ def test_media_plan_has_no_window_exchange(spark):
     plan = M.media_adjacency(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Exchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_media_adjacency_randomized_vs_python(spark):
+    """200 random interleaved docs, one Spark call, exact set equality
+    with a pure-Python recomputation of the adjacency rule."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows, want = [], set()
+    for d in range(200):
+        doc_id = f"r{d:03d}"
+        n = int(rng.integers(1, 9))
+        kinds = ["media" if rng.random() < 0.4 else "text" for _ in range(n)]
+        offsets = rng.permutation(100)[:n].tolist()  # scrambled storage order
+        spans = [
+            (k, "alice runs." if k == "text" else "",
+             f"img://{d}/{j}.png" if k == "media" else "", int(offsets[j]))
+            for j, k in enumerate(kinds)
+        ]
+        rows.append(_doc(doc_id, spans))
+        # python reference: offset order, prefix text counts
+        order = sorted(range(n), key=lambda j: offsets[j])
+        tcount = 0
+        for j in order:
+            if kinds[j] == "text":
+                tcount += 1
+            else:
+                for o in (tcount - 1, tcount):
+                    if o >= 0:
+                        want.add((doc_id, f"img://{d}/{j}.png", o))
+    got = {
+        (r["doc_id"], r["media_ref"], r["text_ordinal"])
+        for r in M.media_adjacency(_docs(spark, rows)).collect()
+    }
+    assert got == want
