@@ -120,3 +120,66 @@ def degree_stats(ksg_edges: DataFrame) -> DataFrame:
             F.coalesce("in_strength", F.lit(0.0)).alias("in_strength"),
         )
     )
+
+
+def k_hop_subgraph(
+    ksg_edges: DataFrame,
+    sources: list[str],
+    k: int = 2,
+    direction: str = "both",
+) -> tuple[DataFrame, DataFrame]:
+    """K-hop neighborhood extraction → (nodes(node, dist), induced edges).
+
+    The reference exposes its graph to networkx, where this is
+    ``nx.ego_graph`` / ``descendants`` — driver-bound. Here each hop is
+    one equi-join of the frontier against the edge table (AQE picks a
+    broadcast build side while the frontier is small — the usual case
+    for entity-centric queries; a frontier that outgrows broadcast
+    degrades to a shuffle join rather than an OOM, which is why the
+    hint is NOT forced) followed by an anti-join against the visited
+    set; k is a hard bound
+    so the plan is k joins deep, ``localCheckpoint`` per hop truncates
+    lineage exactly like the CC/PageRank loops. The induced edge set is
+    a double semi-join against the visited nodes, identical to the plot
+    sink's rule.
+
+    direction: 'out' follows subj→obj, 'in' follows obj→subj, 'both'
+    unions the two (undirected neighborhood).
+    """
+    spark = ksg_edges.sparkSession
+    pairs = _edge_pairs(ksg_edges)
+    hops = pairs.select("src", "dst")
+    if direction == "in":
+        hops = hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        hops = hops.unionByName(
+            hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    hops = hops.distinct().localCheckpoint()
+
+    visited = spark.createDataFrame(
+        [(s, 0) for s in sources], "node string, dist int"
+    )
+    frontier = visited.select("node")
+    for depth in range(1, k + 1):
+        nxt = (
+            hops.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(depth).alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+
+    keep = visited.select("node")
+    induced = (
+        pairs.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .select("src", "dst", "weight")
+    )
+    return visited, induced

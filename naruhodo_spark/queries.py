@@ -1798,6 +1798,19 @@ for _n, _f in [
             "edge_provenance"
         ],
     ),
+    (
+        # 2-hop ego graph around two hot synth entities: frontier-join
+        # BFS (operators/graphstats.k_hop_subgraph), BFS-pinned in
+        # tests/test_graphstats.py
+        "kg_k_hop",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.operators.graphstats", fromlist=["k_hop_subgraph"]
+        ).k_hop_subgraph(
+            build_kg(_synth(spark), prof=_en())["ksg_edges"],
+            ["heidi", "victor"],
+            k=2,
+        )[0],
+    ),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),

@@ -103,3 +103,61 @@ def test_edge_provenance(spark):
     assert set(prov) == set(weights)
     for k in weights:
         assert prov[k]["n_mentions"] == weights[k], k
+
+
+def test_k_hop_subgraph_vs_python_bfs(spark):
+    """k_hop_subgraph distances and induced edges vs a python BFS on a
+    random directed graph, for all three directions and k in {1, 2}."""
+    from collections import deque
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    names = [f"n{i}" for i in range(15)]
+    triples = []
+    for _ in range(35):
+        u, v = rng.choice(15, size=2, replace=False)
+        triples.append((names[u], "rel", names[v], int(rng.integers(1, 4))))
+    df = _edges_df(spark, triples)
+
+    def py_bfs(adj, srcs, k):
+        dist = {s: 0 for s in srcs}
+        q = deque(srcs)
+        while q:
+            u = q.popleft()
+            if dist[u] == k:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    pairs = [(s, o) for (s, p, o, w) in triples]
+    adjs = {
+        "out": {},
+        "in": {},
+        "both": {},
+    }
+    for u, v in pairs:
+        adjs["out"].setdefault(u, set()).add(v)
+        adjs["in"].setdefault(v, set()).add(u)
+        adjs["both"].setdefault(u, set()).add(v)
+        adjs["both"].setdefault(v, set()).add(u)
+
+    from naruhodo_spark.operators.graphstats import k_hop_subgraph
+
+    for direction in ("out", "in", "both"):
+        for k in (1, 2):
+            srcs = [names[0], names[7]]
+            nodes, induced = k_hop_subgraph(df, srcs, k=k, direction=direction)
+            got = {r["node"]: r["dist"] for r in nodes.collect()}
+            want = py_bfs(adjs[direction], srcs, k)
+            assert got == want, (direction, k)
+            kept = set(got)
+            want_edges = {
+                (u, v) for u, v in pairs if u in kept and v in kept
+            }
+            assert {
+                (r["src"], r["dst"]) for r in induced.collect()
+            } == want_edges, (direction, k)
