@@ -1799,6 +1799,18 @@ for _n, _f in [
         ],
     ),
     (
+        # implicit related_to edges: document-level PMI co-occurrence
+        # (operators/cooccur.py), python-reference-pinned in
+        # tests/test_cooccur.py
+        "kg_entity_pmi",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.operators.cooccur", fromlist=["entity_cooccurrence"]
+        ).entity_cooccurrence(
+            build_kg(_synth(spark), prof=_en())["triples_linked"],
+            min_pair_docs=2,
+        ),
+    ),
+    (
         # 2-hop ego graph around two hot synth entities: frontier-join
         # BFS (operators/graphstats.k_hop_subgraph), BFS-pinned in
         # tests/test_graphstats.py
