@@ -24,7 +24,14 @@ Architecture (Spark-first, not a port):
   self-joins (large-star/small-star style min-label propagation);
 - node counts / edge weights are hash aggregations with an explicit
   salted two-phase variant for hot-entity skew;
-- per-partition progress manifests + anti-join give kill-resume.
+- per-partition progress manifests + anti-join give kill-resume;
+- graph consumers: plot sink (top-k subgraph + seeded force layout),
+  weighted PageRank / degree stats / k-hop ego graphs / PMI
+  co-occurrence as DataFrame programs, per-edge provenance counts,
+  media–entity ``appears_with`` edges over interleaved documents;
+- training-data ops (``ops/``): dedup families, ANN similarity, text
+  stats/quality, benchmark decontamination, per-source quotas, and the
+  composed ``prepare_corpus`` pipeline.
 """
 
 __version__ = "0.1.0"
