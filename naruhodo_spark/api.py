@@ -141,6 +141,8 @@ class parser:  # noqa: N801 — name mirrors the reference API
         """Reference ``show()``: returns the plotly-figure dict (no
         plotting library in this environment — the dict IS the figure;
         plotly renders it unchanged where installed)."""
+        if self.gtype != "k":
+            raise NotImplementedError("plot sink is KSG-only (like export)")
         from naruhodo_spark import plot as PL
 
         return PL.plot_figure(self.nodes, self.edges, max_nodes)
@@ -148,6 +150,8 @@ class parser:  # noqa: N801 — name mirrors the reference API
     def plot_to_file(self, filename: str, max_nodes: int = 200) -> None:
         """Reference ``plotToFile()``: standalone SVG (or the figure
         dict as .json)."""
+        if self.gtype != "k":
+            raise NotImplementedError("plot sink is KSG-only (like export)")
         from naruhodo_spark import plot as PL
 
         PL.plot_to_file(self.nodes, self.edges, filename, max_nodes)

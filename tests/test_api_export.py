@@ -108,3 +108,14 @@ def test_plot_top_subgraph_bounds(spark):
     kept = {r["node_id"] for r in node_rows}
     for e in edge_rows:
         assert e["source"] in kept and e["target"] in kept
+
+
+def test_plot_dsg_guard(spark):
+    import pytest as _pytest
+
+    p = parser(spark, lang="en", gtype="d")
+    p.add("alice visited bob.")
+    with _pytest.raises(NotImplementedError):
+        p.show()
+    with _pytest.raises(NotImplementedError):
+        p.plot_to_file("/tmp/never.svg")
