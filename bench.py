@@ -138,6 +138,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "dd_near_dup_groups",
         "ts_quality",
         "ts_langid",
+        "td_decontam",
+        "ts_source_quota",
     ]:
         timings[name] = _timed(lambda: _noop(Q.QUERIES[name](spark, sf_dir)))
         _clear_persisted(spark)
