@@ -34,12 +34,12 @@ def nodes_json(nodes: DataFrame) -> DataFrame:
 
 
 def links_json(edges: DataFrame) -> DataFrame:
-    # objectless triples target the PREDICATE node (reference behavior:
-    # subject→predicate edge when the object slot is empty), so every
-    # link resolves to a real node id
-    target = F.when(F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))).otherwise(
-        F.col("obj")
-    )
+    # objectless triples target the PREDICATE node via the shared
+    # node-identity contract (operators/agg.edge_target), so every link
+    # resolves to a real node id
+    from naruhodo_spark.operators.agg import edge_target
+
+    target = edge_target()
     return edges.orderBy("subj", "pred", "obj").select(
         F.to_json(
             F.struct(
@@ -68,9 +68,9 @@ def export_obj(nodes: DataFrame, edges: DataFrame, max_nodes: int = 10_000) -> d
     top = (nodes.orderBy(F.desc("count"), "node_id").limit(max_nodes)).persist()
     node_rows = [json.loads(r["json"]) for r in nodes_json(top).collect()]
     keep_ids = top.select(F.col("node_id"))
-    target = F.when(
-        F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))
-    ).otherwise(F.col("obj"))
+    from naruhodo_spark.operators.agg import edge_target
+
+    target = edge_target()
     induced = (
         edges.withColumn("_target", target)
         .join(

@@ -120,3 +120,15 @@ def edge_provenance(triples: DataFrame) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def edge_target():
+    """The node-identity contract for graph consumers: an objectless
+    triple's edge targets the ``pred:<pred>`` node ``aggregate_nodes``
+    mints (reference behavior: subject→predicate edge when the object
+    slot is empty). Every consumer (export, plot, PageRank/k-hop) MUST
+    resolve targets through this one expression so they can never
+    disagree with the exported graph."""
+    return F.when(
+        F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))
+    ).otherwise(F.col("obj"))

@@ -151,12 +151,9 @@ def chunk_sentence_ja(sentence: str, prof: dict) -> list[dict]:
     no analyzer binary exists in this environment (SURVEY.md §7.0).
     Case particles attach as `func` of the *preceding* chunk, mirroring
     [PK naruhodo/backends/cabocha.py] func extraction."""
-    if sentence and not any(ch.isspace() for ch in sentence):
-        from naruhodo_spark.operators.jaseg import segment_ja
+    from naruhodo_spark.operators.jaseg import ja_tokens
 
-        toks = segment_ja(sentence, prof)
-    else:
-        toks = _tokens(sentence)
+    toks = ja_tokens(sentence, prof, _PUNCT)
     chunks: list[dict] = []
 
     def emit(surface, main, ctype, pro, neg, tense):

@@ -59,7 +59,8 @@ def split_doc_sentences(spans, prof: dict) -> list[tuple[int, str]]:
     sent_re = re.compile(prof["sentence_re"])
     out = []
     span_pos = -1
-    for sp in spans:
+    # offset order == document order (same rule as normalize/span_sequences)
+    for sp in sorted(spans, key=lambda sp: sp["offset"]):
         if sp["kind"] != "text":
             continue
         span_pos += 1

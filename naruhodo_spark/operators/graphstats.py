@@ -30,10 +30,10 @@ from pyspark.sql import functions as F
 
 def _edge_pairs(ksg_edges: DataFrame) -> DataFrame:
     """(src, dst, weight) directed pairs; objectless triples point at the
-    predicate node — the same resolution rule as export/plot."""
-    dst = F.when(
-        F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))
-    ).otherwise(F.col("obj"))
+    predicate node via the shared contract (operators/agg.edge_target)."""
+    from naruhodo_spark.operators.agg import edge_target
+
+    dst = edge_target()
     return ksg_edges.select(
         F.col("subj").alias("src"), dst.alias("dst"),
         F.col("weight").cast("double").alias("weight"),
@@ -146,6 +146,8 @@ def k_hop_subgraph(
     direction: 'out' follows subj→obj, 'in' follows obj→subj, 'both'
     unions the two (undirected neighborhood).
     """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
     spark = ksg_edges.sparkSession
     pairs = _edge_pairs(ksg_edges)
     hops = pairs.select("src", "dst")

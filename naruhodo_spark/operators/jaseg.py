@@ -144,3 +144,17 @@ def segment_ja(text: str, prof: dict) -> list[str]:
         continue  # reprocess ch at the clean boundary
     flush()
     return tokens
+
+
+def ja_tokens(sentence: str, prof: dict, punct: str = ".,;:!?\"'()[]{}") -> list[str]:
+    """THE JA input contract, shared by the row-wise chunker
+    (operators/chunk.chunk_sentence_ja) and the columnar twin
+    (operators/vchunk.chunk_arrays_ja): a sentence with no whitespace is
+    RAW Japanese and runs through the longest-match segmenter; anything
+    else is treated as pre-segmented (whitespace tokens, edge
+    punctuation stripped). Keeping the dispatch in one place is what
+    lets the parity tests compare the two chunkers rather than two
+    divergent tokenizations."""
+    if sentence and not any(ch.isspace() for ch in sentence):
+        return segment_ja(sentence, prof)
+    return [t for t in (r.strip(punct) for r in sentence.split()) if t]

@@ -56,9 +56,20 @@ def split_sentences(docs_spans: DataFrame, profile: dict) -> DataFrame:
 
     sent_id = span_pos * SENT_STRIDE + sent_pos: strictly increasing in
     document order with zero shuffles (vs a row_number window).
+
+    Document order is OFFSET order, not storage order (same rule as
+    span_sequences): the text spans are offset-sorted before position
+    numbering, so sent_id div SENT_STRIDE is the text-span ordinal every
+    downstream consumer (media adjacency, DSG ids) can rely on even when
+    a writer stored the spans array out of order.
     """
     lowercase = profile.get("lang") != "ja"
-    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    text_spans = F.array_sort(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
     return (
         docs_spans.select(
             "doc_id", F.posexplode(text_spans).alias("span_pos", "span")

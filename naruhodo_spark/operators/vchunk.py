@@ -445,12 +445,10 @@ def chunk_arrays_ja(
     if len(sentences) == 0:
         return empty
 
-    from naruhodo_spark.operators.jaseg import segment_ja
+    from naruhodo_spark.operators.jaseg import ja_tokens
 
     def toks_of(s: str) -> list[str]:
-        if s and not any(ch.isspace() for ch in s):
-            return segment_ja(s, prof)
-        return [t for t in (r.strip(_PUNCT) for r in s.split()) if t]
+        return ja_tokens(s, prof, _PUNCT)
 
     sinv, suniq = pd.factorize(pd.Index(sentences.tolist()))
     utoks = [toks_of(s) for s in suniq]
@@ -598,7 +596,8 @@ def _split_sentences_batch(pdf: pd.DataFrame, prof: dict):
     texts: list[str] = []
     for i, spans in enumerate(pdf["spans"]):
         sp_pos = -1
-        for sp in spans:
+        # offset order == document order (mirror of split_doc_sentences)
+        for sp in sorted(spans, key=lambda sp: sp["offset"]):
             if sp["kind"] != "text":
                 continue
             sp_pos += 1

@@ -74,10 +74,9 @@ def top_subgraph(
     top = nodes.orderBy(F.col("count").desc(), F.col("node_id")).limit(max_nodes)
     kept = F.broadcast(top.select(F.col("node_id").alias("_kid")))
 
-    target = F.when(
-        F.col("obj") == "", F.concat(F.lit("pred:"), F.col("pred"))
-    ).otherwise(F.col("obj"))
-    e = edges.withColumn("_dst", target)
+    from naruhodo_spark.operators.agg import edge_target
+
+    e = edges.withColumn("_dst", edge_target())
     e = (
         e.join(kept.withColumnRenamed("_kid", "subj"), "subj", "left_semi")
         .join(

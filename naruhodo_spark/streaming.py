@@ -91,13 +91,18 @@ def incremental_ingest(
             seen = storage.read_table(spark, "doc_ids_seen", out_dir)
         elif storage.table_exists(spark, "triples_raw", out_dir):
             # recovery / legacy layout: rebuild the compact id table from
-            # raw once (a crash between the two appends below loses only
-            # the id append; under Iceberg they are one transaction)
+            # raw ONCE and persist it immediately — these ids are already
+            # in triples_raw, so marking them seen is correct no matter
+            # where a crash lands; without the write, batch 2 would
+            # anti-join against batch 1's ids only and re-process every
+            # legacy doc
             seen = (
                 storage.read_table(spark, "triples_raw", out_dir)
                 .select("doc_id")
                 .distinct()
+                .localCheckpoint()
             )
+            storage.write_table(seen, "doc_ids_seen", out_dir, mode="append")
         else:
             seen = None
         if seen is not None:

@@ -58,7 +58,10 @@ class WebDocumentReader(DataSourceReader):
         buckets: list[list[str]] = [[] for _ in range(n)]
         for i, u in enumerate(self.urls):
             buckets[i % n].append(u)
-        return [_UrlPartition(b) for b in buckets if b]
+        # never return []: PySpark substitutes [None] for an empty
+        # partition list and read(None) crashes — no urls means one
+        # empty partition and an empty DataFrame
+        return [_UrlPartition(b) for b in buckets if b] or [_UrlPartition([])]
 
     def fetch(self, url: str) -> str:  # override point for real HTTP
         return fake_fetch(url)

@@ -161,3 +161,13 @@ def test_k_hop_subgraph_vs_python_bfs(spark):
             assert {
                 (r["src"], r["dst"]) for r in induced.collect()
             } == want_edges, (direction, k)
+
+
+def test_k_hop_rejects_unknown_direction(spark):
+    import pytest as _pytest
+
+    from naruhodo_spark.operators.graphstats import k_hop_subgraph
+
+    df = _edges_df(spark, [("a", "r", "b", 1)])
+    with _pytest.raises(ValueError):
+        k_hop_subgraph(df, ["a"], direction="undirected")

@@ -181,3 +181,36 @@ def test_media_adjacency_randomized_vs_python(spark):
         for r in M.media_adjacency(_docs(spark, rows)).collect()
     }
     assert got == want
+
+
+def test_out_of_order_spans_pipeline_consistency(spark):
+    """Storage order must not matter anywhere: a doc whose spans array
+    is stored scrambled produces the SAME triples (with offset-ordered
+    sent_ids) as the sorted twin, through BOTH the fused and relational
+    plans, and media edges attach to the true offset-neighbors."""
+    spans_sorted = [
+        ("text", "alice visited bob.", "", 0),
+        ("media", "", "img://a.png", 1),
+        ("text", "carol praised dave.", "", 2),
+    ]
+    scrambled = [spans_sorted[2], spans_sorted[0], spans_sorted[1]]
+    d_sorted = _docs(spark, [_doc("d1", spans_sorted)])
+    d_scram = _docs(spark, [_doc("d1", scrambled)])
+
+    for plan in ("fused", "relational"):
+        a = {
+            (r["sent_id"], r["subj"], r["pred"], r["obj"])
+            for r in build_kg(d_sorted, triple_plan=plan)["triples"].collect()
+        }
+        b = {
+            (r["sent_id"], r["subj"], r["pred"], r["obj"])
+            for r in build_kg(d_scram, triple_plan=plan)["triples"].collect()
+        }
+        assert a == b, plan
+        assert {s for (s, *_) in a} == {0, 1000}  # offset-ordered ordinals
+
+    kg = build_kg(d_scram)
+    _, edges = M.media_entity_edges(d_scram, kg["triples"])
+    assert {r["subj"] for r in edges.collect()} == {
+        "alice", "bob", "carol", "dave"
+    }

@@ -246,3 +246,37 @@ def test_incremental_ingest_redelivery_uses_compact_seen_table(
     edges2 = storage.read_table(spark, "ksg_edges", out).collect()
     assert sorted(map(tuple, edges1)) == sorted(map(tuple, edges2))
     docs.unpersist()
+
+
+def test_incremental_ingest_legacy_layout_persists_rebuilt_seen(
+    spark, tmp_out
+):
+    """Legacy out_dir (triples_raw exists, NO doc_ids_seen): the
+    recovery branch must PERSIST the rebuilt seen set, so a
+    re-delivery that spans multiple micro-batches still suppresses
+    every legacy doc (pre-fix: batch 2+ anti-joined only batch 1's ids
+    and re-processed the legacy corpus — duplicate triples, doubled
+    edge weights)."""
+    import shutil
+
+    docs = synth.synth_documents(spark, 30).persist()
+    in_dir = f"{tmp_out}/lin"
+    docs.coalesce(12).write.mode("append").parquet(in_dir)  # >8 files → 2+ batches
+    out = f"{tmp_out}/lout"
+
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/lck1")
+    raw1 = storage.read_table(spark, "triples_raw", out).count()
+    edges1 = storage.read_table(spark, "ksg_edges", out).collect()
+
+    # simulate the legacy layout: drop the compact id table
+    shutil.rmtree(f"{out}/doc_ids_seen")
+
+    # fresh checkpoint → full re-delivery across multiple micro-batches
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/lck2")
+
+    assert storage.read_table(spark, "triples_raw", out).count() == raw1
+    edges2 = storage.read_table(spark, "ksg_edges", out).collect()
+    assert sorted(map(tuple, edges1)) == sorted(map(tuple, edges2))
+    seen = storage.read_table(spark, "doc_ids_seen", out)
+    assert seen.distinct().count() == 30
+    docs.unpersist()

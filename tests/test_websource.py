@@ -52,3 +52,16 @@ def test_pipeline_consumes_web_source(web_docs):
     assert len(rows) == 7  # "alice visited pageN" → one triple per page
     assert {r["pred"] for r in rows} == {"visit"}
     assert {r["subj"] for r in rows} == {"alice"}
+
+
+def test_websource_no_urls_yields_empty_frame(spark):
+    """partitions() must never return [] — PySpark would substitute
+    [None] and crash read(None); zero urls = one empty partition."""
+    from naruhodo_spark.websource import WebDocumentSource
+
+    spark.dataSource.register(WebDocumentSource)
+    df = spark.read.format("naruhodo_web").option("urls", "").load()
+    assert df.count() == 0
+    assert df.schema == spark.read.format("naruhodo_web").option(
+        "urls", "https://example.org/a"
+    ).load().schema
