@@ -1799,6 +1799,17 @@ for _n, _f in [
         ],
     ),
     (
+        # link-prediction training negatives: deterministic hash-bucket
+        # entity corruption with positive-filtering (ops/kgtrain.py),
+        # property-pinned in tests/test_kgtrain.py
+        "td_negative_samples",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.ops.kgtrain", fromlist=["negative_samples"]
+        ).negative_samples(
+            build_kg(_synth(spark), prof=_en())["ksg_edges"], k=2
+        ),
+    ),
+    (
         # implicit related_to edges: document-level PMI co-occurrence
         # (operators/cooccur.py), python-reference-pinned in
         # tests/test_cooccur.py
