@@ -112,3 +112,35 @@ def entity_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def entity_communities(
+    triples: DataFrame,
+    min_pmi: float = 0.0,
+    min_pair_docs: int = 2,
+    max_entities_per_doc: int = 50,
+) -> DataFrame:
+    """(entity, community) — connected components over the PMI graph
+    thresholded at (pmi >= min_pmi, n_docs >= min_pair_docs): entities
+    that co-occur more than chance cluster into topical communities.
+
+    Pure composition: the PMI edges come from :func:`entity_cooccurrence`
+    and the clustering is the size-gated CC dispatch the canonicalizer
+    uses (operators/canon.cc_labels_auto — driver union-find for small
+    graphs, diameter-independent star contraction beyond the threshold),
+    so the 100 TB argument is inherited rather than re-made. Community
+    id = lexicographic min entity of the component, deterministic.
+    """
+    from naruhodo_spark.operators.canon import cc_labels_auto
+
+    pmi_edges = entity_cooccurrence(
+        triples,
+        max_entities_per_doc=max_entities_per_doc,
+        min_pair_docs=min_pair_docs,
+    ).where(F.col("pmi") >= min_pmi)
+    labels = cc_labels_auto(
+        pmi_edges.select(F.col("e1").alias("src"), F.col("e2").alias("dst"))
+    )
+    return labels.select(
+        F.col("node").alias("entity"), F.col("label").alias("community")
+    )

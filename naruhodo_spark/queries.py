@@ -1799,6 +1799,17 @@ for _n, _f in [
         ],
     ),
     (
+        # topical communities: CC (canon.cc_labels_auto) over the
+        # thresholded PMI co-mention graph — pure operator composition
+        "kg_entity_communities",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.operators.cooccur", fromlist=["entity_communities"]
+        ).entity_communities(
+            build_kg(_synth(spark), prof=_en())["triples_linked"],
+            min_pair_docs=3,
+        ),
+    ),
+    (
         # link-prediction training negatives: deterministic hash-bucket
         # entity corruption with positive-filtering (ops/kgtrain.py),
         # property-pinned in tests/test_kgtrain.py

@@ -75,3 +75,55 @@ def test_cooccurrence_cap_and_audit(spark):
     assert set(out) == {("erin", "frank")}
     audit = C.oversized_docs(t, max_entities_per_doc=3).collect()
     assert len(audit) == 1 and audit[0]["n_entities"] == 4
+
+
+def test_entity_communities(spark):
+    """Two disjoint co-mention cliques → two communities; the PMI/doc
+    thresholds exclude chance pairs. Verified against a python CC over
+    the same thresholded python PMI graph."""
+    p = parser(spark, lang="en")
+    corpus = (
+        ["alice visited bob."] * 3
+        + ["carol praised dave."] * 3
+        + ["alice visited bob. erin waved."]  # erin weakly tied to clique 1
+    )
+    p.add_all(corpus)
+    kg = p.build()
+    got = {
+        r["entity"]: r["community"]
+        for r in C.entity_communities(
+            kg["triples_linked"], min_pair_docs=2
+        ).collect()
+    }
+    # python reference: same thresholds over the same doc-entity sets
+    doc_ents = [["alice", "bob"]] * 3 + [["carol", "dave"]] * 3 + [
+        ["alice", "bob", "erin"]
+    ]
+    want_pmi, _ = _py_pmi(doc_ents, cap=50)
+    import math as _math
+
+    adj = {}
+    for (a, b), (n, pmi) in want_pmi.items():
+        if n >= 2 and pmi >= 0.0:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    # flood fill
+    want = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp.add(u)
+            stack.extend(adj.get(u, ()))
+        label = min(comp)
+        for u in comp:
+            want[u] = label
+    assert got == want
+    # structural: alice/bob together, carol/dave together, separate
+    assert got["alice"] == got["bob"]
+    assert got["carol"] == got["dave"]
+    assert got["alice"] != got["carol"]
