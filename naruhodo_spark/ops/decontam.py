@@ -27,30 +27,41 @@ from pyspark.sql import functions as F
 from naruhodo_spark.ops.textstats import norm_text
 
 
-def _ngram_hashes(text_col, n: int):
-    """xxhash64 per n-token window, via the shifted-slice pattern
-    (ops/textstats.winnowing_fingerprints uses the same trick): an
-    array column of size max(0, n_tokens - n + 1)."""
-    toks = F.split(norm_text(text_col), " ")
-    n_windows = F.size(toks) - F.lit(n - 1)
+def _ngram_hashes(toks_col, n: int):
+    """xxhash64 per n-token window over a MATERIALIZED token-array
+    column. ``toks_col`` must be a bound column (withColumn), never an
+    inlined split expression: Catalyst does no common-subexpression
+    elimination inside HOF lambdas, so an inlined ``split(norm_text(…))``
+    re-normalizes and re-splits the whole document PER WINDOW — O(T²)
+    per doc (measured 4 s for 250k windows at sf0.1; ~40× faster with
+    the column bound; same pitfall ops/textstats.chunk_windows
+    documents)."""
+    n_windows = F.size(toks_col) - F.lit(n - 1)
     # sequence(1, 0) counts DOWN in Spark (step defaults to -1 when
     # stop < start) — short docs must yield an empty array, not [1, 0]
     return F.when(
         n_windows >= 1,
         F.transform(
             F.sequence(F.lit(1), n_windows),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks_col, i, n), " ")),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _exploded_ngrams(df: DataFrame, n: int, keep: list[str]):
+    """df(text, …) → keep-columns + one ``ngram_hash`` row per window."""
+    return (
+        df.withColumn("_toks", F.split(norm_text(F.col("text")), " "))
+        .select(
+            *keep, F.explode(_ngram_hashes(F.col("_toks"), n)).alias("ngram_hash")
+        )
+    )
 
 
 def benchmark_ngram_hashes(bench: DataFrame, n: int = 13) -> DataFrame:
     """Distinct n-gram hashes of the eval set → (ngram_hash). Small by
     contract; callers broadcast it."""
-    return (
-        bench.select(F.explode(_ngram_hashes(F.col("text"), n)).alias("ngram_hash"))
-        .distinct()
-    )
+    return _exploded_ngrams(bench, n, keep=[]).distinct()
 
 
 def contamination_flags(
@@ -63,9 +74,7 @@ def contamination_flags(
     Docs shorter than n tokens cannot match and come back with 0.
     """
     bset = F.broadcast(benchmark_ngram_hashes(bench, n))
-    doc_grams = docs.select(
-        "doc_id", F.explode(_ngram_hashes(F.col("text"), n)).alias("ngram_hash")
-    )
+    doc_grams = _exploded_ngrams(docs, n, keep=["doc_id"])
     matches = (
         doc_grams.join(bset, "ngram_hash", "left_semi")
         .groupBy("doc_id")
