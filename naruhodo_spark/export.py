@@ -92,3 +92,46 @@ def export_json(nodes: DataFrame, edges: DataFrame, filename: str,
     """Reference ``exportJSON`` analog (driver-side file)."""
     with open(filename, "w") as f:
         json.dump(export_obj(nodes, edges, max_nodes), f, ensure_ascii=False)
+
+
+def write_graphml(nodes: DataFrame, edges: DataFrame, filename: str,
+                  max_nodes: int = 10_000) -> None:
+    """GraphML sink for Gephi/yEd/igraph interop — same bounded-subgraph
+    contract as export_obj (top-`max_nodes` nodes, induced edges
+    selected IN SPARK; only viewer-sized data reaches the driver).
+    Attributes: node count/type/rep, edge label/weight/negative/passive.
+    """
+    from xml.sax.saxutils import escape, quoteattr
+
+    obj = export_obj(nodes, edges, max_nodes)
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '<key id="d0" for="node" attr.name="count" attr.type="long"/>',
+        '<key id="d1" for="node" attr.name="type" attr.type="int"/>',
+        '<key id="d2" for="node" attr.name="rep" attr.type="string"/>',
+        '<key id="d3" for="edge" attr.name="label" attr.type="string"/>',
+        '<key id="d4" for="edge" attr.name="weight" attr.type="long"/>',
+        '<key id="d5" for="edge" attr.name="negative" attr.type="boolean"/>',
+        '<key id="d6" for="edge" attr.name="passive" attr.type="boolean"/>',
+        '<graph id="ksg" edgedefault="directed">',
+    ]
+    for n in obj["nodes"]:
+        lines.append(f"<node id={quoteattr(n['id'])}>")
+        lines.append(f'<data key="d0">{n["count"]}</data>')
+        lines.append(f'<data key="d1">{n["type"]}</data>')
+        lines.append(f'<data key="d2">{escape(str(n["rep"]))}</data>')
+        lines.append("</node>")
+    for i, e in enumerate(obj["links"]):
+        lines.append(
+            f"<edge id=\"e{i}\" source={quoteattr(e['source'])}"
+            f" target={quoteattr(e['target'])}>"
+        )
+        lines.append(f'<data key="d3">{escape(str(e["label"]))}</data>')
+        lines.append(f'<data key="d4">{e["weight"]}</data>')
+        lines.append(f'<data key="d5">{str(bool(e["negative"])).lower()}</data>')
+        lines.append(f'<data key="d6">{str(bool(e["passive"])).lower()}</data>')
+        lines.append("</edge>")
+    lines += ["</graph>", "</graphml>"]
+    with open(filename, "w") as f:
+        f.write("\n".join(lines))

@@ -119,3 +119,28 @@ def test_plot_dsg_guard(spark):
         p.show()
     with _pytest.raises(NotImplementedError):
         p.plot_to_file("/tmp/never.svg")
+
+
+def test_write_graphml(spark, tmp_path):
+    """GraphML sink: well-formed XML, node/edge parity with export_obj,
+    every edge endpoint declared as a node."""
+    import xml.etree.ElementTree as ET
+
+    from naruhodo_spark import export as EX
+
+    p = parser(spark, lang="en")
+    p.add("alice visited bob. she praised carol.")
+    kg = p.build()
+    out = tmp_path / "g.graphml"
+    EX.write_graphml(kg["ksg_nodes"], kg["ksg_edges"], str(out))
+    root = ET.parse(out).getroot()
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    graph = root.find(f"{ns}graph")
+    xml_nodes = graph.findall(f"{ns}node")
+    xml_edges = graph.findall(f"{ns}edge")
+    obj = p.export_obj()
+    assert len(xml_nodes) == len(obj["nodes"])
+    assert len(xml_edges) == len(obj["links"])
+    ids = {n.get("id") for n in xml_nodes}
+    for e in xml_edges:
+        assert e.get("source") in ids and e.get("target") in ids
