@@ -157,3 +157,38 @@ class parser:  # noqa: N801 — name mirrors the reference API
         PL.plot_to_file(self.nodes, self.edges, filename, max_nodes)
 
     plotToFile = plot_to_file
+
+    # -- graph analytics (reference users run these on parser.G via
+    #    networkx; here they are DataFrame programs over the same graph) --
+    def _ksg_edges(self) -> DataFrame:
+        if self.gtype != "k":
+            raise NotImplementedError("graph analytics are KSG-only")
+        return self.build()["ksg_edges"]
+
+    def pagerank(self, damping: float = 0.85, iterations: int = 15) -> DataFrame:
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.pagerank(self._ksg_edges(), damping, iterations)
+
+    def degree_stats(self) -> DataFrame:
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.degree_stats(self._ksg_edges())
+
+    def k_hop(self, sources: list[str], k: int = 2,
+              direction: str = "both") -> tuple[DataFrame, DataFrame]:
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.k_hop_subgraph(self._ksg_edges(), sources, k, direction)
+
+    def communities(self, **kw) -> DataFrame:
+        from naruhodo_spark.operators import cooccur as CO
+
+        if self.gtype != "k":
+            raise NotImplementedError("graph analytics are KSG-only")
+        return CO.entity_communities(self.build()["triples_linked"], **kw)
+
+    def negative_samples(self, k: int = 2, **kw) -> DataFrame:
+        from naruhodo_spark.ops import kgtrain as KT
+
+        return KT.negative_samples(self._ksg_edges(), k=k, **kw)

@@ -144,3 +144,25 @@ def test_write_graphml(spark, tmp_path):
     ids = {n.get("id") for n in xml_nodes}
     for e in xml_edges:
         assert e.get("source") in ids and e.get("target") in ids
+
+
+def test_facade_graph_analytics(spark):
+    import pytest as _pytest
+
+    p = parser(spark, lang="en")
+    p.add_all(["alice visited bob."] * 2 + ["carol praised dave."] * 2)
+    pr = {r["node"]: r["rank"] for r in p.pagerank(iterations=3).collect()}
+    assert sum(pr.values()) == _pytest.approx(1.0, abs=1e-9)
+    deg = {r["node"]: r["out_degree"] for r in p.degree_stats().collect()}
+    assert deg["alice"] == 1
+    nodes, _ = p.k_hop(["alice"], k=1, direction="out")
+    assert {r["node"] for r in nodes.collect()} == {"alice", "bob"}
+    comm = {r["entity"]: r["community"] for r in p.communities().collect()}
+    assert comm["alice"] == comm["bob"] != comm["carol"]
+    negs = p.negative_samples(k=2)
+    assert negs.count() > 0
+
+    d = parser(spark, lang="en", gtype="d")
+    d.add("alice visited bob.")
+    with _pytest.raises(NotImplementedError):
+        d.pagerank()
