@@ -160,10 +160,13 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
     # -- graph analytics (reference users run these on parser.G via
     #    networkx; here they are DataFrame programs over the same graph) --
-    def _ksg_edges(self) -> DataFrame:
+    def _require_ksg(self) -> dict[str, DataFrame]:
         if self.gtype != "k":
             raise NotImplementedError("graph analytics are KSG-only")
-        return self.build()["ksg_edges"]
+        return self.build()
+
+    def _ksg_edges(self) -> DataFrame:
+        return self._require_ksg()["ksg_edges"]
 
     def pagerank(self, damping: float = 0.85, iterations: int = 15) -> DataFrame:
         from naruhodo_spark.operators import graphstats as GS
@@ -184,9 +187,7 @@ class parser:  # noqa: N801 — name mirrors the reference API
     def communities(self, **kw) -> DataFrame:
         from naruhodo_spark.operators import cooccur as CO
 
-        if self.gtype != "k":
-            raise NotImplementedError("graph analytics are KSG-only")
-        return CO.entity_communities(self.build()["triples_linked"], **kw)
+        return CO.entity_communities(self._require_ksg()["triples_linked"], **kw)
 
     def negative_samples(self, k: int = 2, **kw) -> DataFrame:
         from naruhodo_spark.ops import kgtrain as KT

@@ -101,7 +101,19 @@ def write_graphml(nodes: DataFrame, edges: DataFrame, filename: str,
     selected IN SPARK; only viewer-sized data reaches the driver).
     Attributes: node count/type/rep, edge label/weight/negative/passive.
     """
-    from xml.sax.saxutils import escape, quoteattr
+    import re as _re
+    from xml.sax.saxutils import escape as _esc
+    from xml.sax.saxutils import quoteattr as _qa
+
+    # XML 1.0 forbids most control chars even escaped — strip them or
+    # the produced file fails to parse in Gephi/yEd/ElementTree
+    _bad = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+    def escape(v):
+        return _esc(_bad.sub("", str(v)))
+
+    def quoteattr(v):
+        return _qa(_bad.sub("", str(v)))
 
     obj = export_obj(nodes, edges, max_nodes)
     lines = [
@@ -133,5 +145,5 @@ def write_graphml(nodes: DataFrame, edges: DataFrame, filename: str,
         lines.append(f'<data key="d6">{str(bool(e["passive"])).lower()}</data>')
         lines.append("</edge>")
     lines += ["</graph>", "</graphml>"]
-    with open(filename, "w") as f:
+    with open(filename, "w", encoding="utf-8") as f:
         f.write("\n".join(lines))

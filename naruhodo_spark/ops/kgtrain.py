@@ -55,19 +55,35 @@ def negative_samples(
     per positive; even neg_i corrupts the object (tail), odd corrupts
     the subject (head). ``corrupted`` = 'head' | 'tail'.
     """
-    ents = entity_table(ksg_edges)
+    empty = ksg_edges.sparkSession.createDataFrame(
+        [], "subj string, pred string, obj string, neg_i int,"
+        " corrupted string"
+    )
+    if k <= 0:
+        # sequence(0, k-1) would count DOWN (the repo-documented
+        # descending-sequence pitfall) and mint neg_i=-1 rows
+        return empty
+    # reused twice each (count + join / corr + anti-join): pin like the
+    # other iterative graph ops so the distinct-scan runs once
+    ents = entity_table(ksg_edges).localCheckpoint()
     n = ents.count()
     if n == 0:
-        return ksg_edges.sparkSession.createDataFrame(
-            [], "subj string, pred string, obj string, neg_i int,"
-            " corrupted string"
-        )
+        return empty
     nb = max(1, n // bucket_target)
     ent_b = ents.withColumn(
         "bucket", F.pmod(F.xxhash64(F.lit(seed), "entity"), F.lit(nb))
     )
 
-    pos = ksg_edges.select("subj", "pred", "obj").distinct()
+    # objectless triples (obj="") are excluded: "" is not in the entity
+    # vocabulary, so head-corrupting one would emit a negative with a
+    # nonexistent tail and tail-corrupting would assert a claim the
+    # positive never made
+    pos = (
+        ksg_edges.where(F.col("obj") != "")
+        .select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint()
+    )
     corr = pos.select(
         "subj", "pred", "obj",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_i"),

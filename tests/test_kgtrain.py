@@ -85,3 +85,17 @@ def test_negative_samples_replacements_spread(spark):
 def test_negative_samples_empty(spark):
     df = _edges(spark, [])
     assert K.negative_samples(df).count() == 0
+
+
+def test_negative_samples_k_zero_and_objectless(spark):
+    """k<=0 returns nothing (sequence(0,-1) would count down); objectless
+    positives never produce negatives (no empty-string tails, no
+    invented tails for claims the positive never made)."""
+    df = _edges(spark, [("a", "run", ""), ("a", "rel", "b"), ("c", "rel", "d")])
+    assert K.negative_samples(df, k=0).count() == 0
+    out = K.negative_samples(df, k=4).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["obj"] != "", r
+        assert (r["subj"], r["pred"], r["obj"]) != ("a", "run", "")
+        assert r["neg_i"] >= 0
