@@ -131,3 +131,46 @@ def test_decontam_plan_is_broadcast_no_corpus_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontam_randomized_vs_python(spark):
+    """150 random docs + 10 random benchmark snippets, one Spark call,
+    exact per-doc match counts vs the pure-Python reference — exercises
+    shared shingles, repeats, short docs, and messy whitespace."""
+    import numpy as np
+
+    from naruhodo_spark.ops import decontam as D
+
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def sentence(lo, hi):
+        k = int(rng.integers(lo, hi))
+        ws = [vocab[int(rng.integers(30))] for _ in range(k)]
+        # messy whitespace + case to exercise normalization
+        return "  ".join(w.upper() if rng.random() < 0.3 else w for w in ws)
+
+    bench_texts = [sentence(4, 9) for _ in range(10)]
+    docs_texts = {}
+    for i in range(150):
+        t = sentence(1, 25)
+        if i % 10 == 0:  # plant a benchmark snippet → guaranteed hits
+            t = t + " " + bench_texts[int(rng.integers(10))]
+        docs_texts[f"d{i:03d}"] = t
+    n = 4
+
+    docs = spark.createDataFrame(
+        list(docs_texts.items()), "doc_id string, text string"
+    )
+    bench = spark.createDataFrame(
+        [(f"b{i}", t) for i, t in enumerate(bench_texts)],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in D.contamination_flags(docs, bench, n=n).collect()
+    }
+    assert set(got) == set(docs_texts)
+    for did, text in docs_texts.items():
+        assert got[did] == _py_matches(text, bench_texts, n), did
+    assert any(v > 0 for v in got.values())  # non-vacuous
