@@ -222,9 +222,19 @@ def alias_canonical_map_rows(rows) -> dict[str, tuple[str, int | None]]:
     out: dict[str, tuple[str, int | None]] = {
         n: (lab, None) for n, lab in label.items()
     }
+    best: dict[str, int | None] = {}
     for r in rows:
-        # alias match also overrides the entity type (link_entities)
-        out[r["alias"]] = (label[r["alias"]], r["etype"])
+        # alias match also overrides the entity type (link_entities).
+        # Duplicate alias rows resolve to max(etype) — DETERMINISTIC, and
+        # the same rule link_entities applies, so the dict path and the
+        # join path stay identical on dirty dictionaries (last-wins here
+        # used to depend on collect() row order).
+        a, e = r["alias"], r["etype"]
+        if a not in best or (
+            e is not None and (best[a] is None or e > best[a])
+        ):
+            best[a] = e
+        out[a] = (label[a], best[a])
     return out
 
 

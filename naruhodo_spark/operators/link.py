@@ -40,6 +40,18 @@ def link_entities(triples: DataFrame, aliases: DataFrame | None) -> DataFrame:
     )
     if aliases is None:
         return t
+    # ONE row per alias, resolved deterministically (min canonical_id,
+    # max etype): duplicate alias rows would row-MULTIPLY every matching
+    # triple through the join, inflating edge weights — and which
+    # duplicate "wins" would differ from the broadcast-dict fused path.
+    # Dropping to one row is label-safe because apply_canonical_labels
+    # maps every duplicate's canonical_id to the same CC component label
+    # (alias_cc_labels consumes the RAW rows, so the duplicate rows'
+    # merge edges still union the components).
+    aliases = aliases.groupBy("alias").agg(
+        F.min("canonical_id").alias("canonical_id"),
+        F.max("etype").alias("etype"),
+    )
     a_subj = F.broadcast(
         aliases.select(
             F.col("alias").alias("s_alias"),

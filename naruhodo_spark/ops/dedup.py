@@ -107,9 +107,19 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _jaccard_filter(inter, sizes, threshold, keep_inter=True)
+
+
+def _jaccard_filter(inter, sizes, threshold, keep_inter):
+    """Shared tail of both exact-Jaccard paths: join per-doc set sizes
+    onto (doc_a, doc_b, n_inter) and threshold on
+    n_inter / (|A| + |B| - n_inter). The paths differ only in HOW the
+    intersections are produced (all-pairs over df-capped shingles vs
+    LSH-candidate-restricted over the full sets) — the formula must stay
+    in one place so a rounding/threshold change cannot drift."""
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -121,8 +131,9 @@ def ngram_jaccard_pairs(
             ),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+    cols = ["doc_a", "doc_b"] + (["n_inter"] if keep_inter else []) + ["jaccard"]
+    return out.select(*cols)
 
 
 # modulus for the affine minhash family: largest prime < 2^48, so
@@ -211,22 +222,7 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                4,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_filter(inter, sizes, threshold, keep_inter=False)
 
 
 def near_dup_groups(

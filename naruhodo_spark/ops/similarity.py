@@ -158,7 +158,10 @@ def kmeans_fit(
     is driver-sized by definition). Deterministic: hash-seeded init,
     centroids rounded each iteration so float summation order cannot flip
     assignments across partitionings."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    head = embeddings.select("embedding").first()
+    if head is None:
+        return []  # empty input → no centroids (callers emit empty results)
+    dim = len(head["embedding"])
     init = (
         embeddings.select("vec_id", "embedding")
         .orderBy(F.xxhash64(F.col("vec_id").cast("string")))
@@ -200,6 +203,8 @@ def topk_ivf_trained(
     """IVF top-k with a TRAINED quantizer (vs topk_ivf which reuses the
     dataset's label column as the cell assignment)."""
     cents = kmeans_fit(embeddings, n_cells, iters)
+    if not cents:
+        return embeddings.sparkSession.createDataFrame([], _TOPK_SCHEMA)
     assigned = assign_cells(embeddings, cents)
     return topk_ivf(assigned.drop("label"), k=k, cell_col="cell")
 
@@ -254,7 +259,28 @@ def topk_ivf_blas(embeddings: DataFrame, k: int = 3, cell_col: str = "label") ->
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt((X * X).sum(axis=1))
         S = (X @ X.T) / np.outer(norms, norms)
-        np.round(S, 4, out=S)
+        # HALF_UP rounding to match Spark's F.round EXACTLY: np.round is
+        # half-to-EVEN, so an exactly-representable tie like cosine
+        # 1/32 = 0.03125 rounds 0.0312 in numpy but 0.0313 in Spark,
+        # silently breaking the asserted equality with the Catalyst
+        # twin. floor(|S|·10⁴ + 0.5) is HALF_UP for binary-exact values;
+        # the rare doubles sitting within 1e-9 of a .5 boundary are
+        # re-rounded through their shortest decimal repr, which is what
+        # Spark's Round (BigDecimal of Double.toString) actually does.
+        A = np.abs(S) * 1e4
+        base = np.floor(A + 0.5)
+        sus = np.abs(A - np.floor(A) - 0.5) < 1e-9
+        if sus.any():
+            import decimal
+
+            q = decimal.Decimal("0.0001")
+            for i, j in np.argwhere(sus):
+                d = decimal.Decimal(repr(float(S[i, j]))).quantize(
+                    q, rounding=decimal.ROUND_HALF_UP
+                )
+                base[i, j] = float(abs(d) * 10000)
+        prim = np.copysign(base, S).astype(np.int64)
+        S = prim / 1e4
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
         # (cosine desc, id asc) tie-break via lexsort on the ROUNDED
         # cosine (an exact integer in [-10^4, 10^4], so its negation is
@@ -262,7 +288,6 @@ def topk_ivf_blas(embeddings: DataFrame, k: int = 3, cell_col: str = "label") ->
         # vec_ids (negative, xxhash64-sized) order correctly and the
         # path stays exactly equal to the Catalyst twin's row_number
         # ordering
-        prim = np.round(S * 10000).astype(np.int64)
         neg = -prim
         np.fill_diagonal(neg, np.iinfo(np.int64).max)  # exclude self
         kk = min(k, n - 1)

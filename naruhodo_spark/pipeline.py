@@ -237,7 +237,9 @@ def run_partitioned(
     Returns counters {parts_processed, docs, triples}.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # dynamic partition overwrite is scoped per-writer inside
+    # storage.write_table — never set session-globally (it would change
+    # the semantics of the caller's own unrelated overwrites)
 
     docs_p = with_part_id(docs_spans, n_parts)
     todo = pending_parts(spark, docs_p, out_dir)
@@ -280,6 +282,13 @@ def run_partitioned(
             "subj_id", "obj_id"
         )
         triples = with_part_id(raw, n_parts).persist()
+        # pre-drop the wave's partitions: dynamic overwrite only replaces
+        # partitions PRESENT in the written frame, so a reprocessed part
+        # whose new input extracts zero triples would otherwise keep its
+        # stale rows from the previous run (a crash between the delete
+        # and the write is safe — the manifest still marks those parts
+        # pending, so resume re-extracts them)
+        storage.delete_partitions(spark, "triples_raw", out_dir, "part_id", wave)
         storage.write_table(
             triples, "triples_raw", out_dir, mode="overwrite",
             partition_by=["part_id"],

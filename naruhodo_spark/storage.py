@@ -30,18 +30,72 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> None:
+    """Semantics both branches MUST share (pinned by duck-typed fakes in
+    tests/test_storage_shim.py):
+
+    - overwrite + partition_by = DYNAMIC partition overwrite: only the
+      partitions present in ``df`` are replaced. The Iceberg branch uses
+      ``overwritePartitions()`` — a plain ``createOrReplace`` would
+      destroy every previously committed partition, so a second
+      ``run_partitioned`` wave would erase wave 1's triples while the
+      manifest still marks them done (silent half-corpus graphs).
+    - the first write to a missing Iceberg table CREATES it regardless
+      of mode: ``append()`` on a nonexistent table throws, and every
+      fresh deployment's first manifest/raw write is an append.
+    - the parquet branch scopes dynamic overwrite to THIS writer via
+      ``option(...)`` — mutating the session-global conf would silently
+      change the semantics of the caller's own unrelated overwrites.
+    """
     spark = df.sparkSession
     if _has_iceberg(spark):
-        writer = df.writeTo(f"kg.{name}").using("iceberg")
-        if mode == "overwrite":
-            writer.createOrReplace()
+        t = f"kg.{name}"
+        if not spark.catalog.tableExists(t):
+            writer = df.writeTo(t).using("iceberg")
+            if partition_by:
+                writer = writer.partitionedBy(*[df[c] for c in partition_by])
+            writer.create()
+        elif mode == "append":
+            df.writeTo(t).append()
+        elif partition_by:
+            df.writeTo(t).overwritePartitions()
         else:
-            writer.append()
+            df.writeTo(t).using("iceberg").createOrReplace()
         return
     w = df.write.mode(mode)
+    if mode == "overwrite" and partition_by:
+        w = w.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(f"{base}/{name}")
+
+
+def delete_partitions(
+    spark: SparkSession,
+    name: str,
+    base: str,
+    part_col: str,
+    values: list,
+) -> None:
+    """Drop specific partitions — the cleanup dynamic overwrite cannot
+    express: a reprocessed partition whose NEW extraction yields zero
+    rows writes nothing, so its stale rows from the previous run would
+    survive and finalize would aggregate deleted content. Iceberg: a
+    transactional DELETE. Parquet: Hadoop-FS directory removal (scheme-
+    aware, works on HDFS/S3A paths, not just local)."""
+    if not values:
+        return
+    if _has_iceberg(spark):
+        vals = ", ".join(repr(v) if isinstance(v, str) else str(v) for v in values)
+        spark.sql(f"DELETE FROM kg.{name} WHERE {part_col} IN ({vals})")
+        return
+    if not table_exists(spark, name, base):
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        path = jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/{part_col}={v}")
+        fs = path.getFileSystem(hconf)
+        fs.delete(path, True)
 
 
 def read_table(spark: SparkSession, name: str, base: str) -> DataFrame:

@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 
 from naruhodo_spark import schemas as S
 from naruhodo_spark import storage
+from naruhodo_spark.operators import agg as O_agg
+from naruhodo_spark.operators import canon as O_canon
+from naruhodo_spark.operators import link as O_link
 
 
 def incremental_ingest(
@@ -42,6 +45,17 @@ def incremental_ingest(
         spark.readStream.schema(S.DOCUMENTS_SPANS)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
+    )
+
+    # alias CC labels computed ONCE per query, not per micro-batch — the
+    # previous shape (build_kg(aliases=...) inside foreachBatch) collected
+    # and broadcast the alias dictionary on every batch and never
+    # destroyed the broadcasts (unbounded driver/executor accumulation on
+    # a long-running stream)
+    labels = (
+        O_canon.alias_cc_labels(aliases).localCheckpoint()
+        if aliases is not None
+        else None
     )
 
     def _merge_edges(existing: DataFrame, batch: DataFrame) -> DataFrame:
@@ -83,7 +97,25 @@ def incremental_ingest(
         batch pay for the full corpus history (r01 VERDICT finding #7).
         The production-streaming form of this guard is
         ``watermarked_doc_dedup`` (bounded state); the seen-ids table is
-        the batch-emulation equivalent and is what resume reads."""
+        the batch-emulation equivalent and is what resume reads.
+
+        Crash-consistency protocol (parquet emulation — Iceberg makes
+        steps 1+3 single transactions):
+        1. triples_raw is written as a DYNAMIC OVERWRITE of this epoch's
+           partition — Structured Streaming re-runs a failed epoch under
+           the SAME epoch_id, so a retry overwrites its own partial
+           output instead of appending duplicates (raw is exactly-once).
+        2. edge/node merges run next; extraction is NOT repeated — both
+           aggregates derive from the one localCheckpointed triples
+           frame (previously each merge's lazy plan re-ran the full
+           sentence-split→chunk→extract pipeline).
+        3. the doc_ids_seen append is the COMMIT POINT and goes LAST: a
+           crash anywhere before it re-runs the whole batch on restart.
+           The only remaining at-least-once window is a crash BETWEEN a
+           completed additive merge and the seen append (double-merged
+           weights); Iceberg MERGE closes it, and the parquet emulation
+           repairs it with :func:`rebuild_aggregates` (raw is always
+           exactly-once, so the aggregates are always recoverable)."""
         from naruhodo_spark.pipeline import build_kg
 
         batch = batch_df.dropDuplicates(["doc_id"])
@@ -108,26 +140,60 @@ def incremental_ingest(
         if seen is not None:
             batch = batch.join(seen, "doc_id", "left_anti")  # re-delivery
         batch_ids = batch.select("doc_id").localCheckpoint()
-        kg = build_kg(batch, prof=prof, aliases=aliases)
+        kg = build_kg(batch, prof=prof)  # extraction only — ONE job
         new_triples = kg["triples"].localCheckpoint()
-        storage.write_table(new_triples, "triples_raw", out_dir, mode="append")
-        storage.write_table(batch_ids, "doc_ids_seen", out_dir, mode="append")
+        storage.write_table(
+            new_triples.withColumn("epoch", F.lit(int(epoch_id))),
+            "triples_raw", out_dir, mode="overwrite", partition_by=["epoch"],
+        )
+        linked = O_link.link_entities(new_triples, aliases)
+        if labels is not None:
+            linked = O_canon.apply_canonical_labels(linked, labels)
         for name, batch_tbl, merge in [
-            ("ksg_edges", kg["ksg_edges"], _merge_edges),
-            ("ksg_nodes", kg["ksg_nodes"], _merge_nodes),
+            ("ksg_edges", O_agg.aggregate_edges(linked), _merge_edges),
+            ("ksg_nodes", O_agg.aggregate_nodes(linked), _merge_nodes),
         ]:
             if storage.table_exists(spark, name, out_dir):
                 merged = merge(storage.read_table(spark, name, out_dir), batch_tbl)
             else:
                 merged = batch_tbl
             storage.write_table(merged.localCheckpoint(), name, out_dir)
+        # commit point: once this lands, the batch never re-runs
+        storage.write_table(batch_ids, "doc_ids_seen", out_dir, mode="append")
 
     writer = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True)
+
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     q = writer.start()
     q.awaitTermination()
     return q
+
+
+def rebuild_aggregates(
+    spark: SparkSession,
+    out_dir: str,
+    aliases: DataFrame | None = None,
+) -> None:
+    """Repair path for the at-least-once merge window: recompute
+    ksg_edges/ksg_nodes from triples_raw, which the epoch-partitioned
+    dynamic overwrite keeps exactly-once (upsert docstring, step 1).
+    Also the correct rebuild after restoring an out_dir from backup."""
+    raw = storage.read_table(spark, "triples_raw", out_dir)
+    for c in ("epoch", "part_id"):
+        if c in raw.columns:
+            raw = raw.drop(c)
+    linked = O_link.link_entities(raw, aliases)
+    if aliases is not None:
+        linked = O_canon.apply_canonical_labels(
+            linked, O_canon.alias_cc_labels(aliases)
+        )
+    storage.write_table(
+        O_agg.aggregate_edges(linked).localCheckpoint(), "ksg_edges", out_dir
+    )
+    storage.write_table(
+        O_agg.aggregate_nodes(linked).localCheckpoint(), "ksg_nodes", out_dir
+    )
 
 
 def stateful_doc_dedup(stream_docs: DataFrame) -> DataFrame:

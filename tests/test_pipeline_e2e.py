@@ -639,3 +639,68 @@ def test_prepare_corpus_decontam_and_quota(spark):
     n_b = len([i for i in ids if i >= 100])  # quota bit the hot source
     assert 0 < n_b < 40
     assert set(out.columns) == set(base.columns)
+
+
+def test_blas_topk_half_tie_rounding_matches_catalyst(spark):
+    """Exactly-representable half-tie cosines (1/32 = 0.03125) round
+    HALF_UP in Spark's F.round but half-to-EVEN in np.round — the BLAS
+    kernel must follow Spark (review finding). Also checks an empty
+    embeddings frame through the trained-IVF path."""
+    from naruhodo_spark.ops.similarity import (
+        topk_ivf,
+        topk_ivf_blas,
+        topk_ivf_trained,
+    )
+
+    rows = [
+        (1, [32.0, 0.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 31.0, 7.0, 3.0, 2.0], 0),   # cosine(1,2) = 1/32 exactly
+        (3, [0.0, 32.0, 0.0, 0.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = sorted(map(tuple, topk_ivf(emb, k=2).collect()))
+    b = sorted(map(tuple, topk_ivf_blas(emb, k=2).collect()))
+    assert a == b
+    tie = [r for r in a if set(r[:2]) == {1, 2}]
+    assert tie and all(r[2] == 0.0313 for r in tie)  # HALF_UP, not 0.0312
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert topk_ivf_trained(empty, k=2).count() == 0
+
+
+def test_duplicate_alias_rows_no_row_multiplication(spark):
+    """A dirty alias dictionary (same alias, two canonical_ids, two
+    etypes) must neither duplicate triples through the linking join nor
+    diverge between the fused broadcast-dict path and the relational
+    join path (review finding: join row-multiplied, dict last-won
+    non-deterministically)."""
+    from naruhodo_spark.pipeline import build_kg
+
+    rows = [("d1", [{"kind": "text", "text": "acme hired alice.",
+                     "media_ref": "", "offset": 0}])]
+    docs = spark.createDataFrame(rows, schema=__import__(
+        "naruhodo_spark.schemas", fromlist=["DOCUMENTS_SPANS"]
+    ).DOCUMENTS_SPANS)
+    dirty = spark.createDataFrame(
+        [("acme", "acme-corp", 3), ("acme", "acme-inc", 1)],
+        "alias string, canonical_id string, etype int",
+    )
+    base_n = build_kg(docs)["triples_linked"].count()
+    cols = ["doc_id", "sent_id", "pred", "subj_canon", "obj_canon",
+            "subj_ne", "obj_ne"]
+    a = build_kg(docs, aliases=dirty, triple_plan="fused")["triples_linked"]
+    b = build_kg(docs, aliases=dirty, triple_plan="relational")["triples_linked"]
+    assert a.count() == base_n  # no multiplication
+    assert b.count() == base_n
+    av, bv = a.select(cols), b.select(cols)
+    assert av.exceptAll(bv).isEmpty() and bv.exceptAll(av).isEmpty()
+    # both canonical ids collapsed into ONE component label
+    subj = {r["subj_canon"] for r in a.collect()}
+    assert len(subj & {"acme-corp", "acme-inc", "acme"}) == 1
+    # etype resolved deterministically to max (3)
+    et = {r["subj_ne"] for r in a.where(F.col("subj") == "acme").collect()}
+    assert et == {3}

@@ -280,3 +280,103 @@ def test_incremental_ingest_legacy_layout_persists_rebuilt_seen(
     seen = storage.read_table(spark, "doc_ids_seen", out)
     assert seen.distinct().count() == 30
     docs.unpersist()
+
+
+def test_reprocessed_zero_triple_part_drops_stale_rows(spark, tmp_out):
+    """Changed-input reprocessing where the NEW extraction yields zero
+    triples: dynamic partition overwrite writes nothing for that part,
+    so without the pre-delete its stale triples would survive and
+    finalize would aggregate deleted content (review finding). The
+    resume run must equal a clean run on the new input."""
+    from pyspark.sql import functions as F
+
+    from naruhodo_spark.pipeline import run_partitioned, with_part_id
+
+    docs = synth.synth_documents(spark, 30).persist()
+    n_parts = 6
+    out = f"{tmp_out}/zp_out"
+    run_partitioned(spark, docs, out, n_parts=n_parts)
+    parts_with_rows = {
+        r["part_id"]
+        for r in storage.read_table(spark, "triples_raw", out)
+        .select("part_id").distinct().collect()
+    }
+    target = sorted(parts_with_rows)[0]
+
+    # v2: every doc in the target part becomes empty → extracts nothing
+    emptied = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.lit("").alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    docs2 = (
+        with_part_id(docs, n_parts)
+        .withColumn(
+            "spans",
+            F.when(F.col("part_id") == target, emptied).otherwise(F.col("spans")),
+        )
+        .drop("part_id")
+        .persist()
+    )
+    run_partitioned(spark, docs2, out, n_parts=n_parts)
+
+    raw2 = storage.read_table(spark, "triples_raw", out)
+    assert raw2.where(F.col("part_id") == target).count() == 0, (
+        "stale triples survived the zero-triple reprocess"
+    )
+    clean = f"{tmp_out}/zp_clean"
+    run_partitioned(spark, docs2, clean, n_parts=n_parts)
+    a = storage.read_table(spark, "ksg_edges", out)
+    b = storage.read_table(spark, "ksg_edges", clean)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    docs.unpersist(); docs2.unpersist()
+
+
+def test_streaming_epoch_partitioned_raw_and_repair(spark, tmp_out):
+    """The restructured upsert protocol: triples_raw is epoch-partitioned
+    (idempotent per-epoch overwrite), and rebuild_aggregates recovers the
+    graph tables from raw after a simulated double-merge (the documented
+    at-least-once window: crash between a completed merge and the
+    doc_ids_seen commit)."""
+    from naruhodo_spark.streaming import rebuild_aggregates
+
+    docs = synth.synth_documents(spark, 30).persist()
+    in_dir = f"{tmp_out}/ein"
+    docs.coalesce(12).write.mode("append").parquet(in_dir)  # ≥2 epochs
+    out = f"{tmp_out}/eout"
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/eck")
+
+    raw = storage.read_table(spark, "triples_raw", out)
+    assert "epoch" in raw.columns
+    assert raw.select("epoch").distinct().count() >= 2
+
+    clean_edges = sorted(
+        map(tuple, storage.read_table(spark, "ksg_edges", out).collect())
+    )
+
+    # simulate the crash window: one batch's aggregates merged TWICE
+    edges = storage.read_table(spark, "ksg_edges", out)
+    doubled = (
+        edges.unionByName(edges.limit(5))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.max("negative").alias("negative"),
+            F.max("passive").alias("passive"),
+        )
+        .localCheckpoint()
+    )
+    storage.write_table(doubled, "ksg_edges", out)
+    assert sorted(
+        map(tuple, storage.read_table(spark, "ksg_edges", out).collect())
+    ) != clean_edges
+
+    rebuild_aggregates(spark, out)
+    assert sorted(
+        map(tuple, storage.read_table(spark, "ksg_edges", out).collect())
+    ) == clean_edges
+    docs.unpersist()

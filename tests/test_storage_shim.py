@@ -19,8 +19,18 @@ class _FakeWriter:
         self.log.append(("using", fmt))
         return self
 
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", len(cols)))
+        return self
+
+    def create(self):
+        self.log.append(("create",))
+
     def createOrReplace(self):
         self.log.append(("createOrReplace",))
+
+    def overwritePartitions(self):
+        self.log.append(("overwritePartitions",))
 
     def append(self):
         self.log.append(("append",))
@@ -35,14 +45,18 @@ class _FakeDF:
         self.log.append(("writeTo", name))
         return _FakeWriter(self.log)
 
+    def __getitem__(self, c):
+        return c
+
 
 class _FakeCatalog:
-    def __init__(self, log):
+    def __init__(self, log, exists=True):
         self.log = log
+        self.exists = exists
 
     def tableExists(self, name):
         self.log.append(("tableExists", name))
-        return True
+        return self.exists
 
 
 class _FakeReader:
@@ -55,28 +69,73 @@ class _FakeReader:
 
 
 class _FakeSpark:
-    def __init__(self, log):
+    def __init__(self, log, exists=True):
         self.read = _FakeReader(log)
-        self.catalog = _FakeCatalog(log)
+        self.catalog = _FakeCatalog(log, exists)
+
+    def sql(self, q):
+        self.read.log.append(("sql", q))
 
 
-def test_iceberg_branch_routing(monkeypatch):
+def test_iceberg_branch_routing_existing_table(monkeypatch):
+    monkeypatch.setattr(storage, "_has_iceberg", lambda spark: True)
+    log = _Log()
+    fs = _FakeSpark(log, exists=True)
+    df = _FakeDF(log, fs)
+
+    # full overwrite (no partitions) → createOrReplace
+    storage.write_table(df, "edges", "/nope", mode="overwrite")
+    # partitioned overwrite → DYNAMIC overwritePartitions, never
+    # createOrReplace (which would destroy other waves' partitions)
+    storage.write_table(
+        df, "raw", "/nope", mode="overwrite", partition_by=["part_id"]
+    )
+    # append on an existing table → plain append
+    storage.write_table(df, "edges", "/nope", mode="append")
+    assert storage.read_table(fs, "edges", "/nope") == "ICEBERG_TABLE"
+
+    assert log == [
+        ("tableExists", "kg.edges"),
+        ("writeTo", "kg.edges"), ("using", "iceberg"), ("createOrReplace",),
+        ("tableExists", "kg.raw"),
+        ("writeTo", "kg.raw"), ("overwritePartitions",),
+        ("tableExists", "kg.edges"),
+        ("writeTo", "kg.edges"), ("append",),
+        ("read.table", "kg.edges"),
+    ]
+
+
+def test_iceberg_branch_creates_missing_table(monkeypatch):
+    """First-ever write (any mode) must CREATE: append() on a missing
+    Iceberg table throws NoSuchTableException, and every fresh
+    deployment's first manifest write IS an append."""
+    monkeypatch.setattr(storage, "_has_iceberg", lambda spark: True)
+    log = _Log()
+    fs = _FakeSpark(log, exists=False)
+    df = _FakeDF(log, fs)
+
+    storage.write_table(df, "_manifest", "/nope", mode="append")
+    storage.write_table(
+        df, "raw", "/nope", mode="overwrite", partition_by=["part_id"]
+    )
+    assert log == [
+        ("tableExists", "kg._manifest"),
+        ("writeTo", "kg._manifest"), ("using", "iceberg"), ("create",),
+        ("tableExists", "kg.raw"),
+        ("writeTo", "kg.raw"), ("using", "iceberg"),
+        ("partitionedBy", 1), ("create",),
+    ]
+
+
+def test_iceberg_delete_partitions_is_sql_delete(monkeypatch):
     monkeypatch.setattr(storage, "_has_iceberg", lambda spark: True)
     log = _Log()
     fs = _FakeSpark(log)
-    df = _FakeDF(log, fs)
-
-    storage.write_table(df, "edges", "/nope", mode="overwrite")
-    storage.write_table(df, "edges", "/nope", mode="append")
-    assert storage.read_table(fs, "edges", "/nope") == "ICEBERG_TABLE"
-    assert storage.table_exists(fs, "edges", "/nope") is True
-
-    assert log == [
-        ("writeTo", "kg.edges"), ("using", "iceberg"), ("createOrReplace",),
-        ("writeTo", "kg.edges"), ("using", "iceberg"), ("append",),
-        ("read.table", "kg.edges"),
-        ("tableExists", "kg.edges"),
-    ]
+    storage.delete_partitions(fs, "raw", "/nope", "part_id", [3, 5])
+    assert log == [("sql", "DELETE FROM kg.raw WHERE part_id IN (3, 5)")]
+    # empty list: no statement issued
+    storage.delete_partitions(fs, "raw", "/nope", "part_id", [])
+    assert len(log) == 1
 
 
 def test_parquet_branch_is_default(spark, tmp_path):
