@@ -58,12 +58,18 @@ def _clear_persisted(spark) -> None:
     spark.catalog.clearCache()
 
 
-def _timed(fn, runs: int = RUNS) -> float:
+def _timed(fn, runs: int = RUNS, cleanup=None) -> float:
+    """min-of-runs wall clock; ``cleanup`` runs BETWEEN repetitions
+    (outside the timer) so run N's lazy localCheckpoints don't stack
+    cached state under run N+1 — at larger SF the stale copies caused
+    eviction/spill in the later runs, distorting the warm-path signal."""
     best = float("inf")
-    for _ in range(runs):
+    for i in range(runs):
         t0 = time.time()
         fn()
         best = min(best, time.time() - t0)
+        if cleanup is not None and i < runs - 1:
+            cleanup()
     return round(best, 3)
 
 
@@ -95,12 +101,22 @@ def run_kg(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
     try:
         n_docs, docs = materialize_docs(spark, sf_dir, replicate, tmp)
         aliases = synth.alias_dictionary(spark)
-        kg_sec = _timed(
-            lambda: _noop(build_kg(docs, aliases=aliases)["ksg_edges"])
-        )
+        # triple count rides the timed runs as an OBSERVATION on the
+        # noop write (pipeline.finalize's O37 pattern) — previously a
+        # fifth full pipeline execution ran after timing just to count
+        last_count = {}
+
+        def run_once():
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            edges = build_kg(docs, aliases=aliases)["ksg_edges"]
+            _noop(edges.observe(obs, F.sum("weight").alias("w")))
+            last_count["triples"] = int(obs.get["w"] or 0)
+
+        kg_sec = _timed(run_once)
         out["kg_pipeline"] = kg_sec
-        edges = build_kg(docs, aliases=aliases)["ksg_edges"]
-        n_triples = int(edges.agg(F.sum("weight")).first()[0] or 0)
+        n_triples = last_count["triples"]
         out["kg_docs"] = n_docs
         out["kg_triples"] = n_triples
         out["kg_docs_per_sec"] = round(n_docs / kg_sec, 1)
@@ -141,7 +157,10 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "td_decontam",
         "ts_source_quota",
     ]:
-        timings[name] = _timed(lambda: _noop(Q.QUERIES[name](spark, sf_dir)))
+        timings[name] = _timed(
+            lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
+            cleanup=lambda: _clear_persisted(spark),
+        )
         _clear_persisted(spark)
 
     # sim paths timed individually (the registry's sim_topk_ivf surface

@@ -300,7 +300,12 @@ def simhash(docs: DataFrame) -> DataFrame:
                      "simhash": pd.Series([], dtype="int64")}
                 )
                 continue
-            tok_lists = [str(t).lower().split() for t in pdf["text"]]
+            # NULL text == empty text == zero tokens → simhash 0; every
+            # doc keeps its row (the oracle re-attaches via LEFT JOIN)
+            tok_lists = [
+                ("" if t is None else str(t)).lower().split()
+                for t in pdf["text"]
+            ]
             counts = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=n_docs
             )

@@ -51,9 +51,23 @@ def media_spans(docs_spans: DataFrame) -> DataFrame:
     """Extract media spans into the typed metadata table. The payload is
     null here (bytes live behind media_ref); a fetch stage would fill it
     batch-wise inside the featurizer."""
+    ordered = F.array_sort(
+        F.transform(
+            F.col("spans"),
+            lambda sp: F.struct(
+                sp["offset"].alias("offset"),
+                sp["kind"].alias("kind"),
+                sp["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    # span_idx counts in OFFSET order — the repo-wide document-order
+    # convention (normalize.split_sentences, media.media_adjacency), so
+    # media rows key consistently with the NLP side's span ordinals even
+    # when a writer stored the array out of order
     return (
         docs_spans.select(
-            "doc_id", F.posexplode("spans").alias("span_idx", "span")
+            "doc_id", F.posexplode(ordered).alias("span_idx", "span")
         )
         .where(F.col("span.kind") == "media")
         .select(
@@ -77,9 +91,17 @@ def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
 
 
 def _fake_feature(ref: str, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in feature: bytes of md5(ref) scaled to [0,1)."""
-    h = hashlib.md5(ref.encode()).digest()
-    return np.frombuffer(h[:dim], dtype=np.uint8).astype(np.float32) / 255.0
+    """Deterministic stand-in feature: md5(ref) bytes scaled to [0,1).
+    One digest is 16 bytes; larger dims chain counter-suffixed digests
+    so the output ALWAYS has exactly ``dim`` values (h[:dim] silently
+    truncated dims > 16)."""
+    buf = b""
+    i = 0
+    while len(buf) < dim:
+        suffix = b"" if i == 0 else f"#{i}".encode()
+        buf += hashlib.md5(ref.encode() + suffix).digest()
+        i += 1
+    return np.frombuffer(buf[:dim], dtype=np.uint8).astype(np.float32) / 255.0
 
 
 def featurize_media(

@@ -1246,20 +1246,60 @@ _register(
 )
 
 
-def _minhash_oracle(n: int) -> str:
+# --- shared SQL fragments for the minhash/LSH/near-dup oracle family:
+# ONE definition of the affine hash derivation, the signature list, the
+# band hashing, and the candidate/intersection block, so a change to any
+# piece (e.g. the odd-multiplier on h2 or the jaccard rounding) cannot
+# silently desynchronize one oracle from the Spark plan it checks.
+_AFFINE_H_SQL = """\
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
+             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
+      FROM sh"""
+
+
+def _affine_sigs(n: int, indent: int) -> str:
     from naruhodo_spark.ops.dedup import MINHASH_P
 
-    sigs = ",\n           ".join(
+    return (",\n" + " " * indent).join(
         f"min((h1 + {i} * h2) % {MINHASH_P}) AS sig_{i}" for i in range(n)
     )
+
+
+def _band_selects_sql() -> str:
+    from naruhodo_spark.ops.dedup import N_BANDS, N_MINHASH
+
+    rows = N_MINHASH // N_BANDS
+    return "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"sig_{b * rows + r}::VARCHAR" for r in range(rows))
+        )
+        for b in range(N_BANDS)
+    )
+
+
+_CAND_SIZES_INTER_SQL = """\
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM buckets l JOIN buckets r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)"""
+
+
+def _minhash_oracle(n: int) -> str:
+    sigs = _affine_sigs(n, 11)
     return (
         _SHINGLES_SQL
         + f"""
     , h AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
-             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
-      FROM sh)
+{_AFFINE_H_SQL})
     SELECT doc_id, {sigs} FROM h GROUP BY doc_id
     """
     )
@@ -1275,43 +1315,21 @@ def _minhash_lsh_oracle() -> str:
     """Full LSH plan in DuckDB: affine minhash signatures → band hashes
     (md5 of '|'-joined sig values — decimal long rendering is identical
     in both engines) → bucket candidates → exact Jaccard ≥ 0.5."""
-    from naruhodo_spark.ops.dedup import MINHASH_P, N_BANDS, N_MINHASH
+    from naruhodo_spark.ops.dedup import N_MINHASH
 
-    rows = N_MINHASH // N_BANDS
-    sigs = ",\n             ".join(
-        f"min((h1 + {i} * h2) % {MINHASH_P}) AS sig_{i}" for i in range(N_MINHASH)
-    )
-    band_selects = "\n      UNION ALL\n".join(
-        "      SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
-            b=b, cols=", ".join(f"sig_{b * rows + r}::VARCHAR" for r in range(rows))
-        )
-        for b in range(N_BANDS)
-    )
+    sigs = _affine_sigs(N_MINHASH, 13)
+    band_selects = _band_selects_sql()
     return (
         _SHINGLES_SQL
         + f"""
     , h AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
-             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
-      FROM sh),
+{_AFFINE_H_SQL}),
     sig AS (
       SELECT doc_id, {sigs}
       FROM h GROUP BY doc_id),
     buckets AS (
 {band_selects}),
-    cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM buckets l JOIN buckets r
-        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY 1, 2)
+{_CAND_SIZES_INTER_SQL}
     SELECT doc_a, doc_b,
            round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) AS jaccard
     FROM inter
@@ -1334,18 +1352,10 @@ def _near_dup_groups_oracle() -> str:
     d²-bucket guard, mirrored) → transitive closure via a RECURSIVE CTE
     → min doc_id per component. The one non-relational Spark stage (star
     -contraction CC) is exactly the closure the recursion computes."""
-    from naruhodo_spark.ops.dedup import MINHASH_P, N_BANDS, N_MINHASH
+    from naruhodo_spark.ops.dedup import N_MINHASH
 
-    rows = N_MINHASH // N_BANDS
-    sigs = ",\n             ".join(
-        f"min((h1 + {i} * h2) % {MINHASH_P}) AS sig_{i}" for i in range(N_MINHASH)
-    )
-    band_selects = "\n      UNION ALL\n".join(
-        "      SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
-            b=b, cols=", ".join(f"sig_{b * rows + r}::VARCHAR" for r in range(rows))
-        )
-        for b in range(N_BANDS)
-    )
+    sigs = _affine_sigs(N_MINHASH, 13)
+    band_selects = _band_selects_sql()
     return rf"""
     WITH RECURSIVE fp AS (
       SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
@@ -1362,27 +1372,13 @@ def _near_dup_groups_oracle() -> str:
              array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
       FROM idx),
     h AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(shingle), 1, 12))::UBIGINT)::BIGINT AS h1,
-             (('0x' || substr(md5(shingle), 13, 12))::UBIGINT)::BIGINT * 2 + 1 AS h2
-      FROM sh),
+{_AFFINE_H_SQL}),
     sig AS (
       SELECT doc_id, {sigs}
       FROM h GROUP BY doc_id),
     buckets AS (
 {band_selects}),
-    cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM buckets l JOIN buckets r
-        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id),
-    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY 1, 2),
+{_CAND_SIZES_INTER_SQL},
     pairs AS (
       SELECT doc_a, doc_b
       FROM inter
@@ -1419,7 +1415,7 @@ _register(
       SELECT doc_id,
              unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                 x -> x <> '')) AS t
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
           FROM toks),
     b AS (
@@ -1432,10 +1428,13 @@ _register(
              sum(CASE WHEN acc > 0 THEN ((1::UBIGINT) << j)::HUGEINT
                  ELSE 0 END) AS uv
       FROM b GROUP BY doc_id)
-    SELECT doc_id,
-           CAST(CASE WHEN uv >= 9223372036854775808 THEN uv - 18446744073709551616
-                ELSE uv END AS BIGINT) AS simhash
-    FROM u
+    -- LEFT JOIN re-attaches empty/NULL-text docs with simhash 0,
+    -- matching the UDF's one-row-per-doc contract
+    SELECT d.doc_id,
+           COALESCE(CAST(CASE WHEN uv >= 9223372036854775808
+                              THEN uv - 18446744073709551616
+                         ELSE uv END AS BIGINT), 0) AS simhash
+    FROM documents d LEFT JOIN u USING (doc_id)
     """,
 )
 

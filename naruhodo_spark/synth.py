@@ -37,6 +37,10 @@ def _doc_rng(i: int, seed: int) -> np.random.RandomState:
     return np.random.RandomState(zlib.crc32(f"{seed}:{i}".encode()) & 0x7FFFFFFF)
 
 
+_EN_PASTS = sorted(lang.EN_VERBS.values())
+_EN_ADJS = sorted(lang.EN_ADJECTIVES)
+
+
 def _sentence(rng: np.random.RandomState, hot_frac: float, state: dict) -> str:
     """One sentence from a template mix that exercises every linguistic
     operator: plain SVO, prepositional obliques, pronoun subjects,
@@ -44,7 +48,7 @@ def _sentence(rng: np.random.RandomState, hot_frac: float, state: dict) -> str:
     persons, locs, orgs, things = (
         lang.EN_PERSONS, lang.EN_LOCATIONS, lang.EN_ORGS, lang.EN_THINGS,
     )
-    pasts = sorted(lang.EN_VERBS.values())
+    pasts = _EN_PASTS
 
     def person():
         if hot_frac > 0 and rng.rand() < hot_frac:
@@ -74,7 +78,7 @@ def _sentence(rng: np.random.RandomState, hot_frac: float, state: dict) -> str:
         return f"then {verb} the {o}"
     # predicate adjective
     th = things[rng.randint(len(things))]
-    adj = sorted(lang.EN_ADJECTIVES)[rng.randint(len(lang.EN_ADJECTIVES))]
+    adj = _EN_ADJS[rng.randint(len(lang.EN_ADJECTIVES))]
     return f"the {th} is {adj}"
 
 

@@ -95,3 +95,30 @@ def test_weird_unicode_docs_survive(spark):
     # bracketed spans are stripped (O7): triple survives for d5
     d5 = [r for r in t if r["doc_id"] == "d5"]
     assert any(r["subj"] == "alice" and r["obj"] == "bob" for r in d5)
+
+
+def test_simhash_empty_and_null_docs_keep_rows(spark):
+    """One row per doc ALWAYS: empty and NULL text hash to 0 (and the
+    dd_simhash oracle re-attaches them via LEFT JOIN — symmetric)."""
+    import duckdb as _dd
+
+    from naruhodo_spark import queries as Q
+    from naruhodo_spark.ops.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == got[3] == got[4] == 0
+    assert got[1] != 0
+
+    con = _dd.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "   ")],
+    )
+    want = dict(con.execute(Q.ORACLES["dd_simhash"]).fetchall())
+    assert got == want
