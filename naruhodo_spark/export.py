@@ -17,6 +17,17 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# XML 1.0 forbids most C0 control characters even when escaped — shared
+# by the GraphML and SVG sinks (corpus bytes like \x01 survive
+# normalization, which only strips Java \s)
+import re as _re
+
+_XML_BAD = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def strip_xml_invalid(v) -> str:
+    return _XML_BAD.sub("", str(v))
+
 
 def nodes_json(nodes: DataFrame) -> DataFrame:
     return nodes.orderBy("node_id").select(
@@ -60,11 +71,19 @@ def write_viewer_jsonl(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None
     links_json(edges).write.mode("overwrite").text(f"{out_dir}/links")
 
 
-def export_obj(nodes: DataFrame, edges: DataFrame, max_nodes: int = 10_000) -> dict:
+def export_obj(nodes: DataFrame, edges: DataFrame, max_nodes: int = 10_000,
+               max_links: int | None = None) -> dict:
     """Driver-side D3 dict for viewer-sized subgraphs (reference
     ``exportObj`` analog): top-`max_nodes` nodes by count, induced links.
     The induced-subgraph filter runs IN SPARK (semi-joins against the
-    kept node set) so only viewer-sized data ever reaches the driver."""
+    kept node set) so only viewer-sized data ever reaches the driver.
+
+    The induced link set is ALSO bounded (default 20·max_nodes, heaviest
+    first, deterministic order) — a dense hub neighborhood induces up to
+    max_nodes² links, which would otherwise collect unbounded onto the
+    driver; same rank-k rule as plot.top_subgraph."""
+    if max_links is None:
+        max_links = 20 * max_nodes
     top = (nodes.orderBy(F.desc("count"), "node_id").limit(max_nodes)).persist()
     node_rows = [json.loads(r["json"]) for r in nodes_json(top).collect()]
     keep_ids = top.select(F.col("node_id"))
@@ -81,6 +100,8 @@ def export_obj(nodes: DataFrame, edges: DataFrame, max_nodes: int = 10_000) -> d
             "_target",
         )
         .drop("_target")
+        .orderBy(F.col("weight").desc(), "subj", "pred", "obj")
+        .limit(max_links)
     )
     link_rows = [json.loads(r["json"]) for r in links_json(induced).collect()]
     top.unpersist()
@@ -101,19 +122,14 @@ def write_graphml(nodes: DataFrame, edges: DataFrame, filename: str,
     selected IN SPARK; only viewer-sized data reaches the driver).
     Attributes: node count/type/rep, edge label/weight/negative/passive.
     """
-    import re as _re
     from xml.sax.saxutils import escape as _esc
     from xml.sax.saxutils import quoteattr as _qa
 
-    # XML 1.0 forbids most control chars even escaped — strip them or
-    # the produced file fails to parse in Gephi/yEd/ElementTree
-    _bad = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
-
     def escape(v):
-        return _esc(_bad.sub("", str(v)))
+        return _esc(strip_xml_invalid(v))
 
     def quoteattr(v):
-        return _qa(_bad.sub("", str(v)))
+        return _qa(strip_xml_invalid(v))
 
     obj = export_obj(nodes, edges, max_nodes)
     lines = [

@@ -165,6 +165,17 @@ def ja_profile() -> dict:
         "subj_particles": set(JA_SUBJ_PARTICLES),
         "obj_particles": set(JA_OBJ_PARTICLES),
         "negations": {"ない", "ぬ", "ず"},
+        # lexical items that END in a negation string without negating:
+        # 死ぬ is the lone modern -ぬ verb; 少ない/危ない-class i-adjectives
+        # contain ない as part of the stem; 必ず/まず-class adverbs end in
+        # ず. The suffix test alone flagged all of these negative
+        # (e.g. (人, 少ない) came out negated).
+        "neg_exceptions": {
+            "死ぬ", "少ない", "危ない", "もったいない", "勿体ない",
+            "切ない", "つまらない", "くだらない", "きたない", "汚ない",
+            "必ず", "まず", "思わず", "相変わらず", "とりあえず",
+            "ひとまず",
+        },
         "stop_mains": set(JA_STOP_MAINS),
         "copulas": set(JA_COPULAS),
         "hira_content": set(JA_HIRA_CONTENT) | set(JA_PRON),

@@ -99,6 +99,25 @@ def chunk_sentence_en(sentence: str, prof: dict) -> list[dict]:
         )
 
     cls = prof["cls"]
+
+    def flush_buffers():
+        # same emission the end-of-sentence path performs: buffered
+        # copula+adjective become a predicate-adjective chunk, a
+        # dangling aux an OTHER chunk. Called at conjunctions too — the
+        # old reset-without-flush silently DROPPED the predication in
+        # "the castle is ancient but the garden is quiet" (castle's
+        # 'is ancient' vanished and castle mis-attached to 'is quiet').
+        nonlocal pre_mods, pre_verb
+        if pre_mods:
+            neg = any(w in prof["negations"] for w in pre_verb)
+            surface = " ".join(pre_verb + pre_mods)
+            emit(surface, pre_mods[-1], "", S.CTYPE_ADJ, S.ETYPE_UNKNOWN,
+                 S.PRO_NONE, neg, False, "present")
+        elif pre_verb:
+            emit(" ".join(pre_verb), pre_verb[-1], "", S.CTYPE_OTHER,
+                 S.ETYPE_UNKNOWN, S.PRO_NONE, False, False, "present")
+        pre_mods, pre_verb = [], []
+
     for tok in toks:
         c = cls.get(tok)
         if c == "det" or c == "adj":
@@ -108,9 +127,10 @@ def chunk_sentence_en(sentence: str, prof: dict) -> list[dict]:
         elif c == "prep":
             pending_func = tok
         elif c == "conj":
+            flush_buffers()
             emit(tok, tok, "", S.CTYPE_CONNECT, S.ETYPE_UNKNOWN, S.PRO_NONE,
                  False, False, "present")
-            pre_mods, pre_verb, pending_func = [], [], ""
+            pending_func = ""
         elif tok in verb_forms or (tok.endswith("ed") and len(tok) > 3):
             lemma = verb_forms.get(tok, tok)
             is_past = tok in past_forms or tok.endswith("ed")
@@ -129,14 +149,7 @@ def chunk_sentence_en(sentence: str, prof: dict) -> list[dict]:
                  "present")
             pre_mods, pending_func = [], ""
 
-    if pre_mods:  # predicate adjective: "the castle is ancient"
-        neg = any(w in prof["negations"] for w in pre_verb)
-        surface = " ".join(pre_verb + pre_mods)
-        emit(surface, pre_mods[-1], "", S.CTYPE_ADJ, S.ETYPE_UNKNOWN,
-             S.PRO_NONE, neg, False, "present")
-    elif pre_verb:  # dangling aux — keep as OTHER chunk for DSG fidelity
-        emit(" ".join(pre_verb), pre_verb[-1], "", S.CTYPE_OTHER,
-             S.ETYPE_UNKNOWN, S.PRO_NONE, False, False, "present")
+    flush_buffers()  # EOS: predicate adjective / dangling aux
 
     _assign_parents(chunks)
     return chunks
@@ -175,8 +188,17 @@ def chunk_sentence_ja(sentence: str, prof: dict) -> list[dict]:
         elif tok in prof["pro"]:
             emit(tok, tok, S.CTYPE_PRONOUN, prof["pro"][tok], False, "present")
         elif tok.endswith(tuple(prof["negations"])):
-            emit(tok, tok, S.CTYPE_VERB, S.PRO_NONE, True,
-                 "past" if tok.endswith(("た", "だ")) else "present")
+            if tok in prof.get("neg_exceptions", ()):
+                # lexical ない/ぬ enders (少ない, 死ぬ) are NON-negated
+                # PREDICATES; ず-ending adverbs (必ず) fall to the noun
+                # default like other adverbs
+                if tok.endswith("ず"):
+                    emit(tok, tok, S.CTYPE_NOUN, S.PRO_NONE, False, "present")
+                else:
+                    emit(tok, tok, S.CTYPE_VERB, S.PRO_NONE, False, "present")
+            else:
+                emit(tok, tok, S.CTYPE_VERB, S.PRO_NONE, True,
+                     "past" if tok.endswith(("た", "だ")) else "present")
         elif tok.endswith(prof["verb_suffixes"]):
             emit(tok, tok, S.CTYPE_VERB, S.PRO_NONE, False,
                  "past" if tok.endswith(("た", "だ")) else "present")

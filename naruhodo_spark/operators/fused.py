@@ -32,7 +32,12 @@ from naruhodo_spark.operators.chunk import chunk_sentence
 from naruhodo_spark.operators.normalize import SENT_STRIDE
 from naruhodo_spark.operators.triples import triples_from_chunklist
 
-_WS = re.compile(r"\s+")
+# re.ASCII: Java's \s (the Catalyst normalize path) is ASCII-only
+# [ \t\n\x0b\f\r]; Python's default \s also matches U+00A0/U+3000 etc.,
+# which would make the fused mirror collapse Unicode whitespace the
+# relational plan keeps — breaking the identical-output contract on
+# Japanese/web text
+_WS = re.compile(r"\s+", re.ASCII)
 _CTRL = re.compile(r"[\n\r\t]+")
 _BRACKETS = re.compile(r"(《[^》]*》|【[^】]*】|（[^）]*）|\([^)]*\)|\[[^\]]*\])")
 
@@ -66,11 +71,11 @@ def split_doc_sentences(spans, prof: dict) -> list[tuple[int, str]]:
         span_pos += 1
         txt = _BRACKETS.sub("", sp["text"] or "")
         txt = _CTRL.sub(" ", txt)
-        txt = _WS.sub(" ", txt).strip()
+        txt = _WS.sub(" ", txt).strip(" ")  # F.trim strips spaces only
         if lowercase:
             txt = txt.lower()
         for sent_pos, sent in enumerate(sent_re.split(txt)):
-            sent = sent.strip()
+            sent = sent.strip(" ")
             if sent:
                 out.append((span_pos * SENT_STRIDE + sent_pos, sent))
     return out

@@ -105,12 +105,20 @@ def triple_mentions(triples: DataFrame) -> DataFrame:
     counted as-is — acceptable weak-supervision noise, same stance the
     KSG node aggregation takes."""
     ordinal = (F.col("sent_id") / SENT_STRIDE).cast("int").alias("text_ordinal")
-    subj = triples.where(F.col("subj") != "").select(
-        "doc_id", ordinal, F.col("subj").alias("entity"),
+    # CANONICAL ids when the triples are linked (subj_canon columns
+    # present), raw surfaces otherwise — linked input keys the media
+    # edges by the same node ids ksg_nodes mints, so graph consumers
+    # (export/plot/pagerank) resolve them instead of dangling
+    s_col = "subj_canon" if "subj_canon" in triples.columns else "subj"
+    o_col = "obj_canon" if "obj_canon" in triples.columns else "obj"
+    subj = triples.where(F.col(s_col) != "").select(
+        "doc_id", ordinal, F.col(s_col).alias("entity"),
         F.col("subj_ne").alias("etype"),
     )
-    obj = triples.where(F.col("obj") != "").select(
-        "doc_id", ordinal, F.col("obj").alias("entity"),
+    obj = triples.where(
+        F.col(o_col).isNotNull() & (F.col(o_col) != "")
+    ).select(
+        "doc_id", ordinal, F.col(o_col).alias("entity"),
         F.col("obj_ne").alias("etype"),
     )
     return subj.unionByName(obj)

@@ -271,6 +271,13 @@ def chunk_arrays_en(
     mod_left = (cat == _CAT_MOD) & np.isnan(nxt_noun) & no_conj
     vrb_attach = (cat == _CAT_VRB) & ok_verb
     vrb_left = (cat == _CAT_VRB) & np.isnan(nxt_verb) & no_conj
+    # buffered tokens whose next CONJ precedes their target FLUSH into a
+    # predicate-adjective / dangling-aux chunk emitted just before the
+    # conjunction (spec: chunk_sentence_en flush_buffers at conj — the
+    # old reset dropped the "is ancient" predication in
+    # "the castle is ancient but ...")
+    mod_flush = (cat == _CAT_MOD) & ~ok_noun & ~no_conj
+    vrb_flush = (cat == _CAT_VRB) & ~ok_verb & ~no_conj
     prep_attach = (cat == _CAT_PREP) & ok_noun
 
     negations = prof["negations"]
@@ -365,55 +372,84 @@ def chunk_arrays_en(
         }
     )
 
-    # --- tail chunks (leftover buffers at sentence end; rare — the
-    # per-run Python below touches only sentences that actually have them)
-    em_count = np.bincount(tseg[is_em], minlength=len(sentences))
-    lm_seg, lm_tok = tseg[mod_left], tok[mod_left]
-    lv_seg, lv_tok = tseg[vrb_left], tok[vrb_left]
-    vjoin_map: dict[int, str] = {}
-    vlast_map: dict[int, str] = {}
-    vneg_map: dict[int, bool] = {}
-    if lv_seg.size:
-        vs, ve = _run_bounds(lv_seg)
-        vlst = lv_tok.tolist()
-        for a, b in zip(vs, ve):
-            s_ = int(lv_seg[a])
-            vjoin_map[s_] = " ".join(vlst[a:b])
-            vlast_map[s_] = vlst[b - 1]
-            vneg_map[s_] = any(t in negations for t in vlst[a:b])
-    tail_rows: list[tuple] = []
-    adj_segs: set[int] = set()
-    if lm_seg.size:
-        ms, me = _run_bounds(lm_seg)
-        mlst = lm_tok.tolist()
-        for a, b in zip(ms, me):
-            s_ = int(lm_seg[a])
-            adj_segs.add(s_)
-            mj = " ".join(mlst[a:b])
-            surf = vjoin_map[s_] + " " + mj if s_ in vjoin_map else mj
-            tail_rows.append(
-                (s_, int(em_count[s_]), surf, mlst[b - 1], "", S.CTYPE_ADJ,
-                 S.ETYPE_UNKNOWN, S.PRO_NONE, vneg_map.get(s_, False), False,
-                 "present")
-            )
-    for s_, vj in vjoin_map.items():
-        if s_ not in adj_segs:
-            tail_rows.append(
-                (s_, int(em_count[s_]), vj, vlast_map[s_], "", S.CTYPE_OTHER,
-                 S.ETYPE_UNKNOWN, S.PRO_NONE, False, False, "present")
-            )
-    if tail_rows:
-        tdf = pd.DataFrame(
-            tail_rows,
-            columns=["seg", "chunk_id", "surface", "main", "func", "ctype",
-                     "ne_type", "pro", "negative", "passive", "tense"],
-        ).astype({"ctype": np.int32, "ne_type": np.int32, "pro": np.int32})
-        chk = pd.concat([edf, tdf], ignore_index=True)
+    edf["_sortpos"] = epos.astype(np.float64)
+
+    extra_cols = ["seg", "surface", "main", "func", "ctype",
+                  "ne_type", "pro", "negative", "passive", "tense",
+                  "_sortpos"]
+    extra_rows: list[tuple] = []
+
+    def _buffer_rows(m_seg_or_pos_mods, m_tok, v_seg_or_pos, v_tok,
+                     sortpos_of, seg_of):
+        """Shared flush logic (conjunction and EOS): per group key, a
+        buffered copula+adjective becomes one ADJ chunk (aux prefix,
+        negation from aux), a dangling aux an OTHER chunk — exactly the
+        spec's flush_buffers. Keys are non-decreasing so runs are
+        contiguous; only sentences that actually buffer pay Python."""
+        vj: dict[int, str] = {}
+        vl_: dict[int, str] = {}
+        vn: dict[int, bool] = {}
+        if v_seg_or_pos.size:
+            vs, ve = _run_bounds(v_seg_or_pos)
+            vlst = v_tok.tolist()
+            for a, b in zip(vs, ve):
+                key = int(v_seg_or_pos[a])
+                vj[key] = " ".join(vlst[a:b])
+                vl_[key] = vlst[b - 1]
+                vn[key] = any(t in negations for t in vlst[a:b])
+        adj_keys: set[int] = set()
+        if m_seg_or_pos_mods.size:
+            ms, me = _run_bounds(m_seg_or_pos_mods)
+            mlst = m_tok.tolist()
+            for a, b in zip(ms, me):
+                key = int(m_seg_or_pos_mods[a])
+                adj_keys.add(key)
+                mj = " ".join(mlst[a:b])
+                surf = vj[key] + " " + mj if key in vj else mj
+                extra_rows.append(
+                    (seg_of(key), surf, mlst[b - 1], "", S.CTYPE_ADJ,
+                     S.ETYPE_UNKNOWN, S.PRO_NONE, vn.get(key, False), False,
+                     "present", sortpos_of(key))
+                )
+        for key, v in vj.items():
+            if key not in adj_keys:
+                extra_rows.append(
+                    (seg_of(key), v, vl_[key], "", S.CTYPE_OTHER,
+                     S.ETYPE_UNKNOWN, S.PRO_NONE, False, False, "present",
+                     sortpos_of(key))
+                )
+
+    # flush-at-conjunction: keyed by the CONJ token position; the chunk
+    # sorts just before the conjunction emission (spec order)
+    _buffer_rows(
+        nxt_conj[mod_flush].astype(np.int64), tok[mod_flush],
+        nxt_conj[vrb_flush].astype(np.int64), tok[vrb_flush],
+        sortpos_of=lambda p_: p_ - 0.5,
+        seg_of=lambda p_: int(tseg[p_]),
+    )
+    # EOS tail: keyed by segment; sorts after every in-sentence position
+    _buffer_rows(
+        tseg[mod_left], tok[mod_left],
+        tseg[vrb_left], tok[vrb_left],
+        sortpos_of=lambda s_: float(n),
+        seg_of=lambda s_: s_,
+    )
+
+    if extra_rows:
+        tdf = pd.DataFrame(extra_rows, columns=extra_cols).astype(
+            {"ctype": np.int32, "ne_type": np.int32, "pro": np.int32}
+        )
+        chk = pd.concat([edf.drop(columns=["chunk_id"]), tdf],
+                        ignore_index=True)
     else:
-        chk = edf
-    chk = chk.sort_values(["seg", "chunk_id"], kind="stable", ignore_index=True)
+        chk = edf.drop(columns=["chunk_id"])
+    chk = chk.sort_values(["seg", "_sortpos"], kind="stable",
+                          ignore_index=True)
     if not len(chk):
         return empty
+    # renumber AFTER flush insertion so ids match the spec's emit order
+    chk["chunk_id"] = chk.groupby("seg").cumcount().astype(np.int64)
+    chk = chk.drop(columns=["_sortpos"])
     return _attach_parents(chk)
 
 
@@ -469,10 +505,19 @@ def chunk_arrays_ja(
     particles = prof["particles"]
     prod = prof["pro"]
     negs = tuple(prof["negations"])
+    negx = prof.get("neg_exceptions", frozenset())
     sufs = tuple(prof["verb_suffixes"])
     is_part_u = np.fromiter((t in particles for t in uniq), bool, nu)
     pro_u = np.fromiter((prod.get(t, S.PRO_NONE) for t in uniq), np.int32, nu)
-    is_neg_u = np.fromiter((t.endswith(negs) for t in uniq), bool, nu)
+    # exception lexicon: lexical ない/ぬ enders stay PREDICATES but not
+    # negated; ず-ending adverbs drop out of the negation class entirely
+    # (they fall through to the noun default, mirroring the spec)
+    is_negx_pred_u = np.fromiter(
+        (t in negx and not t.endswith("ず") for t in uniq), bool, nu
+    )
+    is_neg_u = np.fromiter(
+        (t.endswith(negs) and t not in negx for t in uniq), bool, nu
+    )
     is_suf_u = np.fromiter((t.endswith(sufs) for t in uniq), bool, nu)
     past_u = np.fromiter((t.endswith(("た", "だ")) for t in uniq), bool, nu)
     pas_u = np.fromiter(
@@ -511,7 +556,9 @@ def chunk_arrays_ja(
     pro_v = pro_u[einv]
     is_pron_e = pro_v != S.PRO_NONE
     is_negv_e = ~is_pron_e & is_neg_u[einv]
-    is_verb_e = is_negv_e | (~is_pron_e & is_suf_u[einv])
+    is_verb_e = is_negv_e | (
+        ~is_pron_e & (is_suf_u[einv] | is_negx_pred_u[einv])
+    )
 
     suffix = _map_onto(epos, pj_tgt, pj_join, "")
     func_v = _map_onto(epos, pl_tgt, pl_tok, "")
@@ -581,7 +628,7 @@ def chunk_batch(pdf: pd.DataFrame, prof: dict) -> pd.DataFrame:
 # Fused batch path: spans docs → resolved / carried / linked triples
 # ---------------------------------------------------------------------
 
-_WS = re.compile(r"\s+")
+_WS = re.compile(r"\s+", re.ASCII)  # Java-\s semantics, see fused.py
 _BRACKETS = re.compile(r"(《[^》]*》|【[^】]*】|（[^）]*）|\([^)]*\)|\[[^\]]*\])")
 _BRACKET_OPEN = re.compile(r"[《【（(\[]")
 
@@ -615,14 +662,14 @@ def _split_sentences_batch(pdf: pd.DataFrame, prof: dict):
     if has_br.any():
         s = s.mask(has_br, s[has_br].str.replace(_BRACKETS, "", regex=True))
     # NOTE no _CTRL pass: \s+ → " " makes [\n\r\t]+ → " " a no-op prefix
-    s = s.str.replace(_WS, " ", regex=True).str.strip()
+    s = s.str.replace(_WS, " ", regex=True).str.strip(" ")
     if prof.get("lang") != "ja":
         s = s.str.lower()
     parts = s.str.split(prof["sentence_re"], regex=True)
     meta = pd.DataFrame({"doc": doc_ord, "span_pos": span_pos})
     exploded = parts.explode()
     exploded = exploded[exploded.notna()]
-    sent = exploded.str.strip()
+    sent = exploded.str.strip(" ")
     keep = (sent != "").to_numpy()
     span_idx = exploded.index.to_numpy()[keep]
     sent = sent.to_numpy()[keep]

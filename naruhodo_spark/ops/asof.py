@@ -78,7 +78,10 @@ def join_asof(
     NULL timestamps. (A LEFT row with NULL ts needs no handling: it
     sorts to the partition head and finds no prior right row → null
     payload, same as the native implementations.)"""
-    right = right.where(F.col(ts).isNotNull())
+    # NULL join keys never match (DuckDB ASOF / pandas merge_asof
+    # semantics) — Window.partitionBy would otherwise group all NULL
+    # keys into one partition and match them to each other
+    right = right.where(F.col(ts).isNotNull() & F.col(key).isNotNull())
     rpay = [c for c in right.columns if c != key]
     payload = F.struct(*[F.col(c) for c in rpay])
     l = left.withColumn("_lr", F.lit(1)).withColumn(

@@ -51,8 +51,12 @@ def prepare_corpus(
     the dedup multiplicity for loss-weighting schemes."""
     red = TS.redact_pii(docs).select(
         "doc_id", F.col("text_redacted").alias("text")
-    )
-    groups = D.near_dup_groups(red)
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint: red fans out to 5 consumers (dedup, token counts,
+    # repetition, split, final join) — without the barrier each branch
+    # re-scans the input and re-runs the redaction regexes (the same
+    # fan-out fix dedup.py applies to its shingle index)
+    groups = D.near_dup_groups(red).localCheckpoint(eager=False)
     sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
     reps = (
         groups.where(F.col("doc_id") == F.col("group_id"))

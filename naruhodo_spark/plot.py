@@ -33,11 +33,19 @@ from __future__ import annotations
 
 import json
 import math
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape as _sax_escape
 
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from naruhodo_spark.export import strip_xml_invalid
+
+
+def escape(v) -> str:
+    # SVG is XML: C0 control chars are forbidden even escaped — same
+    # guard as export.write_graphml (shared stripper)
+    return _sax_escape(strip_xml_invalid(v))
 
 __all__ = ["top_subgraph", "layout_fr", "plot_figure", "plot_to_file"]
 

@@ -1734,7 +1734,7 @@ def kg_media_links(spark, sf_dir):
 
     docs = _synth(spark)
     kg = build_kg(docs, prof=_en())
-    nodes, edges = O_media.media_entity_edges(docs, kg["triples"])
+    nodes, edges = O_media.media_entity_edges(docs, kg["triples_linked"])
     return edges
 
 

@@ -166,3 +166,15 @@ def test_facade_graph_analytics(spark):
     d.add("alice visited bob.")
     with _pytest.raises(NotImplementedError):
         d.pagerank()
+
+
+def test_conjunction_keeps_predicate_adjective(spark):
+    """'the castle is ancient but the garden is quiet' must extract BOTH
+    predications (review finding: the conj branch dropped the buffered
+    'is ancient', losing (castle, ancient) and mis-attaching castle to
+    the other clause's predicate)."""
+    p = parser(spark, lang="en")
+    p.add("the castle is ancient but the garden is quiet.")
+    edges = {(r["subj"], r["pred"], r["obj"]) for r in p.edges.collect()}
+    assert ("castle", "ancient", "") in edges
+    assert ("garden", "quiet", "") in edges

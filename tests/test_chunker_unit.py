@@ -102,3 +102,26 @@ def test_ja_particles():
         c["doc_id"], c["sent_id"] = "d", 0
     (t,) = triples_from_chunklist(chunks, "sov", set(prof["stop_mains"]))
     assert (t[4], t[6]) == ("彼女", "本")
+
+
+def test_ja_negation_exceptions():
+    """Lexical ない/ぬ/ず enders are NOT negations: 死ぬ (plain verb),
+    少ない (i-adjective — stays a PREDICATE, just not negated), 必ず
+    (adverb); real negations (ない auxiliary, ぬ archaic) still flag."""
+    from naruhodo_spark import lang as L
+    from naruhodo_spark.operators.chunk import chunk_sentence_ja
+
+    prof = L.get_profile("ja")
+
+    def neg_preds(s):
+        return [(c["main"], c["negative"]) for c in chunk_sentence_ja(s, prof)
+                if c["ctype"] == 1]
+
+    assert neg_preds("彼 は 死ぬ") == [("死ぬ", False)]
+    assert neg_preds("人 が 少ない") == [("少ない", False)]  # still a predicate
+    assert neg_preds("本 が ない") == [("ない", True)]
+    assert neg_preds("行か ない") == [("行か", False), ("ない", True)] or any(
+        n for _, n in neg_preds("行か ない")
+    )
+    assert neg_preds("彼 は 知ら ぬ")[-1][1] is True
+    assert all(not n for _, n in neg_preds("必ず 行く"))

@@ -228,3 +228,83 @@ def test_fused_media_only_doc():
         }
     )
     assert len(V.fused_batch_en(pdf, PROF, STOP, None)) == 0
+
+
+def test_unicode_whitespace_fused_equals_relational(spark):
+    """U+3000 / NBSP inside spans: the Python mirrors must use Java-\\s
+    (ASCII) semantics like the Catalyst normalize path, or the fused and
+    relational plans diverge on Japanese/web text (review finding)."""
+    from naruhodo_spark import lang as L
+    from naruhodo_spark import schemas as S
+    from naruhodo_spark.operators.fused import extract_triples_fused
+    from naruhodo_spark.pipeline import extract_document_triples
+
+    texts = [
+        "alice　visited bob.",          # ideographic space
+        "carol praised dave. erin waved.",  # NBSP
+        "　",                            # whitespace-only (U+3000)
+        "frank  moved\tto tokyo.",           # ASCII ws mix (control)
+    ]
+    rows = [
+        (f"u{i}", [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+        for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, schema=S.DOCUMENTS_SPANS)
+    prof = L.get_profile("en")
+    cols = ["doc_id", "sent_id", "pred_id", "pred", "subj", "obj",
+            "negative", "passive", "tense"]
+    a = extract_triples_fused(docs, prof).select(cols)
+    b = extract_document_triples(docs, prof, triple_plan="relational")[
+        "triples"
+    ].select(cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # the relational sentences table agrees with the fused mirror too
+    from naruhodo_spark.operators.normalize import split_sentences
+
+    sents = {(r["doc_id"], r["sent_id"], r["sentence"])
+             for r in split_sentences(docs, prof).collect()}
+    from naruhodo_spark.operators.fused import split_doc_sentences
+
+    mirror = set()
+    for doc_id, spans in rows:
+        for sid, sent in split_doc_sentences(spans, prof):
+            mirror.add((doc_id, sid, sent))
+    assert sents == mirror
+
+
+def test_conjunction_flush_parity_randomized():
+    """600 random token salads dense in conjunctions/mods/aux: columnar
+    chunker ≡ spec including the flush-at-conjunction path (review
+    finding: the old reset dropped buffered predicate adjectives)."""
+    import numpy as np
+    import pandas as pd
+
+    from naruhodo_spark import lang as L
+    from naruhodo_spark.operators.chunk import chunk_sentence_en
+    from naruhodo_spark.operators.vchunk import chunk_arrays_en
+
+    prof = L.get_profile("en")
+    rng = np.random.default_rng(17)
+    vocab = (
+        ["but", "and", "or", "is", "was", "not", "the", "a", "ancient",
+         "quiet", "big", "to", "in"]
+        + ["alice", "bob", "castle", "garden", "visited", "praised", "ran"]
+    )
+    sents = [
+        " ".join(vocab[int(rng.integers(len(vocab)))]
+                 for _ in range(int(rng.integers(1, 12))))
+        for _ in range(600)
+    ]
+    df = chunk_arrays_en(np.arange(len(sents)), pd.Series(sents), prof)
+    cols = ["chunk_id", "parent", "surface", "main", "func", "ctype",
+            "negative", "passive", "tense"]
+    for i, s_ in enumerate(sents):
+        want = [
+            tuple(str(c[k]) for k in cols) for c in chunk_sentence_en(s_, prof)
+        ]
+        got = [
+            tuple(map(str, r))
+            for r in df[df["seg"] == i].sort_values("chunk_id")[cols]
+            .itertuples(index=False)
+        ]
+        assert got == want, (i, s_)
