@@ -472,3 +472,40 @@ def lang_id(docs: DataFrame) -> DataFrame:
         best["hits"].alias("marker_hits"),
         best["code"].alias("lang_pred"),
     )
+
+
+def top_terms(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
+    """Per-document TF-IDF keywords: (doc_id, term, tf, tfidf, rank) for
+    the top-``k`` terms of each doc — the standard cheap document-tagging
+    signal for corpus browsing and mixture analysis.
+
+    Plan shape: token explode → per-(doc, term) counts (uniform keys,
+    map-side partials) → join :func:`vocabulary`'s IDF (an aggregated
+    table, AQE-broadcast when it fits) → rank-k window PER DOC — the
+    window partitions on doc_id, whose group size is bounded by document
+    length, so there is no hot-key exposure regardless of corpus skew.
+    Ties break deterministically (tfidf desc, term asc).
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(norm_text(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = vocabulary(docs, min_df=min_df).select(
+        F.col("token").alias("term"), "idf"
+    )
+    scored = tf.join(idf, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )

@@ -1792,6 +1792,14 @@ for _n, _f in [
     ("td_decontam", td_decontam),
     ("ts_source_quota", ts_source_quota),
     (
+        # per-doc TF-IDF keywords (ops/textstats.top_terms); rows-only —
+        # exact DuckDB mirror in tests/test_source_quota.py
+        "ts_top_terms",
+        lambda spark, sf_dir: TS.top_terms(
+            _t(spark, sf_dir, "documents"), k=3
+        ),
+    ),
+    (
         "kg_edge_provenance",
         lambda spark, sf_dir: build_kg(_synth(spark), prof=_en())[
             "edge_provenance"

@@ -69,3 +69,43 @@ def test_source_quota_properties(spark):
         .select("doc_id").collect()
     }
     assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
+
+
+def test_top_terms_duckdb_mirror(spark):
+    """TF-IDF keyword extraction vs an exact DuckDB mirror on the real
+    corpus (same normalization, same smoothed IDF, same tie-break)."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in TS.top_terms(docs, k=3, min_df=2).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    rows = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (
+          SELECT term, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        idf AS (
+          SELECT term, round(ln((nd + 1) / (df + 1.0)), 6) AS idf
+          FROM dfreq, nd WHERE df >= 2),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, round(tf.tf * idf.idf, 6) AS tfidf,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY round(tf.tf * idf.idf, 6) DESC,
+                                             tf.term) AS rank
+          FROM tf JOIN idf USING (term))
+        SELECT doc_id, rank, term, tf, tfidf FROM scored WHERE rank <= 3
+    """).fetchall()
+    want = {(d, r): (t, tfv, x) for d, r, t, tfv, x in rows}
+    assert got == want
+    assert len(got) > 0
