@@ -48,7 +48,15 @@ def prepare_corpus(
 
     Survivors are near-dup group representatives (min doc_id per group)
     that pass the token-count and repetition gates; `group_size` keeps
-    the dedup multiplicity for loss-weighting schemes."""
+    the dedup multiplicity for loss-weighting schemes.
+
+    Requires a ``source`` column on ``docs`` when ``source_cap`` is set
+    (the per-source quota has nothing to key on otherwise)."""
+    if source_cap is not None and "source" not in docs.columns:
+        raise ValueError(
+            "prepare_corpus(source_cap=...) requires a 'source' column on "
+            f"the input; got columns {docs.columns}"
+        )
     red = TS.redact_pii(docs).select(
         "doc_id", F.col("text_redacted").alias("text")
     ).localCheckpoint(eager=False)
@@ -88,8 +96,13 @@ def prepare_corpus(
     if bench is not None:
         from naruhodo_spark.ops import decontam as DC
 
+        # Redact the bench side with the SAME pass the corpus got —
+        # decontam compares exact n-grams, so a benchmark window
+        # overlapping a PII span (email/phone) could never match the
+        # corpus's <EMAIL>/<NUM> placeholders if one side stayed raw.
+        bench_red = bench.withColumn("text", TS.redact_text(F.col("text")))
         out = out.withColumnRenamed("text_redacted", "text")
-        out = DC.decontaminate(out, bench, n=decontam_n).withColumnRenamed(
+        out = DC.decontaminate(out, bench_red, n=decontam_n).withColumnRenamed(
             "text", "text_redacted"
         )
     if source_cap is not None:

@@ -197,23 +197,79 @@ def vocabulary(docs: DataFrame, min_df: int = 2) -> DataFrame:
     )
 
 
-def vocab_ids(vocab: DataFrame) -> DataFrame:
-    """(token, id) with id = 1-based rank in token order; 0 is reserved
-    for OOV. The global row_number window is intentional: a vocabulary
-    is broadcast-sized by construction (min_df pruning), so the single-
-    partition sort is over vocab rows, never the corpus."""
+def vocab_ids(vocab: DataFrame, max_dense: int = 5_000_000) -> DataFrame:
+    """(token, id) with DENSE id = 1-based rank in token order; 0 is
+    reserved for OOV. The global row_number window sorts the whole
+    vocabulary on ONE partition — fine for a tokenizer-sized vocab,
+    catastrophic for a web-corpus one (min_df=2 at 100 TB still retains
+    10⁸–10⁹ distinct tokens). The size gate makes that contract explicit
+    instead of silently building a single-partition sort: callers who
+    trip it should switch to :func:`vocab_hash_ids`, which needs no sort
+    and no broadcast. The limit-probe count scans at most max_dense+1
+    vocab rows, never the corpus."""
     from pyspark.sql import Window as W
 
+    if vocab.select("token").limit(max_dense + 1).count() > max_dense:
+        raise ValueError(
+            f"vocab_ids: vocabulary exceeds max_dense={max_dense}; dense "
+            "rank ids need a single-partition global sort and a broadcast-"
+            "sized id table. Use vocab_hash_ids() for large vocabularies."
+        )
     return vocab.select(
         "token", F.row_number().over(W.orderBy("token")).alias("id")
     )
 
 
-def encode_tokens(docs: DataFrame, ids: DataFrame, oov_id: int = 0) -> DataFrame:
+def vocab_hash_ids(vocab: DataFrame, algo: str = "xxhash64") -> DataFrame:
+    """(token, id) with CONTENT-DERIVED id — the web-scale form of
+    vocab_ids: no global sort, no dense rank, resume-stable (a token's id
+    never changes when the vocabulary grows), and computable map-side.
+
+    - ``xxhash64`` (default): full 64-bit Spark xxhash64 — production
+      path; collision odds at 10⁹ tokens ≈ n²/2⁶⁵ ≈ 2.7 %, and
+      :func:`id_collisions` makes the check cheap and explicit.
+    - ``md5_48``: first 48 bits of md5 — engine-portable (DuckDB computes
+      the identical value), used by the driver-oracle verification.
+
+    Ids are shifted away from 0 (the OOV sentinel): xxhash64 output 0 or
+    a zero md5 prefix would otherwise alias OOV. The +1 shift cannot
+    overflow for md5_48 (48-bit + 1); for xxhash64 the shift wraps only
+    on the single value 2⁶³−1, which ``id_collisions`` would surface."""
+    if algo == "md5_48":
+        raw = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+    elif algo == "xxhash64":
+        raw = F.xxhash64("token")
+    else:
+        raise ValueError(f"vocab_hash_ids: unknown algo {algo!r}")
+    return vocab.select("token", (raw + F.lit(1)).cast("long").alias("id"))
+
+
+def id_collisions(ids: DataFrame) -> DataFrame:
+    """(id, n_tokens, tokens) for every id shared by >1 token — the
+    collision audit for hash-derived vocab ids. Empty means every token
+    encodes uniquely. One uniform-key shuffle over vocab rows."""
+    return (
+        ids.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sort_array(F.collect_list("token")).alias("tokens"),
+        )
+        .where(F.col("n_tokens") > 1)
+    )
+
+
+def encode_tokens(
+    docs: DataFrame, ids: DataFrame, oov_id: int = 0, broadcast_ids: bool = True
+) -> DataFrame:
     """Encode each doc's token stream to integer ids against a
-    (token, id) table: posexplode → broadcast hash join (the id table is
-    vocab-sized) → positional reassembly via array_sort of (pos, id)
-    structs. One shuffle, keyed by doc_id.
+    (token, id) table: posexplode → hash join → positional reassembly
+    via array_sort of (pos, id) structs. One shuffle, keyed by doc_id.
+
+    ``broadcast_ids=True`` (default) broadcasts the id table — right for
+    tokenizer-sized vocabularies. For web-scale vocabularies (the
+    vocab_hash_ids path) pass False: the join becomes a plain shuffled
+    hash join on the uniform ``token`` key, which survives an id table
+    that no longer fits in executor memory.
 
     Docs whose normalized text yields zero tokens come back with an
     EMPTY token_ids array rather than disappearing (the groupBy only
@@ -223,7 +279,8 @@ def encode_tokens(docs: DataFrame, ids: DataFrame, oov_id: int = 0) -> DataFrame
         "doc_id",
         F.posexplode(F.split(norm_text(F.col("text")), " ")).alias("pos", "token"),
     ).where(F.col("token") != "")
-    j = tok.join(F.broadcast(ids), "token", "left").withColumn(
+    id_side = F.broadcast(ids) if broadcast_ids else ids
+    j = tok.join(id_side, "token", "left").withColumn(
         "id", F.coalesce("id", F.lit(oov_id))
     )
     agg = j.groupBy("doc_id").agg(
@@ -343,14 +400,27 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^ \t\r\n]+"  # \r excluded: CRLF text must not leak into <URL>
+_PII_NUM = r"[0-9]{9,}"
+
+
+def redact_text(col):
+    """Column-level form of the redact_pii replacement chain — the SAME
+    masking both corpus and benchmark sides must share, or decontam
+    n-grams straddling a PII span can never match (prepare.py applies it
+    to the bench text for exactly that reason)."""
+    t1 = F.regexp_replace(col, _PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, _PII_URL, "<URL>")
+    return F.regexp_replace(t2, _PII_NUM, "<NUM>")
+
+
 def redact_pii(docs: DataFrame) -> DataFrame:
     """Training-data scrubbing: mask emails, URLs, and long digit runs
     (id/phone-shaped) with typed placeholders, plus per-doc match counts
     for filter policies. Pure Catalyst regexps chosen from the
     RE2/Java/PCRE common subset so the DuckDB oracle is byte-identical."""
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    url = r"https?://[^ \t\r\n]+"  # \r excluded: CRLF text must not leak into <URL>
-    num = r"[0-9]{9,}"
+    email, url, num = _PII_EMAIL, _PII_URL, _PII_NUM
     # sequential: emails first, URLs on the email-redacted text, digit
     # runs last. Each count is taken on the SAME stage input its
     # replacement runs on, so n_* == number of placeholders actually

@@ -1009,9 +1009,18 @@ def ts_encode_tokens(spark, sf):
     """Token-id encoding, exposed as exploded (doc_id, pos, id) rows: the
     driver's canonicalizer sorts result columns with pandas, which cannot
     hash an array<long> cell — the array stays an internal shape
-    (TS.encode_tokens), only the verification surface is exploded."""
+    (TS.encode_tokens), only the verification surface is exploded.
+
+    This drives the WEB-SCALE id path: content-derived md5-48 hash ids
+    (no global sort, resume-stable) joined WITHOUT a broadcast — the
+    plan that survives a 10⁹-token vocabulary; DuckDB computes the
+    identical md5 prefix, so the oracle verifies the exact ids."""
     d = _t(spark, sf, "documents")
-    enc = TS.encode_tokens(d, TS.vocab_ids(TS.vocabulary(d)))
+    enc = TS.encode_tokens(
+        d,
+        TS.vocab_hash_ids(TS.vocabulary(d), algo="md5_48"),
+        broadcast_ids=False,
+    )
     return enc.select(
         "doc_id", F.posexplode("token_ids").alias("pos", "id")
     ).select(
@@ -1038,7 +1047,9 @@ _register(
       SELECT token FROM (SELECT DISTINCT doc_id, token FROM tok)
       GROUP BY token HAVING count(*) >= 2),
     ids AS (
-      SELECT token, row_number() OVER (ORDER BY token) AS id FROM voc)
+      SELECT token,
+             (('0x' || substr(md5(token), 1, 12))::UBIGINT)::BIGINT + 1 AS id
+      FROM voc)
     SELECT t.doc_id, CAST(t.seq AS BIGINT) AS pos,
            CAST(coalesce(i.id, 0) AS BIGINT) AS id
     FROM tok t LEFT JOIN ids i USING (token)

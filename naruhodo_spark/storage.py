@@ -69,6 +69,16 @@ def write_table(
     w.parquet(f"{base}/{name}")
 
 
+def _sql_literal(v) -> str:
+    """Render a partition value as a safe SQL literal. Strings are
+    single-quoted with embedded quotes doubled (ANSI escaping) — Python
+    repr() would emit a double-quoted form for values containing ', which
+    SQL parses as an identifier."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def delete_partitions(
     spark: SparkSession,
     name: str,
@@ -85,7 +95,11 @@ def delete_partitions(
     if not values:
         return
     if _has_iceberg(spark):
-        vals = ", ".join(repr(v) if isinstance(v, str) else str(v) for v in values)
+        # A fresh deployment's first wave pre-drops before any table
+        # exists — DELETE on a missing table would abort the whole run.
+        if not spark.catalog.tableExists(f"kg.{name}"):
+            return
+        vals = ", ".join(_sql_literal(v) for v in values)
         spark.sql(f"DELETE FROM kg.{name} WHERE {part_col} IN ({vals})")
         return
     if not table_exists(spark, name, base):

