@@ -848,13 +848,46 @@ _register(
     """,
 )
 
+# ts_fingerprints moved to a rows-only registration (end of file): its
+# md5-of-normalized-text is verified inside dd_exact_duplicates' oracle
+# (same fingerprint feeds the grouping), so holding a second window slot
+# for it was redundant — the freed slot driver-oracles ts_top_terms
+# (VERDICT r02 next-round #2).
+
+
+def ts_top_terms(spark, sf):
+    """Per-doc TF-IDF keywords (ops/textstats.top_terms): token explode →
+    per-(doc, term) counts → smoothed-IDF join → per-doc rank-3 window.
+    rank is cast to BIGINT because DuckDB's row_number() yields one."""
+    out = TS.top_terms(_t(spark, sf, "documents"), k=3, min_df=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _register(
-    "ts_fingerprints",
-    lambda spark, sf: TS.fingerprints(_t(spark, sf, "documents")),
-    r"""
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
+    "ts_top_terms",
+    ts_top_terms,
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+    nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    idf AS (
+      SELECT term, round(ln((nd + 1) / (df + 1.0)), 6) AS idf
+      FROM dfreq, nd WHERE df >= 2),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * idf.idf, 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY round(tf.tf * idf.idf, 6) DESC,
+                                         tf.term) AS rank
+      FROM tf JOIN idf USING (term))
+    SELECT doc_id, term, tf, tfidf, rank FROM scored WHERE rank <= 3
     """,
 )
 
@@ -1316,10 +1349,65 @@ def _minhash_oracle(n: int) -> str:
     )
 
 
+# dd_minhash_signatures moved to a rows-only registration (end of file):
+# dd_minhash_lsh_pairs' oracle reproduces the identical affine signature
+# family as its first CTE, so the standalone signature check was a
+# redundant window slot — freed for kg_entity_pmi (VERDICT r02 #2).
+
+
+def kg_entity_pmi(spark, sf):
+    """Document-level PMI co-occurrence (operators/cooccur.py) driven
+    over the SQL-visible corpus so the driver oracle verifies the REAL
+    operator (in-array pair generation under the per-doc entity cap,
+    mention-count joins, PMI arithmetic): 'entities' are each doc's
+    distinct normalized tokens of length ≥5, shaped into a minimal
+    triples frame (subject mentions only) for entity_cooccurrence."""
+    from naruhodo_spark.operators.cooccur import entity_cooccurrence
+
+    d = _t(spark, sf, "documents")
+    ents = d.select(
+        "doc_id",
+        F.explode(F.split(TS.norm_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.length("tok") >= 5)
+    trip = ents.select(
+        "doc_id",
+        F.lit(0).alias("sent_id"),
+        F.col("tok").alias("subj"),
+        F.lit(0).alias("subj_ne"),
+        F.lit("").alias("obj"),
+        F.lit(0).alias("obj_ne"),
+    )
+    out = entity_cooccurrence(trip, max_entities_per_doc=40, min_pair_docs=2)
+    return out.withColumn("pmi", F.round("pmi", 6))
+
+
 _register(
-    "dd_minhash_signatures",
-    lambda spark, sf: D.minhash_signatures(_t(spark, sf, "documents"), n_hashes=4),
-    _minhash_oracle(4),
+    "kg_entity_pmi",
+    kg_entity_pmi,
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+             ) AS tok
+      FROM documents),
+    ents AS (
+      SELECT DISTINCT doc_id, tok AS entity FROM toks WHERE len(tok) >= 5),
+    kept AS (
+      SELECT doc_id FROM ents GROUP BY doc_id HAVING count(*) <= 40),
+    m AS (SELECT e.doc_id, e.entity FROM ents e JOIN kept USING (doc_id)),
+    n AS (SELECT count(DISTINCT doc_id) AS n_total FROM m),
+    pair AS (
+      SELECT a.entity AS e1, b.entity AS e2, count(*) AS n_docs
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    ec AS (SELECT entity, count(*) AS n_ent FROM m GROUP BY entity)
+    SELECT p.e1, p.e2, p.n_docs,
+           round(ln(CAST(p.n_docs AS DOUBLE) * n.n_total
+                    / (c1.n_ent * c2.n_ent)), 6) AS pmi
+    FROM pair p, n
+    JOIN ec c1 ON c1.entity = p.e1
+    JOIN ec c2 ON c2.entity = p.e2
+    """,
 )
 
 def _minhash_lsh_oracle() -> str:
@@ -1803,11 +1891,17 @@ for _n, _f in [
     ("td_decontam", td_decontam),
     ("ts_source_quota", ts_source_quota),
     (
-        # per-doc TF-IDF keywords (ops/textstats.top_terms); rows-only —
-        # exact DuckDB mirror in tests/test_source_quota.py
-        "ts_top_terms",
-        lambda spark, sf_dir: TS.top_terms(
-            _t(spark, sf_dir, "documents"), k=3
+        # text fingerprints, demoted from the oracle window (the same
+        # md5-of-normalized-text is verified inside dd_exact_duplicates)
+        "ts_fingerprints",
+        lambda spark, sf_dir: TS.fingerprints(_t(spark, sf_dir, "documents")),
+    ),
+    (
+        # minhash signatures, demoted from the oracle window (the same
+        # affine family is the first CTE of dd_minhash_lsh_pairs' oracle)
+        "dd_minhash_signatures",
+        lambda spark, sf_dir: D.minhash_signatures(
+            _t(spark, sf_dir, "documents"), n_hashes=4
         ),
     ),
     (
@@ -1839,10 +1933,11 @@ for _n, _f in [
         ),
     ),
     (
-        # implicit related_to edges: document-level PMI co-occurrence
-        # (operators/cooccur.py), python-reference-pinned in
-        # tests/test_cooccur.py
-        "kg_entity_pmi",
+        # implicit related_to edges over LINKED synth triples — the real
+        # KG path (the driver-oracled kg_entity_pmi covers the operator's
+        # arithmetic over the SQL-visible corpus); python-reference-pinned
+        # in tests/test_cooccur.py
+        "kg_entity_pmi_linked",
         lambda spark, sf_dir: __import__(
             "naruhodo_spark.operators.cooccur", fromlist=["entity_cooccurrence"]
         ).entity_cooccurrence(
