@@ -57,6 +57,62 @@ def aggregate_edges_salted(triples: DataFrame, salt_buckets: int = 16) -> DataFr
     )
 
 
+def edge_skew_share(
+    triples: DataFrame, fraction: float = 0.02, min_sample: int = 2000
+) -> float:
+    """ONE small probe job: the hottest canonical-edge key's share of a
+    sampled triple count. A sample smaller than ``min_sample`` can't
+    judge skew, but it also means the corpus is at most
+    min_sample/fraction triples — small enough that a FULL probe is one
+    trivial aggregation, so we re-probe at fraction 1.0 instead of
+    guessing. Cost at scale: a map-only sampled pass + one aggregation
+    over the sample — no full-corpus shuffle."""
+    s = triples.where(F.col("subj_canon").isNotNull()).select(
+        "subj_canon", "pred", "obj_canon"
+    )
+    if fraction < 1.0:
+        s = s.sample(fraction=fraction, seed=42)
+    row = (
+        s.groupBy("subj_canon", "pred", "obj_canon")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top"), F.sum("c").alias("total"))
+        .first()
+    )
+    if row is None or row["total"] is None or row["total"] == 0:
+        return 0.0
+    if row["total"] < min_sample and fraction < 1.0:
+        return edge_skew_share(triples, fraction=1.0, min_sample=min_sample)
+    return float(row["top"]) / float(row["total"])
+
+
+def should_salt_edges(
+    triples: DataFrame,
+    shuffle_partitions: int | None = None,
+    factor: float = 2.0,
+    fraction: float = 0.02,
+    min_sample: int = 2000,
+) -> bool:
+    """Skew-probe decision for the production edge aggregation
+    (VERDICT r02 next-round #6): salt when the hottest key would receive
+    more than ``factor``× a uniform reduce task's share (1/P of rows).
+    Map-side partial aggregation absorbs most groupBy skew, so the
+    threshold errs toward the plain single-shuffle plan; a 'god edge'
+    holding tens of percent of the corpus clears it decisively."""
+    p = shuffle_partitions or int(
+        triples.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return edge_skew_share(triples, fraction, min_sample) > factor / max(p, 1)
+
+
+def aggregate_edges_auto(
+    triples: DataFrame, salt_buckets: int = 16, **probe_kw
+) -> DataFrame:
+    """aggregate_edges with the plan picked by the skew probe."""
+    if should_salt_edges(triples, **probe_kw):
+        return aggregate_edges_salted(triples, salt_buckets)
+    return aggregate_edges(triples)
+
+
 def aggregate_nodes(triples: DataFrame) -> DataFrame:
     """ksg_nodes: entities (subject/object occurrences) + predicate nodes.
 

@@ -30,9 +30,20 @@ Rules (deliberately simple, each anchored to a fixture test):
    sentence terminators 。！？ are already consumed upstream by
    split_sentences).
 
-Known limits (documented, not silent): hiragana-only content words
-outside the lexicon that BEGIN with a particle string (e.g. にわとり)
-mis-split; compound verbs with internal particles are out of scope.
+Known limits (documented, not silent — narrowed in r03 by growing the
+hira-content lexicon in lang.py with the frequent particle-prefixed
+words, にわとり-class, each pinned by tests/test_ja_golden.py):
+
+- hiragana-only content words OUTSIDE the lexicon that begin with a
+  particle string still mis-split at a clean boundary (the lexicon is
+  the fix; rule 3 prefers content words by longest match);
+- a hiragana content word directly ABUTTING a preceding kanji/katakana
+  word with no intervening particle attaches as okurigana (rule 2
+  checks function words only — preferring content there would re-break
+  okurigana like 渡した → 渡|した); natural text separates noun
+  phrases with particles, so this arises mainly in compounds;
+- compound verbs with internal particles are out of scope.
+
 Pre-segmented input (any whitespace present) bypasses segmentation
 entirely, so the r01 fixtures behave exactly as before.
 """

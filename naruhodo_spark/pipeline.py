@@ -64,7 +64,7 @@ def build_kg(
     docs_spans: DataFrame,
     prof: dict | None = None,
     aliases: DataFrame | None = None,
-    salted: bool = False,
+    salted: bool | str = False,
     salt_buckets: int = 16,
     triple_plan: str = "fused",
     num_partitions: int | None = None,
@@ -139,6 +139,11 @@ def build_kg(
             linked = O_canon.apply_canonical_labels(linked, labels)
     stages["triples_linked"] = linked
     t = linked
+    if salted == "auto":
+        # eager skew probe at CALL time (one sampled job) — opt-in for
+        # build_kg, whose default contract stays fully lazy; the stored-
+        # triples paths (finalize/run_partitioned) default to auto.
+        salted = O_agg.should_salt_edges(t)
     stages["ksg_edges"] = (
         O_agg.aggregate_edges_salted(t, salt_buckets)
         if salted
@@ -214,7 +219,7 @@ def run_partitioned(
     n_parts: int = 32,
     prof: dict | None = None,
     aliases: DataFrame | None = None,
-    salted: bool = False,
+    salted: bool | str = "auto",
     run_id: str | None = None,
     wave_parts: int | None = None,
     provenance: bool = False,
@@ -329,10 +334,16 @@ def finalize(
     spark: SparkSession,
     out_dir: str,
     aliases: DataFrame | None = None,
-    salted: bool = False,
+    salted: bool | str = "auto",
     provenance: bool = False,
 ) -> None:
     """Aggregate ALL raw triples into the canonical graph tables.
+
+    ``salted="auto"`` (default — the production setting): a cheap skew
+    probe (operators/agg.should_salt_edges — one sampled map pass + a
+    sample-sized aggregation) picks the salted two-phase plan when the
+    hottest canonical edge would hog a reduce task, the plain
+    single-shuffle plan otherwise. Pass True/False to force either.
 
     ``provenance=True`` additionally writes the edge_provenance lineage
     table (operators/agg.edge_provenance)."""
@@ -351,6 +362,8 @@ def finalize(
     if aliases is not None:
         labels = O_canon.alias_cc_labels(aliases)
         t = O_canon.apply_canonical_labels(t, labels)
+    if salted == "auto":
+        salted = O_agg.should_salt_edges(t)
     edges = (
         O_agg.aggregate_edges_salted(t) if salted else O_agg.aggregate_edges(t)
     )

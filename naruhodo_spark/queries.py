@@ -1784,26 +1784,17 @@ def mm_frame_sample(spark, sf_dir):
     return MM.sample_frames(media)
 
 
-_JA_SENTS_RAW = [
-    "彼女は本を読んだ。",
-    "太郎が花子に手紙を渡した。",
-    "それは古い寺だ。",
-]
-
-
 def kg_triples_ja(spark, sf_dir):
     """Language pluggability: the identical dataflow under the JA particle
     profile over RAW (unsegmented) Japanese — the longest-match
     segmenter (operators/jaseg.py) replaces the reference's CaboCha
-    morphology; tests/test_ja_segment.py pins raw ≡ pre-segmented."""
-    rows = [
-        (f"ja-{i:03d}", [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
-        for i, t in enumerate(_JA_SENTS_RAW)
-    ]
-    from naruhodo_spark import schemas as S
-
-    docs = spark.createDataFrame(rows, schema=S.DOCUMENTS_SPANS)
-    return build_kg(docs, prof=L.get_profile("ja"))["triples"]
+    morphology. The corpus is the 120-sentence golden set
+    (synth.ja_golden_corpus): tests/test_ja_golden.py pins its exact
+    segmentations, P/R ≥ 0.95 vs the pre-segmented row-wise spec, and
+    raw ≡ pre-segmented through the engine."""
+    return build_kg(
+        synth.ja_golden_documents(spark, 120), prof=L.get_profile("ja")
+    )["triples"]
 
 
 def kg_web_source(spark, sf_dir):

@@ -158,3 +158,81 @@ def replicate_docs(docs: DataFrame, k: int) -> DataFrame:
     return docs.crossJoin(F.broadcast(reps)).select(
         F.concat_ws("#", "doc_id", "rep").alias("doc_id"), "spans"
     )
+
+
+# ---------------------------------------------------------------------
+# Synthetic JA golden corpus (VERDICT r02 next-round #4): ≥100 raw
+# (unsegmented) Japanese sentences with AUTHORED gold token boundaries,
+# generated deterministically from templates. The gold segmentation is
+# known by construction, so the corpus pins (a) segment_ja exactly and
+# (b) the full raw-JA pipeline at P/R vs the pre-segmented row-wise
+# spec — the same regenerable-golden policy the EN corpus uses.
+# ---------------------------------------------------------------------
+
+JA_SUBJECTS = ["太郎", "花子", "次郎", "健太", "美咲",
+               "アリス", "ボブ", "キャロル", "デイブ"]
+# hiragana nouns drawn from the particle-prefixed lexicon classes the
+# r03 segmenter growth targets (lang.JA_HIRA_CONTENT)
+JA_HIRA_NOUNS = ["にわとり", "はなし", "ともだち", "からす", "へや",
+                 "でんわ", "にもつ", "のみもの", "くだもの", "たまご",
+                 "さかな", "はさみ", "とけい", "おんがく"]
+JA_OBJECTS = ["本", "手紙", "映画", "犬", "猫", "車", "歌声", "写真"]
+JA_VERBS = ["読んだ", "渡した", "見た", "買った", "書いた",
+            "作った", "売った", "食べた", "もらった", "わかった"]
+JA_VERBS_NEG = ["読まない", "買わない", "食べない", "売らない"]
+JA_VERBS_PASS = ["盗まれた", "売られた", "書かれた", "食べられた"]
+JA_COP_NOUNS = ["寺", "庭", "宝物", "名画"]
+
+
+def ja_golden_corpus(n_sents: int = 120, seed: int = SEED) -> list[tuple[str, list[str]]]:
+    """[(raw_sentence_without_terminator, gold_tokens)] — deterministic.
+
+    Templates (particles are their own gold tokens; the chunker attaches
+    them to the preceding chunk itself):
+      T1  S が O を V            T2  S は O を V
+      T3  S が IO に O を V      T4  S は N だ        (copula)
+      T5  S は O を Vneg        T6  O が Vpass       (passive)
+      T7  HiraS が HiraO を V    (both args hiragana — the mis-split class)
+    """
+    rng = np.random.RandomState(seed)
+
+    def pick(xs):
+        return xs[int(rng.randint(len(xs)))]
+
+    out: list[tuple[str, list[str]]] = []
+    for i in range(n_sents):
+        t = i % 7
+        if t == 0:
+            toks = [pick(JA_SUBJECTS), "が", pick(JA_OBJECTS), "を", pick(JA_VERBS)]
+        elif t == 1:
+            toks = [pick(JA_SUBJECTS), "は", pick(JA_HIRA_NOUNS), "を", pick(JA_VERBS)]
+        elif t == 2:
+            s, io = pick(JA_SUBJECTS), pick(JA_SUBJECTS)
+            toks = [s, "が", io, "に", pick(JA_OBJECTS), "を", pick(JA_VERBS)]
+        elif t == 3:
+            toks = [pick(JA_SUBJECTS), "は", pick(JA_COP_NOUNS), "だ"]
+        elif t == 4:
+            toks = [pick(JA_SUBJECTS), "は", pick(JA_OBJECTS), "を", pick(JA_VERBS_NEG)]
+        elif t == 5:
+            toks = [pick(JA_OBJECTS), "が", pick(JA_VERBS_PASS)]
+        else:
+            toks = [pick(JA_HIRA_NOUNS), "が", pick(JA_HIRA_NOUNS), "を", pick(JA_VERBS)]
+        out.append(("".join(toks), toks))
+    return out
+
+
+def ja_golden_documents(spark: SparkSession, n_sents: int = 120,
+                        seed: int = SEED, segmented: bool = False) -> DataFrame:
+    """The corpus as a spans-shaped documents table, one sentence per
+    doc. ``segmented=True`` joins the gold tokens with spaces (the
+    pre-segmented r01 contract) instead of the raw concatenation."""
+    rows = [
+        (
+            f"ja-{i:04d}",
+            [{"kind": "text",
+              "text": (" ".join(toks) if segmented else raw) + "。",
+              "media_ref": "", "offset": 0}],
+        )
+        for i, (raw, toks) in enumerate(ja_golden_corpus(n_sents, seed))
+    ]
+    return spark.createDataFrame(rows, schema=S.DOCUMENTS_SPANS)

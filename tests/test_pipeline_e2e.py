@@ -502,6 +502,66 @@ def test_salted_agg_equals_plain(spark, docs):
     assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
 
 
+def test_auto_salt_probe_engages_on_skew(spark, tmp_path, monkeypatch):
+    """VERDICT r02 next-round #6 e2e: finalize defaults to salted="auto" —
+    a hot-entity corpus engages the salted two-phase plan WITHOUT a flag,
+    a uniform corpus keeps the plain single-shuffle plan, and the skewed
+    result is identical either way."""
+    import naruhodo_spark.pipeline as PIPE
+    from naruhodo_spark import storage, synth
+    from naruhodo_spark.operators import agg as O_agg
+    from naruhodo_spark.pipeline import run_partitioned
+
+    calls = {"salted": 0, "plain": 0}
+    real_salted, real_plain = (
+        O_agg.aggregate_edges_salted, O_agg.aggregate_edges,
+    )
+
+    def spy_salted(t, *a, **kw):
+        calls["salted"] += 1
+        return real_salted(t, *a, **kw)
+
+    def spy_plain(t, *a, **kw):
+        calls["plain"] += 1
+        return real_plain(t, *a, **kw)
+
+    monkeypatch.setattr(PIPE.O_agg, "aggregate_edges_salted", spy_salted)
+    monkeypatch.setattr(PIPE.O_agg, "aggregate_edges", spy_plain)
+
+    # skew corpus: one god edge carries ~95% of all triples (clears the
+    # 2/P probe threshold decisively); probe min_sample lowered via a
+    # full-fraction sample by keeping the corpus big enough
+    hot = [(i, "alice likes bob.") for i in range(3000)]
+    cold = [(3000 + i, f"carol{i} visited dave{i}.") for i in range(150)]
+    from naruhodo_spark.operators.normalize import flat_to_spans
+
+    skew_docs = flat_to_spans(
+        spark.createDataFrame(hot + cold, "doc_id long, text string")
+    )
+    out_skew = str(tmp_path / "skew")
+    run_partitioned(spark, skew_docs, out_skew, n_parts=8)
+    assert calls["salted"] == 1 and calls["plain"] == 0
+
+    # the auto-salted result equals a forced-plain run
+    out_plain = str(tmp_path / "plain")
+    run_partitioned(spark, skew_docs, out_plain, n_parts=8, salted=False)
+    a = storage.read_table(spark, "ksg_edges", out_skew)
+    b = storage.read_table(spark, "ksg_edges", out_plain)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # uniform corpus: probe declines, plain plan runs (the forced-plain
+    # run above already bumped calls["plain"])
+    calls["salted"] = calls["plain"] = 0
+    uni = flat_to_spans(
+        spark.createDataFrame(
+            [(i, f"u{i}s visited u{i}o.") for i in range(2500)],
+            "doc_id long, text string",
+        )
+    )
+    run_partitioned(spark, uni, str(tmp_path / "uni"), n_parts=8)
+    assert calls["plain"] == 1 and calls["salted"] == 0
+
+
 def test_topk_ivf_blas_equals_catalyst(spark):
     """The BLAS applyInPandas kernel (scale path) must agree EXACTLY —
     values, tie-breaks, ranks — with the Catalyst join+window twin
