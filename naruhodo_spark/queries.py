@@ -1797,6 +1797,58 @@ def kg_triples_ja(spark, sf_dir):
     )["triples"]
 
 
+def kg_export_surface(spark, sf_dir):
+    """O4/O34 export-path invariants, driver-executed (VERDICT r02
+    next-round #7): the viewer JSON surfaces (export.nodes_json /
+    links_json — the REAL serialization, parsed back with from_json) for
+    the synth KG, one row per exported link with FK-style resolution
+    flags. Invariants a consumer relies on, assertable from the rows:
+    every link's source AND target resolve to an exported node id
+    (src_resolved/dst_resolved all true — edge_target routes objectless
+    triples to the pred: node), and every distinct link endpoint is a
+    node (n_link_endpoint_ids <= n_nodes, both ridden along per-row)."""
+    from naruhodo_spark.export import links_json, nodes_json
+    from naruhodo_spark.operators.agg import edge_target
+
+    kg = build_kg(
+        _synth(spark), prof=_en(), aliases=synth.alias_dictionary(spark)
+    )
+    nodes, edges = kg["ksg_nodes"], kg["ksg_edges"]
+    node_ids = nodes_json(nodes).select(
+        F.get_json_object("json", "$.id").alias("node_id")
+    )
+    links = links_json(edges).select(
+        F.get_json_object("json", "$.source").alias("source"),
+        F.get_json_object("json", "$.label").alias("label"),
+        F.get_json_object("json", "$.target").alias("target"),
+        F.get_json_object("json", "$.weight").cast("long").alias("weight"),
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+    n_canon = (
+        edges.select(F.col("subj").alias("id"))
+        .unionByName(edges.select(edge_target().alias("id")))
+        .distinct()
+        .count()
+    )
+    src = node_ids.withColumnRenamed("node_id", "source").withColumn(
+        "src_resolved", F.lit(True)
+    )
+    dst = node_ids.withColumnRenamed("node_id", "target").withColumn(
+        "dst_resolved", F.lit(True)
+    )
+    return (
+        links.join(F.broadcast(src), "source", "left")
+        .join(F.broadcast(dst), "target", "left")
+        .select(
+            "source", "label", "target", "weight",
+            F.coalesce("src_resolved", F.lit(False)).alias("src_resolved"),
+            F.coalesce("dst_resolved", F.lit(False)).alias("dst_resolved"),
+            F.lit(int(n_nodes)).alias("n_nodes"),
+            F.lit(int(n_canon)).alias("n_link_endpoint_ids"),
+        )
+    )
+
+
 def kg_web_source(spark, sf_dir):
     """O3 web source: the naruhodo_web Python DataSource (fetch stubbed
     — no network here; partitioned URL fan-out and spans schema real)
@@ -1949,6 +2001,7 @@ for _n, _f in [
             k=2,
         )[0],
     ),
+    ("kg_export_surface", kg_export_surface),
     ("kg_web_source", kg_web_source),
     ("kg_chunks_flat", kg_chunks_flat),
     ("kg_triples", kg_triples),

@@ -178,3 +178,15 @@ def test_conjunction_keeps_predicate_adjective(spark):
     edges = {(r["subj"], r["pred"], r["obj"]) for r in p.edges.collect()}
     assert ("castle", "ancient", "") in edges
     assert ("garden", "quiet", "") in edges
+
+
+def test_export_surface_query_invariants(spark):
+    """The driver-registered kg_export_surface rows actually carry the
+    invariants the docstring claims: every endpoint resolves FK-style,
+    endpoint id count is bounded by node count, non-vacuous rows."""
+    from naruhodo_spark.queries import QUERIES
+
+    rows = QUERIES["kg_export_surface"](spark, "unused").collect()
+    assert len(rows) > 100
+    assert all(r["src_resolved"] and r["dst_resolved"] for r in rows)
+    assert rows[0]["n_link_endpoint_ids"] <= rows[0]["n_nodes"]
