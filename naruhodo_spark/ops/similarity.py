@@ -228,6 +228,62 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.99) -> DataF
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.99, cell_col: str = "label"
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are coarse-quantized into cells
+    (k-means in the paper — compose with kmeans_fit/assign_cells for a
+    trained quantizer; any precomputed assignment column works),
+    near-duplicate PAIRS are all same-cell pairs with cosine ≥
+    threshold (embedding_near_dups — deliberately uncapped), and
+    duplicate GROUPS are the transitive closure of those pairs via the
+    size-gated connected components (operators/canon.py: driver
+    union-find for tiny pair sets, distributed star contraction beyond).
+    One deterministic representative — min vec_id — survives per group;
+    the paper keeps the doc farthest from its centroid, min-id is chosen
+    instead so output is invariant to quantizer retraining (documented
+    deviation; swap the keep rule downstream if centroid distance
+    matters).
+
+    Returns (vec_id, rep_id, group_size, is_rep) for EVERY input row —
+    singletons carry themselves with group_size 1 — so the caller's
+    keep-filter is ``where(is_rep)`` and drop-volume audits are one
+    groupBy away (no silent deletion).
+
+    Scale shape: the only quadratic term is Σ n_cell² inside cells,
+    bounded by the quantizer (same contract as topk_ivf); CC runs only
+    on the near-dup pair set, tiny relative to the corpus; the final
+    group-size join is an agg + equi-join on rep_id, AQE-broadcastable.
+    """
+    from naruhodo_spark.operators.canon import cc_labels_auto, pad_numeric_id
+
+    emb = (
+        embeddings
+        if cell_col == "label"
+        else embeddings.drop("label").withColumnRenamed(cell_col, "label")
+    )
+    pairs = embedding_near_dups(emb, threshold=threshold)
+    edges = pairs.select(
+        pad_numeric_id("vec_a").alias("src"), pad_numeric_id("vec_b").alias("dst")
+    )
+    labels = cc_labels_auto(edges).select(
+        F.col("node").cast("bigint").alias("vec_id"),
+        F.col("label").cast("bigint").alias("rep_id"),
+    )
+    every = embeddings.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+    member = every.join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce(F.col("rep_id"), F.col("vec_id")).alias("rep_id")
+    )
+    sizes = member.groupBy("rep_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return member.join(sizes, "rep_id").select(
+        "vec_id",
+        "rep_id",
+        "group_size",
+        (F.col("vec_id") == F.col("rep_id")).alias("is_rep"),
+    )
+
+
 _TOPK_SCHEMA = "vec_id long, neighbor_id long, cosine double, rank int"
 
 

@@ -132,6 +132,51 @@ def source_quota(
     )
 
 
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float],
+    strat_col: str = "source",
+    default_weight: float = 1.0,
+    seed: str = "mix42",
+) -> DataFrame:
+    """Deterministic domain-weight corpus mixing — the 'data mixture'
+    step before LLM pretraining (The Pile, LLaMA, DoReMi all publish
+    per-domain epoch weights): a weight w for a source means each of its
+    docs appears floor(w) times, plus one more copy iff the doc's hash
+    bucket falls under frac(w). Expected output size is exactly
+    Σ_s w_s·n_s; w < 1 downsamples, w > 1 upsamples with an ``epoch``
+    column (0-based copy index) so downstream shuffles/splits see
+    distinct rows rather than d identical ones.
+
+    Membership reuses the shared md5 bucketing (_hash_bucket), so the
+    mixture is content-independent, resume-stable, repartition-invariant
+    and engine-portable — none of which ``df.sample``/RNG gives. Both
+    per-source case columns (floor and fractional threshold) are
+    integer-exact, computed driver-side from the weights dict
+    (the 0.57·10000 = 5699.999… double-truncation trap documented on
+    stratified_sample). Upsampling is one map-only explode of a per-row
+    sequence — no shuffle, no RNG, no driver collect; sources absent
+    from ``weights`` ride at ``default_weight``.
+    """
+    base = F.lit(int(default_weight))
+    thr = F.lit(_rate_buckets(default_weight - int(default_weight)))
+    for k in sorted(weights):
+        wk = float(weights[k])
+        if wk < 0:
+            raise ValueError(f"mix weight for {k!r} must be >= 0, got {wk}")
+        base = F.when(F.col(strat_col) == k, F.lit(int(wk))).otherwise(base)
+        thr = F.when(
+            F.col(strat_col) == k, F.lit(_rate_buckets(wk - int(wk)))
+        ).otherwise(thr)
+    n_copies = base + (_hash_bucket(seed) < thr).cast("int")
+    # sequence(0, -1) yields a DESCENDING [0, -1] in Spark, so the
+    # zero-copy case must produce an empty array, not a sequence
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.withColumn("epoch", F.explode(copies))
+
+
 def sentence_dedup(docs: DataFrame) -> DataFrame:
     """Corpus-wide sentence-level dedup (standard training-data cleaning:
     boilerplate sentences recur across pages). Emits one row per DISTINCT

@@ -1928,11 +1928,35 @@ def ts_source_quota(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def ts_mix_corpus(spark, sf_dir):
+    """Domain-weight corpus mixing (ops/textstats.mix_corpus): per-source
+    epoch weights — floor(w) exact copies plus a frac(w)-rate extra via
+    the shared md5 bucketing, epoch column distinguishing copies. Exact
+    DuckDB mirror (generate_series unnest) in tests/test_mix_semantic.py
+    (rows-only here — the 50-oracle driver window is full)."""
+    return TS.mix_corpus(
+        _t(spark, sf_dir, "documents"),
+        {"src1": 2.5, "src2": 0.3, "src3": 0.0, "src4": 3.0},
+    ).select("doc_id", "source", "epoch")
+
+
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (ops/similarity.semantic_dedup):
+    same-cell cosine≥θ pairs → size-gated CC groups → min-id rep per
+    group, every row accounted for. numpy union-find mirror with planted
+    duplicate clusters in tests/test_mix_semantic.py (rows-only here)."""
+    return SIM.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.999
+    )
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),
     ("ts_source_quota", ts_source_quota),
+    ("ts_mix_corpus", ts_mix_corpus),
+    ("sim_semantic_dedup", sim_semantic_dedup),
     (
         # text fingerprints, demoted from the oracle window (the same
         # md5-of-normalized-text is verified inside dd_exact_duplicates)

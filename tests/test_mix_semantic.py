@@ -1,0 +1,169 @@
+"""Corpus mixing (ops/textstats.mix_corpus) and SemDeDup-style semantic
+dedup (ops/similarity.semantic_dedup): exact DuckDB / numpy mirrors on
+the real sf0.01 tables, plus the structural properties each contract
+promises (epoch contiguity, expected mixture size, min-id reps,
+keep-filter audit identity)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from naruhodo_spark.ops import similarity as SIM
+from naruhodo_spark.ops import textstats as TS
+
+SF = "/root/testdata/sf0.01"
+
+WEIGHTS = {"src1": 2.5, "src2": 0.3, "src3": 0.0, "src4": 3.0}
+
+
+def test_mix_corpus_duckdb_mirror(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in TS.mix_corpus(docs, WEIGHTS).select("doc_id", "epoch").collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute("""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+                                 WHEN 'src3' THEN 0 WHEN 'src4' THEN 3
+                                 ELSE 1 END
+                   + CASE WHEN (('0x' || substr(md5('mix42|' || doc_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT % 10000
+                          < CASE source WHEN 'src1' THEN 5000 WHEN 'src2' THEN 3000
+                                        WHEN 'src3' THEN 0 WHEN 'src4' THEN 0
+                                        ELSE 0 END
+                          THEN 1 ELSE 0 END AS n
+              FROM documents)
+            SELECT doc_id, unnest(generate_series(0, n - 1)) AS epoch
+            FROM w WHERE n > 0
+        """).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_mix_corpus_properties(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = TS.mix_corpus(docs, WEIGHTS).select("doc_id", "source", "epoch")
+    per_source = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_in = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # zero-weight source vanishes; integral weight is exact replication
+    assert "src3" not in per_source
+    assert per_source["src4"] == 3 * n_in["src4"]
+    # fractional weights land within binomial noise of w·n (25 docs/source
+    # at sf0.01 → ±5σ ≈ ±12 is a safe non-flaky bound)
+    assert abs(per_source["src1"] - 2.5 * n_in["src1"]) <= 12
+    assert abs(per_source["src2"] - 0.3 * n_in["src2"]) <= 12
+    # unlisted sources ride at default weight 1.0, epochs all zero
+    assert per_source["src0"] == n_in["src0"]
+    # epochs are contiguous 0..n-1 per doc
+    bad = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.min("epoch").alias("lo"), F.max("epoch").alias("hi"))
+        .where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+    # determinism: same plan twice → identical rows
+    again = TS.mix_corpus(docs, WEIGHTS).select("doc_id", "source", "epoch")
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_mix_corpus_rejects_negative_weight(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with pytest.raises(ValueError):
+        TS.mix_corpus(docs, {"src1": -1.0})
+
+
+def _numpy_semantic_groups(ids, embs, cells, threshold):
+    """Reference: exact same-cell pairwise cosine + union-find, min-id rep."""
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    norms = np.linalg.norm(embs, axis=1)
+    for cell in set(cells):
+        idx = [i for i, c in enumerate(cells) if c == cell]
+        for ai in range(len(idx)):
+            for bi in range(ai + 1, len(idx)):
+                a, b = idx[ai], idx[bi]
+                cos = round(
+                    float(np.dot(embs[a], embs[b]) / (norms[a] * norms[b])), 4
+                )
+                if cos >= threshold:
+                    union(ids[a], ids[b])
+    reps = {i: find(i) for i in ids}
+    # path-compress fully so rep is the true min of the component
+    reps = {i: find(i) for i in ids}
+    return reps
+
+
+def test_semantic_dedup_numpy_mirror(spark):
+    # plant duplicate clusters: 3 exact copies of vec 0, a 0.999-cosine
+    # neighbour of vec 1, and an across-cell near-identical pair that must
+    # NOT merge (quantizer contract: only same-cell pairs are candidates)
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float64")
+    base[1] = base[0]
+    base[2] = base[0]
+    base[4] = base[3] + 0.001 * rng.randn(8)
+    base[6] = base[5]  # same vector but planted in a DIFFERENT cell below
+    cells = [i % 3 for i in range(20)]
+    cells[0] = cells[1] = cells[2] = 0
+    cells[3] = cells[4] = 1
+    cells[5], cells[6] = 0, 1
+    ids = list(range(20))
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(cells[i])) for i in ids
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vec_id"]: (r["rep_id"], r["group_size"], r["is_rep"])
+        for r in SIM.semantic_dedup(df, threshold=0.99).collect()
+    }
+    reps = _numpy_semantic_groups(ids, base, cells, 0.99)
+    sizes = {}
+    for i, rep in reps.items():
+        sizes[rep] = sizes.get(rep, 0) + 1
+    assert len(got) == 20
+    for i in ids:
+        rep = reps[i]
+        assert got[i] == (rep, sizes[rep], i == rep), f"vec {i}"
+    # the planted structures actually exercised the op
+    assert got[1][0] == 0 and got[2][0] == 0 and got[0][1] == 3
+    assert got[4][0] == 3
+    assert got[6][0] == 6  # cross-cell twin NOT merged
+
+
+def test_semantic_dedup_keep_filter_is_audit_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = SIM.semantic_dedup(emb, threshold=0.999)
+    n = emb.count()
+    assert out.count() == n  # every row accounted for — no silent deletion
+    survivors = out.where("is_rep")
+    assert survivors.count() == out.select("rep_id").distinct().count()
+    # drop volume audit: sum of group sizes over reps == corpus size
+    total = survivors.agg(F.sum("group_size")).collect()[0][0]
+    assert total == n
