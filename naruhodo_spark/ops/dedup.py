@@ -268,6 +268,117 @@ def near_dup_groups(
     )
 
 
+DUP_SPAN_N = 50  # Lee et al. 2022 use 50-token windows at web scale
+
+
+def duplicate_ngram_spans(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Exact-substring deduplication at token n-gram granularity (the
+    ExactSubstr dedup of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 — suffix-array exact
+    match approximated by fixed-width token windows, which is how the
+    criterion is usually deployed on an engine without a distributed
+    suffix array): any n-token window whose hash occurs more than once in
+    the corpus is a duplicated span; the FIRST occurrence (min
+    (doc_id, position)) is kept, every other occurrence is marked for
+    removal. Intra-document repeats count too (a doc repeating its own
+    boilerplate keeps one copy).
+
+    Returns one row per input doc (left join — no silent deletion):
+    (doc_id, n_tokens, dup_windows, spans_removed:array<struct<s,e>>,
+    n_tokens_removed, text_deduped) where spans are merged 0-based
+    inclusive token ranges over the NORMALIZED token stream and
+    text_deduped is that stream with removed tokens dropped, rejoined
+    with single spaces (the op normalizes whitespace/case exactly like
+    the fingerprint tier — byte-faithful reconstruction would need
+    original offsets, which the spans provide).
+
+    Scale shape: windows are built once per doc from k shifted array
+    slices (zip_with — the shingles() CSE-safe pattern) and posexploded,
+    so the occurrence table is ≈ one row per corpus token; the frequency
+    agg is a uniform hash-key groupBy with map-side partial counts (a
+    boilerplate window duplicated 10⁹× is ONE reduced row, not a hot
+    collect); the join back is an equi-join on the same uniform key; the
+    per-doc span merge is a collect_list bounded by document length.
+    Nothing is all-pairs and no stage is corpus-quadratic.
+    """
+    toks_col = F.split(norm_text(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks_col.alias("toks")).localCheckpoint(
+        eager=False
+    )
+    m = F.greatest(F.size(F.col("toks")) - (n - 1), F.lit(0))
+    sh = F.slice(F.col("toks"), 1, m)
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(F.col("toks"), j + 1, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    occ = base.select(
+        "doc_id", F.posexplode(sh).alias("pos", "window")
+    ).select("doc_id", "pos", F.xxhash64("window").alias("h"))
+    freq = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    marked = (
+        occ.join(freq.where(F.col("cnt") > 1), "h")
+        .where(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("starts"),
+        )
+    )
+    # merge overlapping/adjacent [p, p+n-1] windows into disjoint spans
+    merged = F.expr(
+        f"""
+        aggregate(
+          starts,
+          cast(array() as array<struct<s:int,e:int>>),
+          (acc, p) -> CASE
+            WHEN size(acc) = 0 OR p > element_at(acc, -1).e + 1
+              THEN concat(acc, array(struct(p AS s, p + {n - 1} AS e)))
+            ELSE concat(
+              slice(acc, 1, size(acc) - 1),
+              array(struct(element_at(acc, -1).s AS s,
+                           greatest(element_at(acc, -1).e,
+                                    p + {n - 1}) AS e)))
+          END)
+        """
+    )
+    spans = marked.select(
+        "doc_id",
+        F.size("starts").alias("dup_windows"),
+        merged.alias("spans_removed"),
+    )
+    out = base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+        F.coalesce(
+            "spans_removed",
+            F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+        ).alias("spans_removed"),
+        F.col("toks"),
+    )
+    covered = F.expr(
+        "filter(toks, (t, i) -> NOT exists(spans_removed,"
+        " r -> i >= r.s AND i <= r.e))"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_windows",
+        "spans_removed",
+        F.expr(
+            "aggregate(spans_removed, 0, (a, r) -> a + r.e - r.s + 1)"
+        ).alias("n_tokens_removed"),
+        F.array_join(covered, " ").alias("text_deduped"),
+    )
+
+
 _SIMHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -517,15 +517,11 @@ def agg_cube_events(spark, sf_dir):
     )
 
 
-_register(
-    "agg_cube_events",
-    agg_cube_events,
-    """
-    SELECT event_type, dow, count(*) AS n, round(sum(value), 2) AS total
-    FROM (SELECT event_type, strftime(ts, '%a') AS dow, value FROM events)
-    GROUP BY CUBE (event_type, dow)
-    """,
-)
+# agg_cube_events is demoted to a rows-only registration (see the
+# rows-only block at the end of this module): CUBE shares Spark's Expand
+# mechanism with the still-oracled agg_rollup_hourly and
+# agg_grouping_sets, so dropping its oracle frees a 50-window slot for
+# ts_mix_corpus — a genuinely distinct operator with an exact SQL mirror.
 
 
 def agg_rollup_hourly(spark, sf_dir):
@@ -1675,6 +1671,40 @@ _register(
     """,
 )
 
+def ts_mix_corpus(spark, sf_dir):
+    """Domain-weight corpus mixing (ops/textstats.mix_corpus): per-source
+    epoch weights — floor(w) exact copies plus a frac(w)-rate extra via
+    the shared md5 bucketing, epoch column distinguishing copies. The
+    oracle is the exact DuckDB generate_series mirror (also pinned in
+    tests/test_mix_semantic.py); epoch is cast BIGINT on the Spark side
+    to match DuckDB's generate_series element type."""
+    return TS.mix_corpus(
+        _t(spark, sf_dir, "documents"),
+        {"src1": 2.5, "src2": 0.3, "src3": 0.0, "src4": 3.0},
+    ).select("doc_id", "source", F.col("epoch").cast("bigint").alias("epoch"))
+
+
+_register(
+    "ts_mix_corpus",
+    ts_mix_corpus,
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 0
+                         WHEN 'src3' THEN 0 WHEN 'src4' THEN 3
+                         ELSE 1 END
+           + CASE WHEN (('0x' || substr(md5('mix42|' || doc_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT % 10000
+                  < CASE source WHEN 'src1' THEN 5000 WHEN 'src2' THEN 3000
+                                WHEN 'src3' THEN 0 WHEN 'src4' THEN 0
+                                ELSE 0 END
+                  THEN 1 ELSE 0 END AS n
+      FROM documents)
+    SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
+    FROM w WHERE n > 0
+    """,
+)
+
+
 # ---- rows-only registrations start here: everything below has no SQL
 # oracle (pandas-UDF chunker stages, engine-specific sketches, iterative
 # algorithms), so it sits AFTER all 50 oracled queries — the driver's
@@ -1928,16 +1958,16 @@ def ts_source_quota(spark, sf_dir):
     ).select("doc_id", "source")
 
 
-def ts_mix_corpus(spark, sf_dir):
-    """Domain-weight corpus mixing (ops/textstats.mix_corpus): per-source
-    epoch weights — floor(w) exact copies plus a frac(w)-rate extra via
-    the shared md5 bucketing, epoch column distinguishing copies. Exact
-    DuckDB mirror (generate_series unnest) in tests/test_mix_semantic.py
-    (rows-only here — the 50-oracle driver window is full)."""
-    return TS.mix_corpus(
-        _t(spark, sf_dir, "documents"),
-        {"src1": 2.5, "src2": 0.3, "src3": 0.0, "src4": 3.0},
-    ).select("doc_id", "source", "epoch")
+def dd_dup_spans(spark, sf_dir):
+    """Exact-substring dedup at token n-gram granularity (ops/dedup.
+    duplicate_ngram_spans — Lee et al. 2022 ExactSubstr): duplicated
+    n-token windows marked per doc, first occurrence kept, merged spans
+    removed from the token stream. n=8 here so the small-SF corpus has
+    non-vacuous hits; exact Python mirror in tests/test_dup_spans.py
+    (rows-only — the struct-array span column is not hash-comparable)."""
+    return D.duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=8
+    ).select("doc_id", "n_tokens", "dup_windows", "n_tokens_removed")
 
 
 def sim_semantic_dedup(spark, sf_dir):
@@ -1955,8 +1985,15 @@ for _n, _f in [
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),
     ("ts_source_quota", ts_source_quota),
-    ("ts_mix_corpus", ts_mix_corpus),
+    ("dd_dup_spans", dd_dup_spans),
     ("sim_semantic_dedup", sim_semantic_dedup),
+    (
+        # CUBE demoted from the oracle window in favor of ts_mix_corpus:
+        # the Expand-based grouping family stays driver-oracled via
+        # agg_rollup_hourly + agg_grouping_sets.
+        "agg_cube_events",
+        agg_cube_events,
+    ),
     (
         # text fingerprints, demoted from the oracle window (the same
         # md5-of-normalized-text is verified inside dd_exact_duplicates)
