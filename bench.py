@@ -156,6 +156,11 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "ts_langid",
         "td_decontam",
         "ts_source_quota",
+        # added r03 (total is not like-for-like vs r02 — see
+        # BENCH/BASELINE.md protocol notes)
+        "ts_mix_corpus",
+        "dd_dup_spans",
+        "sim_semantic_dedup",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

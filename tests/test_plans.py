@@ -57,3 +57,26 @@ def test_asof_join_is_single_window_no_cross_product(spark):
 def test_range_join_stays_equi_join(spark):
     p = _plan(spark, "join_range_activation")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_corpus_is_map_only(spark):
+    # domain-weight mixing is one narrow explode over the scan: any
+    # Exchange here means the upsampling started shuffling the corpus
+    p = _plan(spark, "ts_mix_corpus")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dup_spans_no_cross_product_no_python(spark):
+    # exact-substring span dedup must stay pure Catalyst (window hashing
+    # + uniform-key aggs + equi-joins); no all-pairs node, no Python UDF
+    p = _plan(spark, "dd_dup_spans")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semantic_dedup_no_cross_product(spark):
+    # the only pair generation is the same-cell equi-join inside
+    # embedding_near_dups; CC + group-size join are equi-joins too
+    p = _plan(spark, "sim_semantic_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
