@@ -161,6 +161,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "ts_mix_corpus",
         "dd_dup_spans",
         "sim_semantic_dedup",
+        "td_dsir_scores",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -1970,6 +1970,22 @@ def dd_dup_spans(spark, sf_dir):
     ).select("doc_id", "n_tokens", "dup_windows", "n_tokens_removed")
 
 
+def td_dsir_scores(spark, sf_dir):
+    """DSIR importance scoring (ops/dsir.py — Xie et al. 2023): hashed
+    unigram+bigram bag-of-words models fitted on a target slice (every
+    5th doc) vs the full corpus, per-doc sum of per-feature log ratios
+    via a broadcast join against the fixed-size bucket model. Exact
+    Python md5 mirror in tests/test_dsir.py (rows-only; float-sum
+    ordering makes the score hash-unstable across engines)."""
+    from naruhodo_spark.ops import dsir as DS
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = DS.dsir_log_ratios(docs.where("doc_id % 5 = 0"), docs, n_buckets=512)
+    return DS.dsir_scores(docs, lr, n_buckets=512).select(
+        "doc_id", F.round("dsir_score", 4).alias("dsir_score"), "n_features"
+    )
+
+
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (ops/similarity.semantic_dedup):
     same-cell cosine≥θ pairs → size-gated CC groups → min-id rep per
@@ -1986,6 +2002,7 @@ for _n, _f in [
     ("td_decontam", td_decontam),
     ("ts_source_quota", ts_source_quota),
     ("dd_dup_spans", dd_dup_spans),
+    ("td_dsir_scores", td_dsir_scores),
     ("sim_semantic_dedup", sim_semantic_dedup),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
