@@ -78,10 +78,15 @@ def edge_skew_share(
         .agg(F.max("c").alias("top"), F.sum("c").alias("total"))
         .first()
     )
+    # escalation FIRST: an empty sample (total None/0) is the extreme
+    # under-min_sample case and must take the documented full re-probe,
+    # not an early "no skew" verdict
+    if fraction < 1.0 and (
+        row is None or row["total"] is None or row["total"] < min_sample
+    ):
+        return edge_skew_share(triples, fraction=1.0, min_sample=min_sample)
     if row is None or row["total"] is None or row["total"] == 0:
         return 0.0
-    if row["total"] < min_sample and fraction < 1.0:
-        return edge_skew_share(triples, fraction=1.0, min_sample=min_sample)
     return float(row["top"]) / float(row["total"])
 
 

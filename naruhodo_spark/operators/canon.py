@@ -247,6 +247,31 @@ def pad_numeric_id(col_name: str):
     return F.lpad(F.col(col_name).cast("string"), 20, "0")
 
 
+def pad_signed_id(col_name: str):
+    """Order-preserving 20-char encoding of ANY bigint, negatives
+    included: value + 2⁶³ in DECIMAL(20,0) space maps ℤ64 onto
+    [0, 2⁶⁴) where zero-padded lexicographic order == numeric order.
+    Use when ids may be hash-derived (xxhash64 is negative half the
+    time); decode with unpad_signed_id — a plain bigint cast of the
+    padded string yields the SHIFTED value, not the id."""
+    return F.lpad(
+        F.expr(
+            f"CAST(CAST({col_name} AS DECIMAL(20,0)) + "
+            "9223372036854775808BD AS DECIMAL(20,0))"
+        ).cast("string"),
+        20,
+        "0",
+    )
+
+
+def unpad_signed_id(col_name: str):
+    """Inverse of pad_signed_id: padded string → original bigint."""
+    return F.expr(
+        f"CAST(CAST({col_name} AS DECIMAL(21,0)) - "
+        "9223372036854775808BD AS BIGINT)"
+    )
+
+
 def cc_labels_auto(edges: DataFrame, force_distributed: bool = False) -> DataFrame:
     """Size-gated CC dispatch: edge sets up to DRIVER_CC_THRESHOLD rows
     take the driver union-find (O(E α(E)) beats ~log n rounds of

@@ -20,18 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from naruhodo_spark.ops.textstats import _hash_bucket, norm_text
+from naruhodo_spark.ops.textstats import _hash_bucket, md5_48, norm_text
 
 N_BUCKETS = 8192
 
 
 def _gram_bucket(gram, n_buckets: int, seed: str):
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed + "|"), gram)), 1, 12), 16, 10
-        ).cast("long")
-        % n_buckets
-    )
+    return md5_48(F.concat(F.lit(seed + "|"), gram)) % n_buckets
 
 
 def feature_buckets(
@@ -64,10 +59,14 @@ def dsir_log_ratios(
     seed: str = "dsir",
 ) -> DataFrame:
     """Fit the importance model: per-bucket log(p_target / p_raw) with
-    add-one smoothing over the n_buckets-cell simplex. Two uniform-key
-    aggs down to ≤n_buckets rows each, then an outer equi-join; the
-    scalar totals ride a 1-row broadcast crossJoin (the repo's standard
-    pattern — no driver collect in the plan)."""
+    add-one smoothing over the n_buckets-cell simplex. The output is
+    DENSE — exactly n_buckets rows (a spark.range spine left-joined with
+    both count sides) — so every possible feature bucket carries its
+    smoothed log ratio, including buckets unseen in either fitting
+    corpus: scoring a NEW corpus then never silently drops a feature.
+    Two uniform-key aggs down to ≤n_buckets rows each; the scalar totals
+    ride 1-row broadcast crossJoins (the repo's standard pattern — no
+    driver collect in the plan)."""
 
     def side(docs, name):
         cnt = (
@@ -75,13 +74,19 @@ def dsir_log_ratios(
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(f"c_{name}"))
         )
-        tot = cnt.agg(F.sum(f"c_{name}").alias(f"t_{name}"))
+        tot = cnt.agg(
+            F.coalesce(F.sum(f"c_{name}"), F.lit(0)).alias(f"t_{name}")
+        )
         return cnt, tot
 
     tc, tt = side(target, "t")
     rc, rt = side(raw, "r")
+    spine = target.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
     joined = (
-        tc.join(rc, "bucket", "full")
+        spine.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(rt))
     )
@@ -99,10 +104,11 @@ def dsir_scores(
     seed: str = "dsir",
 ) -> DataFrame:
     """Score EVERY doc: sum of per-feature log ratios (the importance
-    log-weight), plus the feature count. The model side is ≤n_buckets
-    rows → explicit broadcast, so scoring is map-side + one bounded
-    groupBy(doc_id). Featureless docs score 0.0 with n_features 0 (left
-    join back — no silent deletion)."""
+    log-weight), plus the feature count. The model side is exactly
+    n_buckets rows (dsir_log_ratios is dense) → explicit broadcast and
+    the inner join can never drop a feature; scoring is map-side + one
+    bounded groupBy(doc_id). Featureless docs score 0.0 with n_features
+    0 (left join back — no silent deletion)."""
     feats = feature_buckets(docs, n_buckets, seed)
     scored = (
         feats.join(F.broadcast(log_ratios), "bucket")
@@ -125,16 +131,31 @@ def dsir_select(
     """Keep ≈rate of docs, preferring high dsir_score: the threshold is
     the (1-rate) approx-quantile of the score (driver-side O(1) scalar —
     the paper's Gumbel top-k needs a global sort; a quantile cut is the
-    shuffle-free equivalent at a fixed rate), and docs tied AT the
-    threshold tie-break by the shared md5 bucketing so the realized rate
-    stays ≈rate even on plateaued scores."""
+    shuffle-free equivalent at a fixed rate). Docs tied AT the threshold
+    are rate-trimmed by the shared md5 bucketing at the RESIDUAL
+    fraction — (rate·n − n_above) / n_at, not rate — so a plateaued
+    score distribution (e.g. half the corpus at one score) still
+    realizes ≈rate instead of over-keeping the whole tie class. Costs
+    two driver-side scalar actions (quantile + one count agg), both
+    O(1) in result size."""
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"dsir_select: rate must be in (0, 1], got {rate}")
     if rate == 1.0:
         return scored
-    thr = scored.approxQuantile("dsir_score", [1.0 - rate], 0.001)[0]
+    q = scored.approxQuantile("dsir_score", [1.0 - rate], 0.001)
+    if not q:  # empty input: nothing to threshold, nothing to keep
+        return scored
+    thr = q[0]
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dsir_score") > thr).cast("long")).alias("n_above"),
+        F.sum((F.col("dsir_score") == thr).cast("long")).alias("n_at"),
+    ).first()
+    n, n_above, n_at = row["n"], row["n_above"] or 0, row["n_at"] or 0
+    residual = max(0, int(round(rate * n)) - n_above)
+    frac_at = min(1.0, residual / n_at) if n_at else 0.0
     above = F.col("dsir_score") > thr
     at = (F.col("dsir_score") == thr) & (
-        _hash_bucket(seed) < F.lit(int(round(rate * 10000)))
+        _hash_bucket(seed) < F.lit(int(round(frac_at * 10000)))
     )
     return scored.where(above | at)

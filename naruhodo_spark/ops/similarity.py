@@ -256,7 +256,11 @@ def semantic_dedup(
     on the near-dup pair set, tiny relative to the corpus; the final
     group-size join is an agg + equi-join on rep_id, AQE-broadcastable.
     """
-    from naruhodo_spark.operators.canon import cc_labels_auto, pad_numeric_id
+    from naruhodo_spark.operators.canon import (
+        cc_labels_auto,
+        pad_signed_id,
+        unpad_signed_id,
+    )
 
     emb = (
         embeddings
@@ -264,12 +268,15 @@ def semantic_dedup(
         else embeddings.drop("label").withColumnRenamed(cell_col, "label")
     )
     pairs = embedding_near_dups(emb, threshold=threshold)
+    # signed padding: vec_ids may be hash-derived (xxhash64 is negative
+    # half the time) and pad_numeric_id's contract excludes negatives —
+    # '-' sorts before '0', which would silently break the min-id rep
     edges = pairs.select(
-        pad_numeric_id("vec_a").alias("src"), pad_numeric_id("vec_b").alias("dst")
+        pad_signed_id("vec_a").alias("src"), pad_signed_id("vec_b").alias("dst")
     )
     labels = cc_labels_auto(edges).select(
-        F.col("node").cast("bigint").alias("vec_id"),
-        F.col("label").cast("bigint").alias("rep_id"),
+        unpad_signed_id("node").alias("vec_id"),
+        unpad_signed_id("label").alias("rep_id"),
     )
     every = embeddings.select(F.col("vec_id").cast("bigint").alias("vec_id"))
     member = every.join(labels, "vec_id", "left").select(

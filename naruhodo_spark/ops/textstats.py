@@ -31,6 +31,16 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), TOKEN_RE)
 
 
+def md5_48(col: Column) -> Column:
+    """First 48 bits of md5 as a non-negative long — THE engine-portable
+    hash idiom of this repo (DuckDB renders the identical value via
+    ('0x' || substr(md5(x), 1, 12))::UBIGINT). Single definition shared
+    by _hash_bucket, vocab_hash_ids(md5_48) and dsir's feature buckets
+    so a width/base tweak can never desynchronize one oracle mirror from
+    the others."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
 def _hash_bucket(seed: str) -> Column:
     """md5(seed|doc_id) → bucket ∈ [0, 10000): the shared deterministic
     bucketing behind hash_split and stratified_sample. Pure function of
@@ -38,15 +48,7 @@ def _hash_bucket(seed: str) -> Column:
     repartition-invariant, and engine-portable (md5 renders identically
     in DuckDB)."""
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_48(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string")))
         % 10000
     )
 
@@ -250,10 +252,14 @@ def vocab_ids(vocab: DataFrame, max_dense: int = 5_000_000) -> DataFrame:
     10⁸–10⁹ distinct tokens). The size gate makes that contract explicit
     instead of silently building a single-partition sort: callers who
     trip it should switch to :func:`vocab_hash_ids`, which needs no sort
-    and no broadcast. The limit-probe count scans at most max_dense+1
-    vocab rows, never the corpus."""
+    and no broadcast. The probe necessarily EXECUTES the upstream
+    vocabulary plan (limit truncates rows, not the aggregation that
+    produces them), so the input is lazily local-checkpointed first:
+    the probe materializes it once and the returned id plan reuses the
+    checkpoint instead of recomputing the corpus aggregation."""
     from pyspark.sql import Window as W
 
+    vocab = vocab.localCheckpoint(eager=False)
     if vocab.select("token").limit(max_dense + 1).count() > max_dense:
         raise ValueError(
             f"vocab_ids: vocabulary exceeds max_dense={max_dense}; dense "
@@ -276,17 +282,22 @@ def vocab_hash_ids(vocab: DataFrame, algo: str = "xxhash64") -> DataFrame:
     - ``md5_48``: first 48 bits of md5 — engine-portable (DuckDB computes
       the identical value), used by the driver-oracle verification.
 
-    Ids are shifted away from 0 (the OOV sentinel): xxhash64 output 0 or
-    a zero md5 prefix would otherwise alias OOV. The +1 shift cannot
-    overflow for md5_48 (48-bit + 1); for xxhash64 the shift wraps only
-    on the single value 2⁶³−1, which ``id_collisions`` would surface."""
+    Ids are kept away from 0 (the OOV sentinel). md5_48 is 48-bit
+    non-negative, so a +1 shift is injective and can never land on 0.
+    For xxhash64 no injective ℤ64→ℤ64∖{0} map exists (pigeonhole), so
+    only the exact output 0 is remapped to 1: a token hashing to 0 then
+    shares id 1 with any token hashing to 1 — an ids-table collision
+    that ``id_collisions`` DOES surface, unlike the previous +1 shift,
+    which silently sent xxhash64 output −1 onto the OOV sentinel where
+    no audit could see it."""
     if algo == "md5_48":
-        raw = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+        raw = md5_48(F.col("token")) + F.lit(1)
     elif algo == "xxhash64":
-        raw = F.xxhash64("token")
+        h = F.xxhash64("token")
+        raw = F.when(h == 0, F.lit(1)).otherwise(h)
     else:
         raise ValueError(f"vocab_hash_ids: unknown algo {algo!r}")
-    return vocab.select("token", (raw + F.lit(1)).cast("long").alias("id"))
+    return vocab.select("token", raw.cast("long").alias("id"))
 
 
 def id_collisions(ids: DataFrame) -> DataFrame:

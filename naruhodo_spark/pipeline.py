@@ -140,9 +140,16 @@ def build_kg(
     stages["triples_linked"] = linked
     t = linked
     if salted == "auto":
-        # eager skew probe at CALL time (one sampled job) — opt-in for
-        # build_kg, whose default contract stays fully lazy; the stored-
-        # triples paths (finalize/run_partitioned) default to auto.
+        # eager skew probe at CALL time — opt-in for build_kg, whose
+        # default contract stays fully lazy; the stored-triples paths
+        # (finalize/run_partitioned) default to auto. The probe sits at
+        # the END of the extraction DAG, so the linked triples are
+        # lazily local-checkpointed FIRST: the probe's sampled job
+        # materializes the extraction once and every downstream
+        # aggregation reuses the checkpoint instead of re-running
+        # sentence-split → chunk → extract a second time.
+        t = t.localCheckpoint(eager=False)
+        stages["triples_linked"] = t
         salted = O_agg.should_salt_edges(t)
     stages["ksg_edges"] = (
         O_agg.aggregate_edges_salted(t, salt_buckets)

@@ -140,27 +140,48 @@ def incremental_ingest(
         if seen is not None:
             batch = batch.join(seen, "doc_id", "left_anti")  # re-delivery
         batch_ids = batch.select("doc_id").localCheckpoint()
+        if batch_ids.isEmpty():
+            # fully-suppressed re-delivery (e.g. a fresh-checkpoint
+            # restart re-listing committed files): nothing to extract,
+            # write, or mark seen — and returning HERE keeps the
+            # re-delivery path from ever touching triples_raw (the
+            # compact-seen contract pinned by the redelivery spy test)
+            return
         kg = build_kg(batch, prof=prof)  # extraction only — ONE job
         new_triples = kg["triples"].localCheckpoint()
-        # Pre-drop this epoch's partition: dynamic overwrite only replaces
-        # partitions PRESENT in the written frame, so a retried epoch whose
-        # re-run extracts zero triples (alias/profile changed between
-        # attempts) would otherwise leave the failed attempt's partial rows
-        # behind — same stale-partition class run_partitioned pre-drops.
-        # Gated on a NON-EMPTY post-anti-join batch: a genuine retry always
-        # has one (its seen-append commit point never landed), whereas a
-        # fresh-checkpoint re-delivery of already-committed files arrives
-        # fully suppressed with a RESTARTED epoch counter — dropping the
-        # colliding old epoch partition there would destroy committed
-        # triples while writing nothing back.
-        if not batch_ids.isEmpty():
+        # Stale-partition handling must distinguish a RETRY of this epoch
+        # (the failed attempt's rows for THIS batch's docs must go — a
+        # zero-triple re-run would otherwise leave them behind under
+        # dynamic overwrite) from an epoch-counter COLLISION after
+        # checkpoint loss (the counter restarts at 0, so the partition
+        # id can hold COMMITTED rows for docs the anti-join just
+        # suppressed — those must survive). Dropping the whole partition
+        # whenever the batch is non-empty conflates the two: one new doc
+        # riding a re-delivery would erase the committed epoch. Instead,
+        # read the colliding partition, keep rows for docs NOT in this
+        # batch (materialized BEFORE the overwrite rewrites their
+        # files), and write survivors + the re-extraction as one dynamic
+        # overwrite; pre-drop only when that frame is empty — then every
+        # row in the partition provably belonged to this batch's failed
+        # attempt. Cost: one partition-pruned read per micro-batch.
+        frame = new_triples.withColumn("epoch", F.lit(int(epoch_id)))
+        if storage.table_exists(spark, "triples_raw", out_dir):
+            survivors = (
+                storage.read_table(spark, "triples_raw", out_dir)
+                .where(F.col("epoch") == int(epoch_id))
+                .join(batch_ids, "doc_id", "left_anti")
+                .localCheckpoint()
+            )
+            frame = frame.unionByName(survivors)
+        if frame.isEmpty():
             storage.delete_partitions(
                 spark, "triples_raw", out_dir, "epoch", [int(epoch_id)]
             )
-        storage.write_table(
-            new_triples.withColumn("epoch", F.lit(int(epoch_id))),
-            "triples_raw", out_dir, mode="overwrite", partition_by=["epoch"],
-        )
+        else:
+            storage.write_table(
+                frame, "triples_raw", out_dir,
+                mode="overwrite", partition_by=["epoch"],
+            )
         linked = O_link.link_entities(new_triples, aliases)
         if labels is not None:
             linked = O_canon.apply_canonical_labels(linked, labels)

@@ -41,16 +41,17 @@ def _py_dsir(target_rows, raw_rows, all_rows, n_buckets):
         for b in _features(text, n_buckets):
             cr[b] = cr.get(b, 0) + 1
             tr += 1
+    # the fitted model is DENSE: every bucket carries its smoothed ratio
     lr = {
         b: math.log(
             ((ct.get(b, 0) + 1) / (tt + n_buckets))
             / ((cr.get(b, 0) + 1) / (tr + n_buckets))
         )
-        for b in set(ct) | set(cr)
+        for b in range(n_buckets)
     }
     out = {}
     for d, text in all_rows:
-        feats = [b for b in _features(text, n_buckets) if b in lr]
+        feats = _features(text, n_buckets)
         out[d] = (sum(lr[b] for b in feats), len(feats))
     return out
 
@@ -105,6 +106,41 @@ def test_dsir_select_rate_and_score_preference(spark):
     # determinism: second evaluation identical
     again = DS.dsir_select(scored, rate=0.2)
     assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
+
+
+def test_dsir_scores_unseen_corpus_gets_smoothed_contribution(spark):
+    # fit on A/B, score corpus C whose grams appear in NEITHER fitting
+    # corpus: every feature must still contribute the smoothed default
+    # ratio (dense model) — not silently vanish from the join
+    fit = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    c = spark.createDataFrame(
+        [(10, "totally novel words here")], "doc_id long, text string"
+    )
+    lr = DS.dsir_log_ratios(fit, fit, n_buckets=B)
+    got = DS.dsir_scores(c, lr, n_buckets=B).collect()[0]
+    assert got["n_features"] == 7  # 4 unigrams + 3 bigrams — none dropped
+    rows = [(r["doc_id"], r["text"]) for r in fit.collect()]
+    want = _py_dsir(rows, rows, [(10, "totally novel words here")], B)
+    assert got["dsir_score"] == pytest.approx(want[10][0], rel=1e-9)
+
+
+def test_dsir_select_plateau_realizes_rate(spark):
+    # half the corpus ties at one score: the residual tie-break must
+    # realize ≈rate overall, not keep rate-fraction of the whole plateau
+    rows = [(i, 1.0 if i < 500 else 0.0) for i in range(1000)]
+    scored = spark.createDataFrame(rows, "doc_id long, dsir_score double")
+    kept = DS.dsir_select(scored, rate=0.6)
+    k = kept.count()
+    assert abs(k - 600) <= 40  # 500 high + ≈100 of the 0.0 plateau
+    assert kept.where("dsir_score = 1.0").count() == 500
+
+
+def test_dsir_select_empty_input_is_empty_not_crash(spark):
+    scored = spark.createDataFrame([], "doc_id long, dsir_score double")
+    assert DS.dsir_select(scored, rate=0.5).count() == 0
 
 
 def test_dsir_select_rejects_bad_rate(spark):

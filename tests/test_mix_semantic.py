@@ -167,3 +167,26 @@ def test_semantic_dedup_keep_filter_is_audit_exact(spark):
     # drop volume audit: sum of group sizes over reps == corpus size
     total = survivors.agg(F.sum("group_size")).collect()[0][0]
     assert total == n
+
+
+def test_semantic_dedup_handles_negative_hash_ids(spark):
+    # hash-derived vec_ids (xxhash64 is negative half the time): the
+    # signed padding must keep rep = NUMERIC min, not lexicographic —
+    # '-' sorts before '0', which broke pad_numeric_id's contract
+    rows = [
+        (-7, [1.0, 0.0], 0),
+        (-5, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 0),
+        (9, [0.0, 1.0], 0),  # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vec_id"]: (r["rep_id"], r["group_size"], r["is_rep"])
+        for r in SIM.semantic_dedup(df, threshold=0.99).collect()
+    }
+    assert got[-7] == (-7, 3, True)
+    assert got[-5] == (-7, 3, False)
+    assert got[3] == (-7, 3, False)
+    assert got[9] == (9, 1, True)

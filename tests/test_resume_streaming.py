@@ -518,3 +518,61 @@ def test_retried_epoch_with_zero_triples_drops_stale_partition(
     raw_after = storage.read_table(spark, "triples_raw", out)
     assert raw_after.count() == committed
     docs.unpersist()
+
+
+def test_checkpoint_loss_redelivery_preserves_committed_epochs(
+    spark, tmp_out
+):
+    """r03 review: an epoch-counter COLLISION after checkpoint loss must
+    not destroy committed raw triples. A fresh-checkpoint restart
+    re-lists every committed file as epoch 0 plus one genuinely new doc;
+    the colliding partition holds committed rows for docs the anti-join
+    just suppressed. The survivor-union write keeps them — the previous
+    whole-partition pre-drop erased them whenever the re-delivered batch
+    contained >=1 new doc."""
+    docs = synth.synth_documents(spark, 20).persist()
+    in_dir = f"{tmp_out}/lin"
+    docs.coalesce(4).write.mode("append").parquet(in_dir)
+    out = f"{tmp_out}/lout"
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/lck1")
+    committed = sorted(
+        map(
+            tuple,
+            storage.read_table(spark, "triples_raw", out)
+            .drop("epoch")
+            .collect(),
+        )
+    )
+    assert len(committed) > 0
+
+    # one new doc arrives; the checkpoint directory is LOST (fresh dir)
+    new_doc = synth.synth_documents(spark, 21).where("doc_id = 'doc-000020'")
+    assert new_doc.count() == 1
+    new_doc.coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/lck2")
+
+    after = sorted(
+        map(
+            tuple,
+            storage.read_table(spark, "triples_raw", out)
+            .drop("epoch")
+            .collect(),
+        )
+    )
+    # committed rows survived the collision and the new doc landed once:
+    # the result equals a clean single-pass run over all 21 docs
+    clean = f"{tmp_out}/lclean"
+    incremental_ingest(spark, in_dir, clean, checkpoint=f"{tmp_out}/lck3")
+    want = sorted(
+        map(
+            tuple,
+            storage.read_table(spark, "triples_raw", clean)
+            .drop("epoch")
+            .collect(),
+        )
+    )
+    assert after == want
+    assert set(t[0] for t in committed).issubset(set(t[0] for t in after))
+    seen = storage.read_table(spark, "doc_ids_seen", out)
+    assert seen.select("doc_id").distinct().count() == 21
+    docs.unpersist()
