@@ -1986,6 +1986,22 @@ def td_dsir_scores(spark, sf_dir):
     )
 
 
+def dd_incremental(spark, sf_dir):
+    """Incremental near-dup detection vs a persisted MinHash index
+    (ops/incdedup.py): the corpus is split by doc_id-hash parity into an
+    "already indexed" half and an "incoming batch" half; the batch is
+    flagged against the index's signature table (band equi-join +
+    signature-agreement Jaccard estimate) without touching corpus text.
+    One-shot-band-join equivalence pinned in tests/test_incdedup.py
+    (rows-only here — the 50-oracle driver window is full)."""
+    from naruhodo_spark.ops import incdedup as INC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    parity = F.abs(F.xxhash64("doc_id")) % 2
+    old, new = docs.where(parity == 0), docs.where(parity == 1)
+    return INC.incremental_near_dups(new, INC.minhash_index(old))["flags"]
+
+
 def sim_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (ops/similarity.semantic_dedup):
     same-cell cosine≥θ pairs → size-gated CC groups → min-id rep per
@@ -2004,6 +2020,7 @@ for _n, _f in [
     ("dd_dup_spans", dd_dup_spans),
     ("td_dsir_scores", td_dsir_scores),
     ("sim_semantic_dedup", sim_semantic_dedup),
+    ("dd_incremental", dd_incremental),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via
