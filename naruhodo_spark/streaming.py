@@ -27,6 +27,68 @@ from naruhodo_spark.operators import canon as O_canon
 from naruhodo_spark.operators import link as O_link
 
 
+def _spans_text(docs_spans: DataFrame) -> DataFrame:
+    """(doc_id, text) from a spans frame: offset-sorted text spans joined
+    with single spaces — the content view the dedup gate shingles. Media
+    spans are invisible to dedup by construction (their bytes live behind
+    media_ref; near-dup text with different media still flags, which is
+    the Gopher/RefinedWeb-style intent for interleaved corpora)."""
+    text_spans = F.array_sort(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text")),
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+        .when(a["offset"] > b["offset"], 1)
+        .otherwise(0),
+    )
+    return docs_spans.select(
+        "doc_id",
+        F.array_join(
+            F.transform(text_spans, lambda s: s["text"]), " "
+        ).alias("text"),
+    )
+
+
+def _epoch_idempotent_write(
+    spark: SparkSession,
+    name: str,
+    out_dir: str,
+    frame: DataFrame,
+    epoch_id: int,
+    batch_keys: DataFrame,
+    key_col: str = "doc_id",
+) -> None:
+    """Write ``frame`` as this epoch's partition of ``name`` so that BOTH
+    failure modes of epoch-partitioned streaming output are safe:
+
+    - RETRY of this epoch (same epoch_id, same batch): rows keyed to this
+      batch are replaced wholesale — a zero-row re-run leaves nothing
+      stale behind (pre-drop when the final frame is empty).
+    - Epoch-counter COLLISION after checkpoint loss: committed rows in
+      the colliding partition whose key is NOT in this batch are read out
+      (materialized before the overwrite rewrites their files) and ride
+      along as survivors.
+
+    ``batch_keys`` is a 1-column (key_col) frame of this batch's keys.
+    Cost: one partition-pruned read per call."""
+    frame = frame.withColumn("epoch", F.lit(int(epoch_id)))
+    if storage.table_exists(spark, name, out_dir):
+        keys = batch_keys.toDF(key_col)
+        survivors = (
+            storage.read_table(spark, name, out_dir)
+            .where(F.col("epoch") == int(epoch_id))
+            .join(keys, key_col, "left_anti")
+            .localCheckpoint()
+        )
+        frame = frame.unionByName(survivors)
+    if frame.isEmpty():
+        storage.delete_partitions(
+            spark, name, out_dir, "epoch", [int(epoch_id)]
+        )
+    else:
+        storage.write_table(
+            frame, name, out_dir, mode="overwrite", partition_by=["epoch"]
+        )
+
+
 def incremental_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -34,12 +96,22 @@ def incremental_ingest(
     prof: dict | None = None,
     aliases: DataFrame | None = None,
     checkpoint: str | None = None,
+    dedup_threshold: float | None = None,
 ):
     """Drain all available input files through the pipeline and upsert
     the graph tables once per micro-batch. Returns the finished query.
 
     availableNow trigger → processes the backlog then stops; swap for
     processingTime in continuous deployments.
+
+    ``dedup_threshold``: when set, each micro-batch is near-dup-gated
+    against the persisted ``dedup_sigs`` MinHash index (ops/incdedup.py)
+    BEFORE extraction: flagged docs contribute no triples (but are still
+    marked seen — a near-dup is processed-and-rejected, not pending),
+    flag pairs land in ``dup_flags`` (epoch-partitioned), and survivors'
+    signatures grow the index. This is the production shape at corpus
+    scale — dedup cost per batch is O(batch + matched buckets), never
+    O(corpus), because only the compact signature table is read.
     """
     stream = (
         spark.readStream.schema(S.DOCUMENTS_SPANS)
@@ -147,40 +219,61 @@ def incremental_ingest(
             # re-delivery path from ever touching triples_raw (the
             # compact-seen contract pinned by the redelivery spy test)
             return
-        kg = build_kg(batch, prof=prof)  # extraction only — ONE job
-        new_triples = kg["triples"].localCheckpoint()
-        # Stale-partition handling must distinguish a RETRY of this epoch
-        # (the failed attempt's rows for THIS batch's docs must go — a
-        # zero-triple re-run would otherwise leave them behind under
-        # dynamic overwrite) from an epoch-counter COLLISION after
-        # checkpoint loss (the counter restarts at 0, so the partition
-        # id can hold COMMITTED rows for docs the anti-join just
-        # suppressed — those must survive). Dropping the whole partition
-        # whenever the batch is non-empty conflates the two: one new doc
-        # riding a re-delivery would erase the committed epoch. Instead,
-        # read the colliding partition, keep rows for docs NOT in this
-        # batch (materialized BEFORE the overwrite rewrites their
-        # files), and write survivors + the re-extraction as one dynamic
-        # overwrite; pre-drop only when that frame is empty — then every
-        # row in the partition provably belonged to this batch's failed
-        # attempt. Cost: one partition-pruned read per micro-batch.
-        frame = new_triples.withColumn("epoch", F.lit(int(epoch_id)))
-        if storage.table_exists(spark, "triples_raw", out_dir):
-            survivors = (
-                storage.read_table(spark, "triples_raw", out_dir)
-                .where(F.col("epoch") == int(epoch_id))
-                .join(batch_ids, "doc_id", "left_anti")
+        # Optional near-dup gate vs the persisted signature index. The
+        # index read excludes THIS batch's ids — on a retry, the failed
+        # attempt's sig partition may already hold them, and comparing a
+        # doc against its own earlier signature would self-flag the whole
+        # batch. Excluding them restores first-attempt semantics exactly.
+        extract_batch = batch
+        dd = None
+        if dedup_threshold is not None:
+            from naruhodo_spark.ops import incdedup as INC
+
+            texts = _spans_text(batch)
+            index = None
+            if storage.table_exists(spark, "dedup_sigs", out_dir):
+                index = (
+                    storage.read_table(spark, "dedup_sigs", out_dir)
+                    .drop("epoch")
+                    .join(batch_ids, "doc_id", "left_anti")
+                )
+            dd = INC.incremental_near_dups(
+                texts, index, threshold=dedup_threshold
+            )
+            dd["flags"] = dd["flags"].localCheckpoint()
+            surv_ids = (
+                batch_ids.join(
+                    dd["flags"]
+                    .select(F.col("new_doc_id").alias("doc_id"))
+                    .distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
                 .localCheckpoint()
             )
-            frame = frame.unionByName(survivors)
-        if frame.isEmpty():
-            storage.delete_partitions(
-                spark, "triples_raw", out_dir, "epoch", [int(epoch_id)]
+            extract_batch = batch.join(surv_ids, "doc_id")
+            dd["surv_sigs"] = dd["new_sigs"].join(surv_ids, "doc_id")
+        kg = build_kg(extract_batch, prof=prof)  # extraction — ONE job
+        new_triples = kg["triples"].localCheckpoint()
+        # Epoch-partitioned writes must survive a RETRY of this epoch
+        # (the failed attempt's rows for this batch's docs must go — a
+        # zero-row re-run would otherwise leave them behind under
+        # dynamic overwrite) AND an epoch-counter COLLISION after
+        # checkpoint loss (the restarted counter's partition can hold
+        # COMMITTED rows for docs the anti-join just suppressed — those
+        # must survive). _epoch_idempotent_write implements the
+        # survivor-union protocol for all three epoch tables.
+        _epoch_idempotent_write(
+            spark, "triples_raw", out_dir, new_triples, epoch_id, batch_ids
+        )
+        if dd is not None:
+            _epoch_idempotent_write(
+                spark, "dup_flags", out_dir, dd["flags"], epoch_id,
+                batch_ids, key_col="new_doc_id",
             )
-        else:
-            storage.write_table(
-                frame, "triples_raw", out_dir,
-                mode="overwrite", partition_by=["epoch"],
+            _epoch_idempotent_write(
+                spark, "dedup_sigs", out_dir, dd["surv_sigs"], epoch_id,
+                batch_ids,
             )
         linked = O_link.link_entities(new_triples, aliases)
         if labels is not None:
