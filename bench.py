@@ -162,6 +162,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "dd_dup_spans",
         "sim_semantic_dedup",
         "td_dsir_scores",
+        "dd_incremental",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

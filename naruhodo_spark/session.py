@@ -29,6 +29,18 @@ def get_spark(
     exports PYSPARK_GATEWAY_PORT; a plain ``python script.py`` does not.
     """
     under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not under_spark_submit:
+        # Local mode spawns python workers from the JVM's environment; a
+        # driver script run from OUTSIDE the repo (sys.path.insert only)
+        # would otherwise fail to unpickle our pandas UDFs on workers
+        # (ModuleNotFoundError: naruhodo_spark). Exporting the package
+        # parent dir here mirrors what --py-files does on a real cluster.
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + existing if existing else "")
+            )
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

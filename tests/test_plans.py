@@ -80,3 +80,14 @@ def test_semantic_dedup_no_cross_product(spark):
     # embedding_near_dups; CC + group-size join are equi-joins too
     p = _plan(spark, "sim_semantic_dedup")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_dedup_no_cross_product_no_python(spark):
+    # incremental near-dup vs the signature index: every pair-producing
+    # stage is a (band_idx, band_hash) equi-join — uniform md5 key by
+    # construction — and the estimator is a column expression over the
+    # joined signature vectors; no all-pairs node, no Python UDF, and no
+    # corpus-text access on the index side
+    p = _plan(spark, "dd_incremental")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
