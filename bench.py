@@ -163,6 +163,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "sim_semantic_dedup",
         "td_dsir_scores",
         "dd_incremental",
+        "ts_bpe_pieces",
+        "ts_lm_perplexity",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

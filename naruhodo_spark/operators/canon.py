@@ -278,14 +278,31 @@ def cc_labels_auto(edges: DataFrame, force_distributed: bool = False) -> DataFra
     distributed shuffles by seconds of fixed latency); larger graphs (or
     force_distributed) run the star-contraction loop. The size probe
     collects up to threshold+1 rows ONCE and reuses them for the
-    union-find (no second scan). Outputs are asserted identical by
-    tests, so the gate is purely a physical-plan choice."""
+    union-find (no second scan); the input is lazily checkpointed first
+    so the probe and the distributed path's two scans (node set +
+    contraction seed) share ONE evaluation of the upstream plan — for
+    near_dup_groups that upstream is the whole LSH pipeline, which a
+    naive dispatch re-evaluated ~3× (r03 profile: 2× end-to-end wall).
+    Outputs are asserted identical by tests, so the gate is purely a
+    physical-plan choice."""
     if force_distributed:
         return connected_components(edges)
+    # Materialize the edge frame ONCE (lazy local checkpoint) before any
+    # scan: the size probe below plus connected_components' two passes
+    # (node set + contraction seed) would otherwise re-evaluate the whole
+    # upstream plan ~3× — for near_dup_groups that upstream is the full
+    # LSH banding pipeline, and the re-evaluation dominated the job
+    # (profiled at 2× end-to-end wall, r03). Partitions the probe already
+    # computed stay cached; the rest materialize on first full scan.
+    edges = edges.localCheckpoint(eager=False)
     head = edges.limit(DRIVER_CC_THRESHOLD + 1).collect()
     if len(head) > DRIVER_CC_THRESHOLD:
         return connected_components(edges)
-    return connected_components_driver_rows(head, edges.sparkSession)
+    # driver path: the collected rows ARE the input now — release the
+    # partial cache so per-wave/per-epoch callers don't accumulate it
+    result = connected_components_driver_rows(head, edges.sparkSession)
+    edges.unpersist()
+    return result
 
 
 def alias_cc_labels(aliases: DataFrame, force_distributed: bool = False) -> DataFrame:

@@ -2012,6 +2012,40 @@ def sim_semantic_dedup(spark, sf_dir):
     )
 
 
+def ts_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity quality scoring (ops/lm.py — Wenzek 2020
+    filtering with Brants 2007 Stupid Backoff): a trigram LM fitted on
+    the every-5th-doc slice scores the whole corpus; per-token backoff
+    scores ride 2n−1 uniform equi-joins against the distributed
+    (gram, order, count) model table — the model is never collected nor
+    forced into a broadcast. Exact python mirror + head/tail
+    discrimination pinned in tests/test_lm.py (rows-only — the 50-slot
+    driver oracle window is full)."""
+    from naruhodo_spark.ops import lm as LM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = LM.ngram_counts(docs.where("doc_id % 5 = 0"), n=3)
+    return LM.perplexity_buckets(
+        LM.perplexity_scores(docs, model, n=3)
+    )
+
+
+def ts_bpe_pieces(spark, sf_dir):
+    """Distributed BPE (ops/bpe.py — Sennrich et al. 2016): learn 24
+    merge rules from the corpus word-frequency table (3 rounds of 8
+    symbol-disjoint merges — one vocabulary-sized agg + an O(1) driver
+    collect per round), then subword-encode every doc (Python bounded
+    by |distinct words| via mapInPandas, corpus side pure JVM equi-join).
+    Textbook-BPE equality at batch=1 and the batched variant are pinned
+    against a pure-python reference in tests/test_bpe.py (rows-only —
+    the learner is iterative, not SQL-expressible)."""
+    from naruhodo_spark.ops import bpe as B
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = B.learn_bpe(docs, n_merges=24, batch=8)
+    return B.bpe_encode(docs, merges).select("doc_id", "n_pieces")
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2021,6 +2055,8 @@ for _n, _f in [
     ("td_dsir_scores", td_dsir_scores),
     ("sim_semantic_dedup", sim_semantic_dedup),
     ("dd_incremental", dd_incremental),
+    ("ts_bpe_pieces", ts_bpe_pieces),
+    ("ts_lm_perplexity", ts_lm_perplexity),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

@@ -91,3 +91,31 @@ def test_incremental_dedup_no_cross_product_no_python(spark):
     p = _plan(spark, "dd_incremental")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bpe_encode_python_only_on_distinct_words(spark):
+    # BPE encoding: the MapInPandas encoder must sit DOWNSTREAM of the
+    # distinct-words aggregation (Python bounded by |vocab|, never the
+    # corpus); the corpus re-join is an equi-join — no all-pairs node
+    from naruhodo_spark.ops import bpe as B
+
+    docs = Q._t(spark, SF, "documents").select("doc_id", "text")
+    df = B.bpe_encode(docs, [("t", "h"), ("th", "e"), ("the", "</w>")])
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
+    # the Python stage's subtree must contain the distinct-words
+    # HashAggregate, i.e. Python never reads the raw scan directly
+    python_subtree = p.split("MapInPandas", 1)[1] if "MapInPandas" in p \
+        else p.split("ArrowEvalPython", 1)[1]
+    assert "HashAggregate" in python_subtree
+
+
+def test_lm_scoring_pure_catalyst_no_cross_product(spark):
+    # Stupid-Backoff scoring: 2n−1 equi-joins against the model table +
+    # one bounded per-doc agg — no Python nodes, no all-pairs join; the
+    # only crossJoin is the 1-row broadcast total
+    p = _plan(spark, "ts_lm_perplexity")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
