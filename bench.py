@@ -165,6 +165,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "dd_incremental",
         "ts_bpe_pieces",
         "ts_lm_perplexity",
+        "kg_snapshot_diff",
+        "kg_entity_split",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -1,0 +1,305 @@
+"""Entity context disambiguation — detect over-merged canonical nodes.
+
+Canonicalization (operators/canon.py) merges surface aliases into one
+node by string evidence alone, so homonyms conflate: "mercury" the
+planet and "mercury" the element collapse into one entity whose edges
+mix two real-world referents. This operator flags such nodes by
+clustering each entity's MENTION CONTEXTS (the token sets the entity
+co-occurs with, per document): a clean entity's contexts form one
+connected similarity cluster; a conflated one splits into ≥2 clusters
+with near-zero cross-cluster overlap.
+
+Scale shape — the whole point is that nothing is per-entity quadratic:
+  * signatures: the MinHash affine family from ops/dedup (one md5 per
+    distinct context token), aggregated per (entity, mention) — uniform
+    keys;
+  * candidate pairs: LSH band buckets keyed by (entity, band_idx,
+    band_hash) — the entity is PART of the bucket key, so banding never
+    compares mentions of different entities and a hot entity's mentions
+    only meet when their contexts actually collide in a band;
+  * verification: exact Jaccard on the candidate pairs only (the
+    ops/dedup two-tier discipline);
+  * clustering: the size-gated connected-components dispatch
+    (cc_labels_auto) over composite "entity␟mention" node ids — CC
+    edges never cross entities, so components stay entity-local by
+    construction.
+
+Determinism: md5/xxhash-derived signatures, no RNG; cluster ids are the
+lexicographic min mention id of each cluster. Repartition-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from naruhodo_spark.operators.canon import cc_labels_auto
+from naruhodo_spark.ops.dedup import MINHASH_P
+from naruhodo_spark.ops.textstats import norm_text
+
+SEP = "\x1f"  # unit separator — cannot appear in normalized tokens
+N_HASHES = 16
+# 8 bands × 2 rows: recall-first banding. At candidate-Jaccard 0.7 a
+# pair misses all bands with p = (1 − 0.7²)^8 ≈ 0.004 (vs 0.22 for
+# 4 × 4) — and false candidates only cost the exact-Jaccard check,
+# which filters them anyway. The md5-derived signatures make any given
+# corpus's outcome deterministic, not probabilistic.
+N_BANDS = 8
+JACCARD_T = 0.3
+# A band bucket holding more than BUCKET_CAP mentions would generate
+# O(n²) candidate pairs — the one way this operator could go quadratic
+# (a degenerate corpus where every mention of an entity has near-equal
+# context). Oversized buckets instead emit STAR edges (every member →
+# the bucket's min mention): identical CC connectivity, O(n) edges.
+# Star edges skip the exact-Jaccard verification — acceptable because
+# membership in a shared 2-row band bucket already certifies matching
+# minhash minima, and the failure direction (spuriously CONNECTING two
+# referents, i.e. missing a split) needs a cross-referent minhash
+# collision, not just any hash accident. The cap is a skew guard in the
+# df_cap tradition of ops/dedup.ngram_jaccard_pairs.
+BUCKET_CAP = 64
+
+
+def mention_contexts(docs: DataFrame, entities: DataFrame) -> DataFrame:
+    """(entity, mention, ctx array<string>): one mention per (entity,
+    doc) where the entity token occurs in the doc; ctx = the doc's OTHER
+    distinct tokens. ``entities`` is a 1-column (entity) frame — a
+    vocabulary-bounded dimension, broadcast-joined against the exploded
+    token stream (the alias-dictionary pattern, operators/link.py)."""
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("mention"),
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.col("text")), r"\s+"))
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    hits = toks.join(
+        F.broadcast(entities.select(F.col("entity").alias("tok"))), "tok"
+    ).select(F.col("tok").alias("entity"), "mention")
+    ctx = (
+        hits.join(toks, "mention")
+        .where(F.col("tok") != F.col("entity"))
+        .groupBy("entity", "mention")
+        .agg(F.array_sort(F.collect_set("tok")).alias("ctx"))
+    )
+    return ctx
+
+
+def _context_pairs(
+    mentions: DataFrame,
+    n_hashes: int,
+    n_bands: int,
+    threshold: float,
+    bucket_cap: int = BUCKET_CAP,
+):
+    """Returns (pairs, star_edges): LSH-candidate mention pairs within
+    each entity whose exact context Jaccard clears the threshold —
+    pairwise only inside buckets of ≤ bucket_cap mentions — plus star
+    edges (entity, hub, member) for oversized buckets (see BUCKET_CAP).
+    Same two-tier shape as ops/dedup.minhash_lsh_pairs, with the entity
+    riding every key."""
+    tok = mentions.select(
+        "entity", "mention", F.explode("ctx").alias("token")
+    )
+    h1 = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("token"), 13, 12), 16, 10).cast("long") * 2 + 1
+    hashed = tok.select("entity", "mention", h1.alias("h1"), h2.alias("h2"))
+    sigs = hashed.groupBy("entity", "mention").agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_P)).alias(
+                f"sig_{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    rows = n_hashes // n_bands
+    bands = sigs.select(
+        "entity",
+        "mention",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[f"sig_{b * rows + r}" for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("entity", "mention", "bk.band", "bk.bh")
+    bucket_n = bands.groupBy("entity", "band", "bh").agg(
+        F.count(F.lit(1)).alias("bucket_n"),
+        F.min("mention").alias("hub"),
+    )
+    bands = bands.join(bucket_n, ["entity", "band", "bh"])
+    star_edges = (
+        bands.where(
+            (F.col("bucket_n") > bucket_cap) & (F.col("mention") != F.col("hub"))
+        )
+        .select("entity", "hub", "mention")
+        .distinct()
+    )
+    small = bands.where(F.col("bucket_n") <= bucket_cap).select(
+        "entity", "mention", "band", "bh"
+    )
+    cand = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            on=[
+                F.col("a.entity") == F.col("b.entity"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.mention") < F.col("b.mention"),
+            ],
+        )
+        .select(
+            F.col("a.entity").alias("entity"),
+            F.col("a.mention").alias("mention_a"),
+            F.col("b.mention").alias("mention_b"),
+        )
+        .distinct()
+    )
+    # exact Jaccard on candidates only: join the distinct-token streams
+    sizes = tok.groupBy("entity", "mention").agg(
+        F.count(F.lit(1)).alias("set_size")
+    )
+    ta = tok.select(
+        "entity", F.col("mention").alias("mention_a"), "token"
+    )
+    tb = tok.select(
+        "entity", F.col("mention").alias("mention_b"), "token"
+    )
+    inter = (
+        cand.join(ta, ["entity", "mention_a"])
+        .join(tb, ["entity", "mention_b", "token"])
+        .groupBy("entity", "mention_a", "mention_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        "entity", F.col("mention").alias("mention_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        "entity", F.col("mention").alias("mention_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        inter.join(sa, ["entity", "mention_a"])
+        .join(sb, ["entity", "mention_b"])
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("entity", "mention_a", "mention_b", "jaccard")
+    ), star_edges
+
+
+def context_clusters(
+    mentions: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = JACCARD_T,
+    bucket_cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """(entity, mention, cluster): connected-components clustering of
+    each entity's mentions under context similarity. Every input mention
+    keeps a row — mentions with no similar peer become singleton
+    clusters labeled by themselves."""
+    pairs, stars = _context_pairs(
+        mentions, n_hashes, n_bands, threshold, bucket_cap
+    )
+    edges = pairs.select(
+        F.concat_ws(SEP, "entity", "mention_a").alias("src"),
+        F.concat_ws(SEP, "entity", "mention_b").alias("dst"),
+    ).unionByName(
+        stars.select(
+            F.concat_ws(SEP, "entity", "hub").alias("src"),
+            F.concat_ws(SEP, "entity", "mention").alias("dst"),
+        )
+    )
+    labels = cc_labels_auto(edges)  # (node, label), entity-local
+    lab = labels.select(
+        F.split_part(F.col("node"), F.lit(SEP), F.lit(1)).alias("entity"),
+        F.split_part(F.col("node"), F.lit(SEP), F.lit(2)).alias("mention"),
+        F.split_part(F.col("label"), F.lit(SEP), F.lit(2)).alias("cluster"),
+    )
+    return (
+        mentions.select("entity", "mention")
+        .join(lab, ["entity", "mention"], "left")
+        .select(
+            "entity",
+            "mention",
+            F.coalesce("cluster", F.col("mention")).alias("cluster"),
+        )
+    )
+
+
+def split_candidates(
+    clusters: DataFrame, min_cluster_size: int = 2
+) -> DataFrame:
+    """(entity, n_clusters, cluster_sizes): entities whose mentions form
+    ≥2 context clusters of at least ``min_cluster_size`` mentions — the
+    over-merge review queue. cluster_sizes is descending then by cluster
+    id, so the output is deterministic."""
+    per_cluster = clusters.groupBy("entity", "cluster").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    big = per_cluster.where(F.col("n_mentions") >= min_cluster_size)
+    return (
+        big.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_clusters"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_mentions")).alias("neg"),
+                            F.col("cluster"),
+                            F.col("n_mentions"),
+                        )
+                    )
+                ),
+                lambda s: s["n_mentions"],
+            ).alias("cluster_sizes"),
+        )
+        .where(F.col("n_clusters") >= 2)
+    )
+
+
+def cluster_top_terms(
+    mentions: DataFrame, clusters: DataFrame, k: int = 5
+) -> DataFrame:
+    """(entity, cluster, top_terms): the k most frequent context tokens
+    per cluster — the human-readable evidence for WHY two clusters are
+    different referents. Rank window is bounded per (entity, cluster)
+    group (top-k discipline, never a global sort)."""
+    from pyspark.sql import Window
+
+    tok = (
+        mentions.join(clusters, ["entity", "mention"])
+        .select("entity", "cluster", F.explode("ctx").alias("token"))
+        .groupBy("entity", "cluster", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("entity", "cluster").orderBy(
+        F.col("tf").desc(), F.col("token").asc()
+    )
+    return (
+        tok.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .groupBy("entity", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "token"))
+                ),
+                lambda s: s["token"],
+            ).alias("top_terms")
+        )
+    )

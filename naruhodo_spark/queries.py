@@ -2046,6 +2046,42 @@ def ts_bpe_pieces(spark, sf_dir):
     return B.bpe_encode(docs, merges).select("doc_id", "n_pieces")
 
 
+def kg_snapshot_diff(spark, sf_dir):
+    """Incremental-KG edge delta (operators/kgdiff.py): SVO triples of
+    the even-doc corpus slice vs the full corpus, aggregated to weighted
+    edge sets and full-outer-diffed on the null-safe (subj, pred, obj)
+    key. One uniform-key join; on a production deployment both
+    snapshots share an Iceberg bucket layout on the same key, so the
+    sort-merge join runs exchange-free. DuckDB full-outer mirror pinned
+    in tests/test_kgdiff.py (rows-only — the 50-slot driver oracle
+    window is full)."""
+    from naruhodo_spark.operators import kgdiff as KD
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    w = F.count(F.lit(1)).alias("weight")
+    old = svo.where(F.col("doc_id") % 2 == 0).groupBy(
+        "subj", "pred", "obj"
+    ).agg(w)
+    new = svo.groupBy("subj", "pred", "obj").agg(w)
+    return KD.diff_edges(old, new)
+
+
+def kg_entity_split(spark, sf_dir):
+    """Over-merge detection (operators/entsplit.py): cluster the mention
+    contexts of three high-frequency corpus entities via
+    entity-partitioned MinHash LSH + exact Jaccard on candidates + the
+    size-gated CC dispatch. Planted-homonym recovery and an exhaustive
+    all-pairs python mirror are pinned in tests/test_entsplit.py
+    (rows-only — iterative CC, not SQL-expressible)."""
+    from naruhodo_spark.operators import entsplit as ES
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ents = spark.createDataFrame(
+        [("spark",), ("customer",), ("window",)], "entity string"
+    )
+    return ES.context_clusters(ES.mention_contexts(docs, ents))
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2057,6 +2093,8 @@ for _n, _f in [
     ("dd_incremental", dd_incremental),
     ("ts_bpe_pieces", ts_bpe_pieces),
     ("ts_lm_perplexity", ts_lm_perplexity),
+    ("kg_snapshot_diff", kg_snapshot_diff),
+    ("kg_entity_split", kg_entity_split),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

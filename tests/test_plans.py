@@ -119,3 +119,25 @@ def test_lm_scoring_pure_catalyst_no_cross_product(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_kg_snapshot_diff_full_outer_no_python(spark):
+    # the diff is ONE null-safe full-outer equi-join over pre-aggregated
+    # sides — no all-pairs node, no Python, and the join really is
+    # FullOuter (a refactor to inner+anti unions would triple the scans)
+    p = _plan(spark, "kg_snapshot_diff")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "FullOuter" in p
+
+
+def test_kg_entity_split_no_cross_product_no_python(spark):
+    # entity-partitioned LSH + candidate-only Jaccard + CC: banding and
+    # verification are equi-joins keyed by (entity, ...); no Python node
+    # anywhere (the CC dispatch may run driver-side union-find, which
+    # appears as a LocalTableScan of labels, not a Python eval)
+    p = _plan(spark, "kg_entity_split")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
