@@ -167,6 +167,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "ts_lm_perplexity",
         "kg_snapshot_diff",
         "kg_entity_split",
+        "td_walk_pairs",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

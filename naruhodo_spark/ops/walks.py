@@ -1,0 +1,169 @@
+"""Deterministic random-walk corpora for graph-embedding training —
+DeepWalk (Perozzi et al., KDD 2014, arXiv:1403.6652) walk generation
+plus the skip-gram (center, context) pair extraction that turns walks
+into training rows. Node2vec's biased second-order transitions
+(Grover & Leskovec, KDD 2016) are out of scope — the uniform first-order
+walk is what the cited DeepWalk recipe trains on, and the deterministic
+step rule below generalizes to a biased pick if ever needed.
+
+Determinism contract (repo standard, ops/kgtrain.py): every "random"
+choice is xxhash64 of row content — walk starts, neighbor picks, and
+the neighbor-cap subsample are all resume-stable, repartition-invariant,
+and identical across cluster sizes. No RNG, no seed state.
+
+Plan shape at web scale (10^9 nodes, hot entities with 10^8 edges):
+
+- NEIGHBOR CAP WITHOUT A SORT: per-node degree is one uniform groupBy;
+  nodes above ``neighbor_cap`` keep a neighbor iff
+  pmod(xxhash64(node, dst), ceil(deg/cap)) == 0 — an expected ~cap-size
+  uniform subsample chosen by a map-side filter, NOT a top-k window (a
+  rank window partitioned by node would sort 10^8 rows inside the hot
+  node's single task). GraphSAGE-style neighbor sampling, hash-pinned.
+- The dense per-node neighbor index (needed for O(1) step selection) is
+  a row_number window over the ALREADY-CAPPED lists — bounded at ~cap
+  rows per partition key, so the window is skew-free by construction.
+- Each walk step is ONE equi-join of the frontier on (cur, idx): the
+  step rule idx = pmod(xxhash64(seed, walk_id, step), n_nbrs) picks the
+  neighbor without scanning the list, and a hot node's traffic spreads
+  over its ≤cap distinct (node, idx) keys. L-1 bounded joins total,
+  localCheckpoint truncating lineage each step (the PageRank idiom).
+- Dead ends (no out-neighbor) truncate the walk — documented DeepWalk
+  behavior on directed graphs, never a dropped row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NEIGHBOR_CAP = 128
+CHECKPOINT_EVERY = 5
+
+
+def _capped_adjacency(
+    edges: DataFrame, neighbor_cap: int, seed: str
+) -> DataFrame:
+    """(src, idx, dst, n_nbrs): hash-subsampled neighbor lists with a
+    dense 0-based index and the post-cap list size. Distinct edges only
+    (parallel edges would bias the uniform pick)."""
+    adj = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.join(deg, "src")
+    # keep-rate denominator: every ~ratio-th neighbor by content hash
+    ratio = F.ceil(F.col("deg") / F.lit(neighbor_cap)).cast("long")
+    kept = adj.where(
+        (F.col("deg") <= neighbor_cap)
+        | (F.pmod(F.xxhash64(F.lit(seed), "src", "dst"), ratio) == 0)
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    idx = kept.select(
+        "src",
+        (F.row_number().over(w) - 1).alias("idx"),
+        "dst",
+    )
+    n = idx.groupBy("src").agg((F.max("idx") + 1).alias("n_nbrs"))
+    return idx.join(n, "src")
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 5,
+    seed: str = "walk42",
+    neighbor_cap: int = NEIGHBOR_CAP,
+) -> DataFrame:
+    """(walk_id, start, walk array<string>): ``walks_per_node``
+    truncated deterministic walks from every node with ≥1 out-neighbor,
+    each of at most ``length`` nodes (including the start; shorter on
+    dead ends). edges: (src, dst) string columns."""
+    if length < 1:
+        raise ValueError(f"random_walks: length must be >= 1, got {length}")
+    if walks_per_node < 1:
+        raise ValueError(
+            f"random_walks: walks_per_node must be >= 1, got {walks_per_node}"
+        )
+    adj = _capped_adjacency(edges, neighbor_cap, seed).localCheckpoint(
+        eager=False
+    )
+    starts = adj.select("src").distinct()
+    frontier = starts.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+        ).alias("r"),
+        F.col("src").alias("cur"),
+    ).select(
+        # unit separator: node names may themselves contain '#'
+        F.concat_ws("\x1f", "cur", "r").alias("walk_id"),
+        F.col("cur").alias("start"),
+        "cur",
+        F.array("cur").alias("walk"),
+    )
+    for step in range(1, length):
+        pick = adj.select(
+            F.col("src").alias("cur"), "idx", "dst", "n_nbrs"
+        )
+        nxt = (
+            frontier.where(F.col("cur").isNotNull())
+            .join(pick.select(F.col("cur"), "n_nbrs").distinct(), "cur")
+            .withColumn(
+                "idx",
+                F.pmod(
+                    F.xxhash64(F.lit(seed), "walk_id", F.lit(step)),
+                    F.col("n_nbrs"),
+                ),
+            )
+            .join(pick.select("cur", "idx", "dst"), ["cur", "idx"])
+            .select(
+                "walk_id",
+                "start",
+                F.col("dst").alias("cur"),
+                F.concat("walk", F.array("dst")).alias("walk"),
+            )
+        )
+        # dead-ended walks (cur had no adjacency row) keep their prefix
+        done = frontier.join(
+            nxt.select("walk_id"), "walk_id", "left_anti"
+        ).select("walk_id", "start", F.lit(None).cast("string").alias("cur"), "walk")
+        frontier = nxt.unionByName(done)
+        # lineage truncation every CHECKPOINT_EVERY steps, not every
+        # step: each checkpoint is a full materialization of the walk
+        # frame (seconds of fixed latency), while the un-truncated plan
+        # only grows by one bounded join per step — the trade is worth
+        # it exactly like the PageRank loop, but short walks (the
+        # common L≤10 case) shouldn't pay L materializations
+        if step % CHECKPOINT_EVERY == 0:
+            frontier = frontier.localCheckpoint(eager=False)
+    return frontier.select("walk_id", "start", "walk")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, offset): one row per (position, offset) pair
+    within each walk, |offset| ≤ window, offset ≠ 0 — the skip-gram
+    training rows. Pure in-array HOFs (posexplode + bounded slice), no
+    self-join: the pair fan-out per walk is ≤ len·2·window, generated
+    map-side."""
+    if window < 1:
+        raise ValueError(f"skipgram_pairs: window must be >= 1, got {window}")
+    pos = walks.select(
+        "walk", F.posexplode("walk").alias("pos", "center")
+    )
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    ctx = F.array(
+        *[
+            F.struct(
+                F.lit(o).alias("offset"),
+                # guard: a non-positive index would read FROM THE END
+                # (element_at's negative-index semantics), not return NULL
+                F.when(
+                    F.col("pos") + 1 + o >= 1,
+                    F.try_element_at("walk", F.lit(o) + F.col("pos") + 1),
+                ).alias("context"),
+            )
+            for o in offs
+        ]
+    )
+    return (
+        pos.select("center", F.explode(ctx).alias("c"))
+        .where(F.col("c.context").isNotNull())
+        .select("center", "c.context", "c.offset")
+    )

@@ -2082,6 +2082,25 @@ def kg_entity_split(spark, sf_dir):
     return ES.context_clusters(ES.mention_contexts(docs, ents))
 
 
+def td_walk_pairs(spark, sf_dir):
+    """Graph-embedding training rows (ops/walks.py — DeepWalk,
+    Perozzi 2014): deterministic truncated random walks over the SVO
+    triple graph (hash-picked neighbors, skew-safe hash-subsampled
+    adjacency — no per-node sort over raw degree), expanded to
+    skip-gram (center, context, offset) pairs with in-array HOFs.
+    Path-validity, determinism, and a python pair mirror are pinned in
+    tests/test_walks.py (rows-only — iterative walk growth is not
+    SQL-expressible)."""
+    from naruhodo_spark.ops import walks as W
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    walks = W.random_walks(edges, walks_per_node=2, length=5)
+    return W.skipgram_pairs(walks, window=2)
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2095,6 +2114,7 @@ for _n, _f in [
     ("ts_lm_perplexity", ts_lm_perplexity),
     ("kg_snapshot_diff", kg_snapshot_diff),
     ("kg_entity_split", kg_entity_split),
+    ("td_walk_pairs", td_walk_pairs),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

@@ -141,3 +141,12 @@ def test_kg_entity_split_no_cross_product_no_python(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_td_walk_pairs_no_cross_product_no_python(spark):
+    # walk growth = bounded equi-joins on (cur, idx); pair expansion =
+    # in-array HOFs — no all-pairs node, no Python anywhere
+    p = _plan(spark, "td_walk_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
