@@ -2101,6 +2101,20 @@ def td_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def kg_predicate_synonyms(spark, sf_dir):
+    """Relation canonicalization (operators/relsyn.py — DIRT-style
+    distributional predicate synonymy, Lin & Pantel 2001): predicates
+    sharing most of their distinct (subj, obj) argument pairs merge
+    under the lexicographic-min canonical. Inverted index on the hashed
+    argument pair with a df_cap skew guard + audit, exact Jaccard on
+    candidates, size-gated CC. Python mirror pinned in
+    tests/test_relsyn.py (rows-only — iterative CC closure)."""
+    from naruhodo_spark.operators import relsyn as R
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    return R.predicate_clusters(svo, min_support=2, threshold=0.05)
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2115,6 +2129,7 @@ for _n, _f in [
     ("kg_snapshot_diff", kg_snapshot_diff),
     ("kg_entity_split", kg_entity_split),
     ("td_walk_pairs", td_walk_pairs),
+    ("kg_predicate_synonyms", kg_predicate_synonyms),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

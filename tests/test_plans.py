@@ -150,3 +150,12 @@ def test_td_walk_pairs_no_cross_product_no_python(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_kg_predicate_synonyms_no_cross_product_no_python(spark):
+    # inverted index on the hashed argument pair + candidate-only
+    # Jaccard + CC — no all-pairs predicate join, no Python node
+    p = _plan(spark, "kg_predicate_synonyms")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p

@@ -1,0 +1,136 @@
+"""Predicate synonymy clustering (operators/relsyn.py) vs a pure-python
+mirror (exact Jaccard over argument-pair sets + union-find), plus the
+df_cap audit surface, min_support gate, and determinism."""
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from naruhodo_spark import queries as Q
+from naruhodo_spark.operators import relsyn as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+@pytest.fixture(scope="module")
+def synonymy(spark):
+    """buys/purchases share 4 of 5 argument pairs (J = 2/3);
+    sells shares one pair with buys (J = 1/8 — below threshold);
+    rare_pred has 1 pair (below min_support)."""
+    pairs = [("alice", "car"), ("bob", "house"), ("carol", "boat"),
+             ("dave", "bike"), ("erin", "vase")]
+    rows = []
+    for s, o in pairs:
+        rows.append((s, "buys", o))
+    for s, o in pairs[:4]:
+        rows.append((s, "purchases", o))
+    rows += [("x", "purchases", "y")]
+    rows += [(s, "sells", o) for s, o in
+             [("alice", "car"), ("f", "g"), ("h", "i"), ("j", "k")]]
+    rows += [("solo", "rare_pred", "thing")]
+    # duplicates must not inflate profiles
+    rows.append(("alice", "buys", "car"))
+    return _triples(spark, rows)
+
+
+def _py_mirror(rows, min_support, threshold):
+    prof = {}
+    for s, p, o in rows:
+        prof.setdefault(p, set()).add((s, o))
+    prof = {p: v for p, v in prof.items() if len(v) >= min_support}
+    parent = {p: p for p in prof}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = {}
+    for a, b in combinations(sorted(prof), 2):
+        inter = len(prof[a] & prof[b])
+        if inter == 0:
+            continue
+        j = inter / len(prof[a] | prof[b])
+        pairs[(a, b)] = round(j, 4)
+        if round(j, 4) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return pairs, {p: find(p) for p in prof}
+
+
+def test_synonym_pairs_vs_python(spark, synonymy):
+    rows = [(r["subj"], r["pred"], r["obj"]) for r in synonymy.collect()]
+    want_pairs, _ = _py_mirror(rows, 3, 0.5)
+    got = {
+        (r["pred_a"], r["pred_b"]): r["jaccard"]
+        for r in R.synonym_pairs(synonymy).collect()
+    }
+    want = {k: j for k, j in want_pairs.items() if j >= 0.5}
+    assert got == want
+    assert ("buys", "purchases") in got  # the planted synonym pair
+
+
+def test_clusters_vs_python(spark, synonymy):
+    rows = [(r["subj"], r["pred"], r["obj"]) for r in synonymy.collect()]
+    _, want = _py_mirror(rows, 3, 0.5)
+    got = {
+        r["pred"]: r["canon_pred"]
+        for r in R.predicate_clusters(synonymy).collect()
+    }
+    assert got == want
+    assert got["purchases"] == "buys"  # merged, min-label canonical
+    assert got["sells"] == "sells"     # below threshold: singleton
+    assert "rare_pred" not in got      # below min_support: excluded
+
+
+def test_df_cap_audit_and_exclusion(spark):
+    # one argument pair shared by 30 predicates: with df_cap=10 it must
+    # be dropped from the index AND surfaced in the audit
+    rows = [("s", f"p{i:02d}", "o") for i in range(30)]
+    # give each predicate 2 private pairs to clear min_support=3
+    rows += [
+        (f"s{i}{k}", f"p{i:02d}", f"o{i}{k}")
+        for i in range(30)
+        for k in range(2)
+    ]
+    t = _triples(spark, rows)
+    audit = R.promiscuous_arg_pairs(t, min_support=3, df_cap=10).collect()
+    assert len(audit) == 1 and audit[0]["df"] == 30
+    # without the capped pair no two predicates share anything
+    assert R.synonym_pairs(t, min_support=3, df_cap=10).count() == 0
+    # raising the cap re-admits it (J = 1/5 < 0.5 → still no pairs at
+    # the default threshold, but candidates exist at threshold 0)
+    assert (
+        R.synonym_pairs(t, min_support=3, df_cap=100, threshold=0.01).count()
+        > 0
+    )
+
+
+def test_null_arguments_ignored(spark):
+    t = _triples(
+        spark,
+        [("a", "p", None), ("a", "p", "b"), (None, "q", "c"), ("d", "q", "e")],
+    )
+    prof = R.predicate_profiles(t)
+    assert prof.groupBy("pred").count().count() == 2
+    assert prof.count() == 2  # one non-null pair each
+
+
+def test_deterministic_across_partitionings(spark, synonymy):
+    a = R.predicate_clusters(synonymy)
+    b = R.predicate_clusters(synonymy.repartition(11))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_query_surface_runs(spark):
+    out = Q.QUERIES["kg_predicate_synonyms"](spark, SF)
+    rows = out.collect()
+    assert set(out.columns) == {"pred", "canon_pred"}
+    assert len(rows) > 0
