@@ -17,6 +17,7 @@ directory for continuous ingest (streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from naruhodo_spark import export as EX
 from naruhodo_spark import lang as L
@@ -193,3 +194,30 @@ class parser:  # noqa: N801 — name mirrors the reference API
         from naruhodo_spark.ops import kgtrain as KT
 
         return KT.negative_samples(self._ksg_edges(), k=k, **kw)
+
+    def predicate_synonyms(self, **kw) -> DataFrame:
+        """(pred, canon_pred) — DIRT-style relation canonicalization
+        over this graph's edges (operators/relsyn.py)."""
+        from naruhodo_spark.operators import relsyn as RS
+
+        return RS.predicate_clusters(self._ksg_edges(), **kw)
+
+    def diff(self, other: "parser | DataFrame", **kw) -> DataFrame:
+        """Edge changelog vs another parser's graph (or a raw edge
+        frame): added/removed/changed/same per (subj, pred, obj)
+        (operators/kgdiff.py). ``self`` is the NEW snapshot."""
+        from naruhodo_spark.operators import kgdiff as KD
+
+        old = other._ksg_edges() if isinstance(other, parser) else other
+        return KD.diff_edges(old, self._ksg_edges(), **kw)
+
+    def random_walks(self, walks_per_node: int = 2, length: int = 5,
+                     **kw) -> DataFrame:
+        """Deterministic DeepWalk corpus over the KSG (ops/walks.py);
+        feed to walks.skipgram_pairs for embedding training rows."""
+        from naruhodo_spark.ops import walks as W
+
+        edges = self._ksg_edges().where(F.col("obj") != "").select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        return W.random_walks(edges, walks_per_node, length, **kw)

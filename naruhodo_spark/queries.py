@@ -716,14 +716,11 @@ def topk_global_orders(spark, sf_dir):
     )
 
 
-_register(
-    "topk_global_orders",
-    topk_global_orders,
-    """
-    SELECT o_orderkey, round(o_totalprice, 2) AS total
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
+# topk_global_orders demoted from the oracle window (r03) in favor of
+# kg_snapshot_diff: O33's top-k discipline stays driver-oracled via
+# win_topk_per_group (the windowed variant); the global
+# TakeOrderedAndProject plan remains pinned in tests and registered
+# rows-only below.
 
 
 def distinct_count_stats(spark, sf_dir):
@@ -1705,6 +1702,64 @@ _register(
 )
 
 
+def kg_snapshot_diff(spark, sf_dir):
+    """Incremental-KG edge delta (operators/kgdiff.py): SVO triples of
+    the even-doc corpus slice vs the full corpus, aggregated to weighted
+    edge sets and full-outer-diffed on the null-safe (subj, pred, obj)
+    key. One uniform-key join; on a production deployment both
+    snapshots share an Iceberg bucket layout on the same key, so the
+    sort-merge join runs exchange-free. Driver-oracled (r03 — took the
+    slot of topk_global_orders, whose top-k family stays oracled via
+    win_topk_per_group); the DuckDB mirror is also pinned in
+    tests/test_kgdiff.py."""
+    from naruhodo_spark.operators import kgdiff as KD
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    w = F.count(F.lit(1)).alias("weight")
+    old = svo.where(F.col("doc_id") % 2 == 0).groupBy(
+        "subj", "pred", "obj"
+    ).agg(w)
+    new = svo.groupBy("subj", "pred", "obj").agg(w)
+    return KD.diff_edges(old, new)
+
+
+_register(
+    "kg_snapshot_diff",
+    kg_snapshot_diff,
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+      FROM documents),
+    p AS (SELECT doc_id, min(pos) AS pred_pos FROM toks
+          WHERE tok IN ('scan', 'merge', 'join', 'filter', 'sort')
+            AND pos >= 2 GROUP BY doc_id),
+    svo AS (
+      SELECT t.doc_id,
+             max(CASE WHEN t.pos = 1 THEN t.tok END) AS subj,
+             max(CASE WHEN t.pos = p.pred_pos THEN t.tok END) AS pred,
+             max(CASE WHEN t.pos = p.pred_pos + 1 THEN t.tok END) AS obj
+      FROM toks t JOIN p USING (doc_id) GROUP BY t.doc_id),
+    old AS (SELECT subj, pred, obj, count(*) AS w FROM svo
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+    new AS (SELECT subj, pred, obj, count(*) AS w FROM svo GROUP BY 1, 2, 3)
+    SELECT coalesce(o.subj, n.subj) AS subj,
+           coalesce(o.pred, n.pred) AS pred,
+           coalesce(o.obj, n.obj) AS obj,
+           CASE WHEN o.w IS NULL THEN 'added'
+                WHEN n.w IS NULL THEN 'removed'
+                WHEN o.w != n.w THEN 'changed' ELSE 'same' END AS change,
+           o.w AS old_weight, n.w AS new_weight,
+           coalesce(n.w, 0) - coalesce(o.w, 0) AS weight_delta
+    FROM old o FULL OUTER JOIN new n
+      ON o.subj IS NOT DISTINCT FROM n.subj
+     AND o.pred IS NOT DISTINCT FROM n.pred
+     AND o.obj IS NOT DISTINCT FROM n.obj
+    """,
+)
+
+
 # ---- rows-only registrations start here: everything below has no SQL
 # oracle (pandas-UDF chunker stages, engine-specific sketches, iterative
 # algorithms), so it sits AFTER all 50 oracled queries — the driver's
@@ -2046,26 +2101,6 @@ def ts_bpe_pieces(spark, sf_dir):
     return B.bpe_encode(docs, merges).select("doc_id", "n_pieces")
 
 
-def kg_snapshot_diff(spark, sf_dir):
-    """Incremental-KG edge delta (operators/kgdiff.py): SVO triples of
-    the even-doc corpus slice vs the full corpus, aggregated to weighted
-    edge sets and full-outer-diffed on the null-safe (subj, pred, obj)
-    key. One uniform-key join; on a production deployment both
-    snapshots share an Iceberg bucket layout on the same key, so the
-    sort-merge join runs exchange-free. DuckDB full-outer mirror pinned
-    in tests/test_kgdiff.py (rows-only — the 50-slot driver oracle
-    window is full)."""
-    from naruhodo_spark.operators import kgdiff as KD
-
-    svo = svo_baseline_triples(spark, sf_dir)
-    w = F.count(F.lit(1)).alias("weight")
-    old = svo.where(F.col("doc_id") % 2 == 0).groupBy(
-        "subj", "pred", "obj"
-    ).agg(w)
-    new = svo.groupBy("subj", "pred", "obj").agg(w)
-    return KD.diff_edges(old, new)
-
-
 def kg_entity_split(spark, sf_dir):
     """Over-merge detection (operators/entsplit.py): cluster the mention
     contexts of three high-frequency corpus entities via
@@ -2126,8 +2161,8 @@ for _n, _f in [
     ("dd_incremental", dd_incremental),
     ("ts_bpe_pieces", ts_bpe_pieces),
     ("ts_lm_perplexity", ts_lm_perplexity),
-    ("kg_snapshot_diff", kg_snapshot_diff),
     ("kg_entity_split", kg_entity_split),
+    ("topk_global_orders", topk_global_orders),
     ("td_walk_pairs", td_walk_pairs),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     (

@@ -1,0 +1,32 @@
+"""Facade methods added in r03 (api.parser.predicate_synonyms / diff /
+random_walks) — drive each through the public API on a small synth
+corpus and check shape + basic semantics."""
+
+from naruhodo_spark.api import parser
+
+
+def test_facade_new_graph_methods(spark):
+    p = parser(spark, lang="en")
+    p.add_all(
+        [
+            "alice visited bob.",
+            "alice visited bob.",
+            "carol praised dave.",
+            "erin moved.",
+        ]
+    )
+    syn = p.predicate_synonyms(min_support=1, threshold=0.99)
+    assert set(syn.columns) == {"pred", "canon_pred"}
+    assert syn.count() > 0
+
+    q = parser(spark, lang="en")
+    q.add_all(["alice visited bob.", "erin moved."])
+    d = p.diff(q)
+    assert {"change", "weight_delta"} <= set(d.columns)
+    changes = {r["change"] for r in d.collect()}
+    assert "added" in changes or "changed" in changes
+
+    w = p.random_walks(walks_per_node=1, length=3)
+    rows = w.collect()
+    assert all(1 <= len(r["walk"]) <= 3 for r in rows)
+    assert len(rows) > 0
