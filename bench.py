@@ -169,6 +169,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_entity_split",
         "td_walk_pairs",
         "kg_predicate_synonyms",
+        "td_contrastive_pairs",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -1,0 +1,123 @@
+"""Contrastive training pairs from near-duplicate structure — the
+text-embedding training staple (SimCSE/E5-style: an anchor document,
+one semantically-equivalent positive, k unrelated negatives). The
+near-dup groups the dedup tier already computes (ops/dedup.
+near_dup_groups) ARE the positive supervision: two documents in one
+group are near-duplicates, i.e. a free positive pair; negatives are
+hash-sampled from other groups.
+
+Input is the GROUPS frame (doc_id, group_id), decoupled from how the
+groups were made (MinHash tiers, SemDeDup cells, exact fingerprints —
+any grouping works), so the op composes with every dedup surface and
+the test mirror only has to model the sampling, not the LSH.
+
+Determinism contract (repo standard): positives are the group's two
+lexicographically-least members paired with each anchor; negatives use
+the kgtrain hash-BUCKET pattern — a corruption row equi-joins a ~32-doc
+bucket of the doc table and keeps the min-hash candidate — so there is
+no RNG, no global sort, no per-anchor scan of the corpus, and the
+output is repartition-invariant and resume-stable.
+
+Scale shape: one groupBy over the groups frame (uniform), one
+bucket-equi-join for negatives (uniform keys both sides, ~bucket_target
+candidate rows per corruption), one anti-join back to the anchor's own
+group. Nothing is corpus-quadratic; group size never matters because
+each anchor takes ONE positive (the group min, or the second-least for
+the min itself), not all-pairs-within-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def contrastive_pairs(
+    groups: DataFrame,
+    k_neg: int = 2,
+    seed: str = "ctr42",
+    bucket_target: int = 32,
+) -> DataFrame:
+    """(anchor, other, label, neg_i): for every doc in a group of ≥2,
+    one positive row (label='pos', neg_i NULL — the group's least
+    member, or the second-least when the anchor IS the least) and up to
+    ``k_neg`` negative rows (label='neg') hash-sampled from other
+    groups. Singleton-group docs serve as negatives but are not
+    anchors (no positive exists for them).
+
+    A negative whose sampled bucket only contains same-group docs is
+    dropped (filtered sampling, same contract as
+    kgtrain.negative_samples) — output carries neg_i so callers can
+    count shortfalls."""
+    if k_neg < 0:
+        raise ValueError(f"contrastive_pairs: k_neg must be >= 0, got {k_neg}")
+    g = groups.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "group_id"
+    ).localCheckpoint(eager=False)  # scanned by anchors, buckets, anti-join
+
+    # per group: the two least members. min-above-min can't nest inside
+    # one aggregate, so: min first, join it back, then a conditional min
+    # — both aggregations are O(1) state per group (never a group-sized
+    # collect)
+    heads = (
+        g.join(
+            g.groupBy("group_id").agg(F.min("doc_id").alias("g_min")),
+            "group_id",
+        )
+        .groupBy("group_id", "g_min")
+        .agg(
+            F.min(
+                F.when(F.col("doc_id") != F.col("g_min"), F.col("doc_id"))
+            ).alias("g_second"),
+            F.count(F.lit(1)).alias("g_size"),
+        )
+    )
+    anchors = (
+        g.join(heads, "group_id")
+        .where(F.col("g_size") >= 2)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("anchor"),
+            F.when(
+                F.col("doc_id") == F.col("g_min"), F.col("g_second")
+            )
+            .otherwise(F.col("g_min"))
+            .alias("pos"),
+        )
+        .localCheckpoint(eager=False)  # reused by pos rows + neg fan-out
+    )
+    pos_rows = anchors.select(
+        "anchor",
+        F.col("pos").alias("other"),
+        F.lit("pos").alias("label"),
+        F.lit(None).cast("int").alias("neg_i"),
+    )
+    if k_neg == 0:
+        return pos_rows
+
+    n = g.count()
+    nb = max(1, n // bucket_target)
+    doc_b = g.select(
+        F.col("doc_id").alias("cand"),
+        F.col("group_id").alias("cand_group"),
+        F.pmod(F.xxhash64(F.lit(seed), "doc_id"), F.lit(nb)).alias("bucket"),
+    )
+    corr = anchors.select(
+        "group_id",
+        "anchor",
+        F.explode(F.sequence(F.lit(0), F.lit(k_neg - 1))).alias("neg_i"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.lit(seed), "anchor", "neg_i"), F.lit(nb)),
+    )
+    pick = F.xxhash64(F.lit(seed), "cand", "anchor", "neg_i")
+    neg_rows = (
+        corr.join(doc_b, "bucket")
+        .where(F.col("cand_group") != F.col("group_id"))  # other groups only
+        .groupBy("anchor", "neg_i")
+        .agg(F.min_by("cand", pick).alias("other"))
+        .select(
+            "anchor", "other", F.lit("neg").alias("label"), "neg_i"
+        )
+    )
+    return pos_rows.unionByName(neg_rows)

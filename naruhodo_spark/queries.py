@@ -2150,6 +2150,22 @@ def kg_predicate_synonyms(spark, sf_dir):
     return R.predicate_clusters(svo, min_support=2, threshold=0.05)
 
 
+def td_contrastive_pairs(spark, sf_dir):
+    """Embedding-training contrastive pairs (ops/contrastive.py):
+    anchors/positives from the tiered near-dup groups (ops/dedup.
+    near_dup_groups — the dedup signal reused as free positive
+    supervision), negatives hash-bucket-sampled from other groups
+    (the kgtrain pattern: equi-join a ~32-doc bucket, min-hash pick,
+    filtered). Python mirror pinned in tests/test_contrastive.py
+    (rows-only)."""
+    from naruhodo_spark.ops import contrastive as CT
+    from naruhodo_spark.ops import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    groups = DD.near_dup_groups(docs).select("doc_id", "group_id")
+    return CT.contrastive_pairs(groups, k_neg=2)
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2165,6 +2181,7 @@ for _n, _f in [
     ("topk_global_orders", topk_global_orders),
     ("td_walk_pairs", td_walk_pairs),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
+    ("td_contrastive_pairs", td_contrastive_pairs),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

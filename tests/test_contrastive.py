@@ -1,0 +1,85 @@
+"""Contrastive pair sampling (ops/contrastive.py): positive/negative
+structure vs a python mirror of the deterministic rules, singleton
+handling, filtered-sampling guarantees, and determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from naruhodo_spark import queries as Q
+from naruhodo_spark.ops import contrastive as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def _groups(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, group_id string")
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    # two real groups + two singletons
+    return _groups(
+        spark,
+        [
+            ("d0", "gA"), ("d1", "gA"), ("d2", "gA"),
+            ("d3", "gB"), ("d4", "gB"),
+            ("d5", "g5"), ("d6", "g6"),
+        ],
+    )
+
+
+def test_positive_structure(spark, grouped):
+    out = C.contrastive_pairs(grouped, k_neg=0).collect()
+    got = {(r["anchor"], r["other"]) for r in out}
+    # every multi-group member anchors once; pos = group min (or second
+    # least for the min itself); singletons never anchor
+    assert got == {
+        ("d0", "d1"), ("d1", "d0"), ("d2", "d0"),
+        ("d3", "d4"), ("d4", "d3"),
+    }
+    assert all(r["label"] == "pos" and r["neg_i"] is None for r in out)
+
+
+def test_negatives_never_same_group(spark, grouped):
+    out = C.contrastive_pairs(grouped, k_neg=3)
+    group_of = {r["doc_id"]: r["group_id"] for r in grouped.collect()}
+    negs = [r for r in out.collect() if r["label"] == "neg"]
+    assert negs  # sampling produced something
+    for r in negs:
+        assert group_of[r["other"]] != group_of[r["anchor"]]
+        assert r["other"] != r["anchor"]
+        assert 0 <= r["neg_i"] < 3
+    # at most k per anchor
+    per_anchor = {}
+    for r in negs:
+        per_anchor[r["anchor"]] = per_anchor.get(r["anchor"], 0) + 1
+    assert all(v <= 3 for v in per_anchor.values())
+    # singletons CAN appear as negatives
+    others = {r["other"] for r in negs}
+    assert others  # non-empty; membership of singletons is corpus-luck
+
+
+def test_deterministic_across_partitionings(spark, grouped):
+    a = C.contrastive_pairs(grouped, k_neg=2)
+    b = C.contrastive_pairs(grouped.repartition(9), k_neg=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_all_singletons_yields_empty(spark):
+    g = _groups(spark, [("a", "g1"), ("b", "g2"), ("c", "g3")])
+    assert C.contrastive_pairs(g, k_neg=2).count() == 0
+
+
+def test_k_neg_zero_and_negative(spark, grouped):
+    out = C.contrastive_pairs(grouped, k_neg=0)
+    assert {r["label"] for r in out.collect()} == {"pos"}
+    with pytest.raises(ValueError):
+        C.contrastive_pairs(grouped, k_neg=-1)
+
+
+def test_query_surface_runs(spark):
+    out = Q.QUERIES["td_contrastive_pairs"](spark, SF)
+    rows = out.collect()
+    assert set(out.columns) == {"anchor", "other", "label", "neg_i"}
+    labels = {r["label"] for r in rows}
+    assert "pos" in labels  # sf0.001 has planted near-dups

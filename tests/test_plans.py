@@ -159,3 +159,12 @@ def test_kg_predicate_synonyms_no_cross_product_no_python(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_td_contrastive_pairs_no_cross_product_no_python(spark):
+    # positives: two bounded aggs + joins on group_id; negatives:
+    # bucket equi-join + min_by — no all-pairs node, no Python
+    p = _plan(spark, "td_contrastive_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
