@@ -385,3 +385,33 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
             "total",
         )
     )
+
+
+def epoch_diff(
+    spark: SparkSession,
+    out_dir: str,
+    epoch_a: int,
+    epoch_b: int,
+) -> DataFrame:
+    """What changed in the graph between two ingest checkpoints: the
+    edge changelog (operators/kgdiff.diff_edges) between the KG state
+    as-of ``epoch_a`` and as-of ``epoch_b`` (state = every triples_raw
+    partition with epoch ≤ e — triples_raw is the exactly-once record,
+    see upsert step 1, so as-of states are exact regardless of the
+    aggregate tables' at-least-once window).
+
+    Scale shape: the epoch predicates are PARTITION PRUNING on the
+    epoch-partitioned table — the a-side scan reads only epochs ≤
+    min(a, b) ∪ nothing extra, and diff_edges pre-aggregates each side
+    before its single full-outer join."""
+    from naruhodo_spark.operators import kgdiff as KD
+
+    raw = storage.read_table(spark, "triples_raw", out_dir)
+
+    def snap(e: int) -> DataFrame:
+        s = raw.where(F.col("epoch") <= int(e)).select(
+            "subj", "pred", "obj"
+        )
+        return s.withColumn("weight", F.lit(1))
+
+    return KD.diff_edges(snap(epoch_a), snap(epoch_b))

@@ -576,3 +576,36 @@ def test_checkpoint_loss_redelivery_preserves_committed_epochs(
     seen = storage.read_table(spark, "doc_ids_seen", out)
     assert seen.select("doc_id").distinct().count() == 21
     docs.unpersist()
+
+
+def test_epoch_diff_changelog(spark, tmp_out):
+    """epoch_diff: as-of states from the epoch-partitioned raw table,
+    diffed into the added/changed changelog (removal is impossible —
+    states are cumulative — and must not appear)."""
+    from naruhodo_spark import storage
+    from naruhodo_spark.streaming import epoch_diff
+
+    e0 = spark.createDataFrame(
+        [("a", "likes", "b", 0), ("c", "sees", "d", 0)],
+        "subj string, pred string, obj string, epoch int",
+    )
+    e1 = spark.createDataFrame(
+        [("a", "likes", "b", 1), ("x", "adds", "y", 1)],
+        "subj string, pred string, obj string, epoch int",
+    )
+    storage.write_table(
+        e0.unionByName(e1), "triples_raw", tmp_out,
+        mode="overwrite", partition_by=["epoch"],
+    )
+    d = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in epoch_diff(spark, tmp_out, 0, 1).collect()
+    }
+    assert d[("a", "likes", "b")]["change"] == "changed"  # weight 1 -> 2
+    assert d[("a", "likes", "b")]["weight_delta"] == 1
+    assert d[("c", "sees", "d")]["change"] == "same"
+    assert d[("x", "adds", "y")]["change"] == "added"
+    assert not [r for r in d.values() if r["change"] == "removed"]
+    # identical epochs diff to all-same
+    same = epoch_diff(spark, tmp_out, 1, 1)
+    assert {r["change"] for r in same.collect()} == {"same"}
