@@ -170,6 +170,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "td_walk_pairs",
         "kg_predicate_synonyms",
         "td_contrastive_pairs",
+        "kg_triangle_stats",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

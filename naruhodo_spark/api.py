@@ -221,3 +221,10 @@ class parser:  # noqa: N801 — name mirrors the reference API
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
         return W.random_walks(edges, walks_per_node, length, **kw)
+
+    def triangles(self) -> DataFrame:
+        """(node, triangles, degree, clustering) — degree-ordered
+        triangle counting over the KSG (operators/graphstats.py)."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.triangle_counts(self._ksg_edges())

@@ -185,3 +185,93 @@ def k_hop_subgraph(
         .select("src", "dst", "weight")
     )
     return visited, induced
+
+
+def triangle_counts(ksg_edges: DataFrame) -> DataFrame:
+    """(node, triangles, degree, clustering): per-node triangle counts
+    and local clustering coefficient over the UNDIRECTED simple graph
+    (direction and parallel edges dropped — a triangle is a topology
+    fact, not a predicate fact).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    WWW 2011 "Counting Triangles and the Curse of the Last Reducer" —
+    public literature): orient every undirected edge from the
+    (degree, node)-smaller endpoint to the larger, then join oriented
+    wedges (a→b, a→c with b<c under the same order) against the
+    oriented edge set. Each triangle is found exactly once, at its
+    lowest-ordered vertex, and — the scale point — the wedge fan-out of
+    a node is bounded by its HIGHER-ordered neighbors only, which caps
+    total wedges at O(m^{3/2}) regardless of hot-node degree: the "last
+    reducer" that enumerates a celebrity node's full neighbor square
+    never exists under this orientation.
+
+    Output covers every node of the graph (0-triangle rows kept);
+    clustering = 2·T / (deg·(deg−1)), 0.0 where degree < 2.
+    Deterministic, repartition-invariant."""
+    raw = _edge_pairs(ksg_edges)
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degree pass + 3 join scans
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orientation key: (degree, node) totally orders nodes
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("deg_b")
+    )
+    keyed = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    ori = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=False)  # wedge self-join reads it twice
+    # wedges at the lowest-ordered vertex: (lo, u, v) with u < v in the
+    # plain string order (canonical wedge id — both are higher-ordered
+    # than lo already, so any total order dedups the pair)
+    w1 = ori.select(F.col("lo"), F.col("hi").alias("u"))
+    w2 = ori.select(F.col("lo"), F.col("hi").alias("v"))
+    wedges = w1.join(w2, "lo").where(F.col("u") < F.col("v"))
+    # close the wedge: (u, v) must be an edge — check against the
+    # UNDIRECTED set via its canonical (a, b) form
+    closed = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        ),
+        ["u", "v"],
+    )
+    # each closed wedge is one triangle touching lo, u and v once each
+    per_node = (
+        closed.select(F.explode(F.array("lo", "u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        "degree",
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

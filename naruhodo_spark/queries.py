@@ -2166,6 +2166,22 @@ def td_contrastive_pairs(spark, sf_dir):
     return CT.contrastive_pairs(groups, k_neg=2)
 
 
+def kg_triangle_stats(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graphstats.triangle_counts — Suri & Vassilvitskii 2011
+    degree-ordered orientation, wedge fan-out capped at O(m^1.5)
+    regardless of hot-node degree) over the SVO triple graph.
+    Brute-force python mirror pinned in tests/test_graphstats.py
+    (rows-only)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select("subj", "pred", "obj", F.lit(1.0).alias("weight"))
+    return GS.triangle_counts(edges)
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2182,6 +2198,7 @@ for _n, _f in [
     ("td_walk_pairs", td_walk_pairs),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
+    ("kg_triangle_stats", kg_triangle_stats),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

@@ -171,3 +171,59 @@ def test_k_hop_rejects_unknown_direction(spark):
     df = _edges_df(spark, [("a", "r", "b", 1)])
     with _pytest.raises(ValueError):
         k_hop_subgraph(df, ["a"], direction="undirected")
+
+
+def test_triangle_counts_vs_python(spark):
+    """Degree-ordered triangle counting vs brute-force enumeration on a
+    mixed graph: a K4 (4 triangles), a pendant, a disjoint triangle,
+    plus parallel/directed duplicates that must not double-count."""
+    from itertools import combinations
+
+    from naruhodo_spark.operators.graphstats import triangle_counts
+
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"),                       # K4
+           ("d", "e"),                       # pendant
+           ("x", "y"), ("y", "z"), ("x", "z")]  # disjoint triangle
+    rows = [(s, "rel", o, 1.0) for s, o in und]
+    rows += [("b", "rel2", "a", 2.0), ("c", "rel", "a", 1.0)]  # dups/reverse
+    edges = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, weight double"
+    )
+    got = {r["node"]: r for r in triangle_counts(edges).collect()}
+
+    adj = {}
+    for s, o in und:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    tri = {n: 0 for n in adj}
+    for trio in combinations(sorted(adj), 3):
+        if all(b in adj[a] for a, b in combinations(trio, 2)):
+            for n in trio:
+                tri[n] += 1
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n]["triangles"] == tri[n], n
+        assert got[n]["degree"] == len(adj[n])
+        d = len(adj[n])
+        want_c = round(2 * tri[n] / (d * (d - 1)), 4) if d >= 2 else 0.0
+        assert got[n]["clustering"] == pytest.approx(want_c)
+    # K4 interior: clustering 1.0; pendant e: 0 triangles, degree 1
+    assert got["a"]["clustering"] == 1.0
+    assert got["e"]["triangles"] == 0 and got["e"]["clustering"] == 0.0
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    from naruhodo_spark.operators.graphstats import triangle_counts
+
+    empty = spark.createDataFrame(
+        [], "subj string, pred string, obj string, weight double"
+    )
+    assert triangle_counts(empty).count() == 0
+    path = spark.createDataFrame(
+        [("a", "r", "b", 1.0), ("b", "r", "c", 1.0)],
+        "subj string, pred string, obj string, weight double",
+    )
+    rows = triangle_counts(path).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert len(rows) == 3

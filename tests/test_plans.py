@@ -168,3 +168,12 @@ def test_td_contrastive_pairs_no_cross_product_no_python(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_kg_triangle_stats_no_cross_product_no_python(spark):
+    # degree-ordered orientation: wedge join + closure join are
+    # equi-joins; no all-pairs node, no Python
+    p = _plan(spark, "kg_triangle_stats")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
