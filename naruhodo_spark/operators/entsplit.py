@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from naruhodo_spark.operators.canon import cc_labels_auto
-from naruhodo_spark.ops.dedup import MINHASH_P
+from naruhodo_spark.ops.dedup import _signatures_from_shingles
 from naruhodo_spark.ops.textstats import norm_text
 
 SEP = "\x1f"  # unit separator — cannot appear in normalized tokens
@@ -75,11 +75,20 @@ def mention_contexts(docs: DataFrame, entities: DataFrame) -> DataFrame:
     hits = toks.join(
         F.broadcast(entities.select(F.col("entity").alias("tok"))), "tok"
     ).select(F.col("tok").alias("entity"), "mention")
+    # inner join always matches (the entity token itself is in toks);
+    # the entity is excluded from ctx INSIDE the aggregate (collect_set
+    # drops the NULLs the when() mints) so a mention whose only token
+    # IS the entity keeps its row with ctx = [] instead of vanishing
     ctx = (
         hits.join(toks, "mention")
-        .where(F.col("tok") != F.col("entity"))
         .groupBy("entity", "mention")
-        .agg(F.array_sort(F.collect_set("tok")).alias("ctx"))
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("tok") != F.col("entity"), F.col("tok"))
+                )
+            ).alias("ctx")
+        )
     )
     return ctx
 
@@ -100,16 +109,10 @@ def _context_pairs(
     tok = mentions.select(
         "entity", "mention", F.explode("ctx").alias("token")
     )
-    h1 = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5("token"), 13, 12), 16, 10).cast("long") * 2 + 1
-    hashed = tok.select("entity", "mention", h1.alias("h1"), h2.alias("h2"))
-    sigs = hashed.groupBy("entity", "mention").agg(
-        *[
-            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_P)).alias(
-                f"sig_{i}"
-            )
-            for i in range(n_hashes)
-        ]
+    # the repo's single affine MinHash family (ops/dedup), keyed by
+    # (entity, mention) instead of doc_id — no duplicated hash math
+    sigs = _signatures_from_shingles(
+        tok, n_hashes, key_cols=("entity", "mention"), item_col="token"
     )
     rows = n_hashes // n_bands
     bands = sigs.select(

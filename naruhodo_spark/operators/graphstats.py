@@ -245,12 +245,13 @@ def triangle_counts(ksg_edges: DataFrame) -> DataFrame:
     w1 = ori.select(F.col("lo"), F.col("hi").alias("u"))
     w2 = ori.select(F.col("lo"), F.col("hi").alias("v"))
     wedges = w1.join(w2, "lo").where(F.col("u") < F.col("v"))
-    # close the wedge: (u, v) must be an edge — check against the
-    # UNDIRECTED set via its canonical (a, b) form
+    # close the wedge: (u, v) must be an edge. Wedges enforce u < v in
+    # plain string order and und is already canonical (a = least <
+    # b = greatest), so the closing edge can ONLY match as (a→u, b→v) —
+    # no swapped leg needed (a union here would double the build side
+    # of the heaviest join for zero extra matches)
     closed = wedges.join(
-        und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        ),
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
         ["u", "v"],
     )
     # each closed wedge is one triangle touching lo, u and v once each

@@ -85,10 +85,17 @@ def diff_edges(
     key_sel = [
         F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k) for k in keys
     ]
+    # classification uses the same NULL-coalesced values as weight_delta
+    # (a side present with NULL weight would otherwise compare as NULL →
+    # 'same' while weight_delta is nonzero — inconsistent row)
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
-        .when(F.col("old_weight") != F.col("new_weight"), F.lit("changed"))
+        .when(
+            F.coalesce("old_weight", F.lit(0))
+            != F.coalesce("new_weight", F.lit(0)),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("same"))
     )
     return j.select(

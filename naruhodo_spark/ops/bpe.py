@@ -240,6 +240,11 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
             "pos", "word"
         ),
     ).where(F.col("word") != "")
+    # one tokenization pass: toks feeds BOTH the distinct-word frame and
+    # the corpus-side equi-join — unmaterialized, the corpus-scale
+    # normalize+split+explode would run twice (the cc_labels_auto
+    # re-evaluation lesson, operators/canon.py r03)
+    toks = toks.localCheckpoint(eager=False)
     pieces = encode_words(toks.select("word").distinct(), merges)
     per_doc = (
         toks.join(pieces, "word")

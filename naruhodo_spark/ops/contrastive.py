@@ -116,6 +116,14 @@ def contrastive_pairs(
         .where(F.col("cand_group") != F.col("group_id"))  # other groups only
         .groupBy("anchor", "neg_i")
         .agg(F.min_by("cand", pick).alias("other"))
+        # two neg_i picks can land in the same bucket and choose the
+        # same candidate (certain when nb == 1 on tiny corpora) — a
+        # duplicate negative shrinks the effective k with no training
+        # value, so collapse to the lowest neg_i; the output therefore
+        # carries up to k DISTINCT negatives, possibly fewer (the same
+        # documented shortfall contract as the empty-bucket drop)
+        .groupBy("anchor", "other")
+        .agg(F.min("neg_i").alias("neg_i"))
         .select(
             "anchor", "other", F.lit("neg").alias("label"), "neg_i"
         )

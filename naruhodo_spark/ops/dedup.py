@@ -152,19 +152,30 @@ def minhash_signatures(
     return _signatures_from_shingles(shingles(docs, k), n_hashes)
 
 
-def _signatures_from_shingles(sh: DataFrame, n_hashes: int) -> DataFrame:
-    h1 = F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+def _signatures_from_shingles(
+    sh: DataFrame,
+    n_hashes: int,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    item_col: str = "shingle",
+) -> DataFrame:
+    """THE affine MinHash family of this repo — single definition so the
+    document tier (key=doc_id, item=shingle) and the entity-context tier
+    (entsplit: key=(entity, mention), item=token) can never drift. Any
+    change to the hash derivation (e.g. the MINHASH_P ANSI-overflow
+    bound) lands in both automatically."""
+    keys = list(key_cols)
+    h1 = F.conv(F.substring(F.md5(item_col), 1, 12), 16, 10).cast("long")
     h2 = (
-        F.conv(F.substring(F.md5("shingle"), 13, 12), 16, 10).cast("long") * 2 + 1
+        F.conv(F.substring(F.md5(item_col), 13, 12), 16, 10).cast("long") * 2 + 1
     )  # odd multiplier
-    sh = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    sh = sh.select(*keys, h1.alias("h1"), h2.alias("h2"))
     aggs = [
         F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MINHASH_P)).alias(
             f"sig_{i}"
         )
         for i in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy(*keys).agg(*aggs)
 
 
 def minhash_lsh_pairs(

@@ -103,7 +103,17 @@ def perplexity_scores(
     ending at count(g_1)/total, with a documented OOV floor of
     α^(n−1)/total for words the fitted corpus never saw. One uniform
     equi-join per needed key (grams g_1..g_n and contexts ctx_2..ctx_n =
-    2n−1 joins); the model side is never forced into a broadcast."""
+    2n−1 joins); the model side is never forced into a broadcast.
+
+    Docs with NULL text cannot be scored (no token stream, not even
+    EOS): they keep their row with n_scored=0 and NULL log10_ppl/ppl —
+    NOT a coalesced 0.0, which would hand junk rows the best possible
+    perplexity and defeat the filter."""
+    # materialize the model once: 2n−1 joins + the total each push a
+    # different order==k filter through the lazy fit pipeline, which
+    # would re-run the corpus-scale explode+groupBy per join (the
+    # cc_labels_auto re-evaluation lesson, operators/canon.py r03)
+    model = model.localCheckpoint(eager=False)
     total_row = model.where(F.col("order") == 1).agg(
         F.sum("count").cast("double").alias("lm_total")
     )
@@ -148,10 +158,8 @@ def perplexity_scores(
     return docs.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
-        F.round(F.coalesce("log10_ppl", F.lit(0.0)), 4).alias("log10_ppl"),
-        F.round(
-            F.pow(F.lit(10.0), F.coalesce("log10_ppl", F.lit(0.0))), 4
-        ).alias("ppl"),
+        F.round("log10_ppl", 4).alias("log10_ppl"),
+        F.round(F.pow(F.lit(10.0), F.col("log10_ppl")), 4).alias("ppl"),
     )
 
 
@@ -161,7 +169,9 @@ def perplexity_buckets(
 ) -> DataFrame:
     """CCNet's head/middle/tail labeling: two approx-quantile cuts over
     log10_ppl (driver-side O(1) scalars), label by comparison — lowest
-    perplexity (most target-like) is "head". Deterministic given the
+    perplexity (most target-like) is "head". Unscoreable docs (NULL
+    log10_ppl, i.e. NULL text) go to "tail": a quality filter must
+    fail-closed on rows it cannot score. Deterministic given the
     scores; no sort, no shuffle beyond what scoring already did."""
     lo, hi = scored.approxQuantile("log10_ppl", list(cuts), 0.001) or [
         0.0,
@@ -169,7 +179,8 @@ def perplexity_buckets(
     ]
     return scored.withColumn(
         "ppl_bucket",
-        F.when(F.col("log10_ppl") <= lo, "head")
+        F.when(F.col("log10_ppl").isNull(), "tail")
+        .when(F.col("log10_ppl") <= lo, "head")
         .when(F.col("log10_ppl") <= hi, "middle")
         .otherwise("tail"),
     )

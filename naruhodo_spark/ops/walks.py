@@ -26,7 +26,10 @@ Plan shape at web scale (10^9 nodes, hot entities with 10^8 edges):
   step rule idx = pmod(xxhash64(seed, walk_id, step), n_nbrs) picks the
   neighbor without scanning the list, and a hot node's traffic spreads
   over its ≤cap distinct (node, idx) keys. L-1 bounded joins total,
-  localCheckpoint truncating lineage each step (the PageRank idiom).
+  lazy localCheckpoint truncating lineage every CHECKPOINT_EVERY (5)
+  steps — each materialization costs seconds of fixed latency while an
+  un-truncated step only adds one bounded join, so short walks (the
+  common L≤10 case) pay at most one checkpoint.
 - Dead ends (no out-neighbor) truncate the walk — documented DeepWalk
   behavior on directed graphs, never a dropped row.
 """

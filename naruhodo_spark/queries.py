@@ -718,9 +718,9 @@ def topk_global_orders(spark, sf_dir):
 
 # topk_global_orders demoted from the oracle window (r03) in favor of
 # kg_snapshot_diff: O33's top-k discipline stays driver-oracled via
-# win_topk_per_group (the windowed variant); the global
-# TakeOrderedAndProject plan remains pinned in tests and registered
-# rows-only below.
+# win_topk_per_group (the windowed variant); the global variant stays
+# registered rows-only below with its TakeOrderedAndProject plan pinned
+# by tests/test_plans.py::test_topk_global_takeordered.
 
 
 def distinct_count_stats(spark, sf_dir):

@@ -83,3 +83,14 @@ def test_query_surface_runs(spark):
     assert set(out.columns) == {"anchor", "other", "label", "neg_i"}
     labels = {r["label"] for r in rows}
     assert "pos" in labels  # sf0.001 has planted near-dups
+
+
+def test_negatives_distinct_per_anchor(spark, grouped):
+    """Duplicate negatives (two neg_i picks resolving to one candidate)
+    collapse to the lowest neg_i — every (anchor, other) pair unique."""
+    out = C.contrastive_pairs(grouped, k_neg=4)
+    negs = [r for r in out.collect() if r["label"] == "neg"]
+    seen = set()
+    for r in negs:
+        assert (r["anchor"], r["other"]) not in seen
+        seen.add((r["anchor"], r["other"]))

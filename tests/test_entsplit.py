@@ -162,3 +162,14 @@ def test_bucket_cap_star_edges_preserve_clusters(spark):
     pairs, stars = ES._context_pairs(m, ES.N_HASHES, ES.N_BANDS, 0.3, 4)
     assert pairs.count() == 0
     assert 0 < stars.count() <= 30 * ES.N_BANDS
+
+
+def test_entity_only_mention_keeps_row(spark):
+    """A doc whose only token IS the entity must keep its mention row
+    (ctx = []) through contexts AND clustering — no silent drop."""
+    docs = _docs(spark, [(0, "mercury"), (1, "mercury planet orbit")])
+    m = ES.mention_contexts(docs, _ents(spark, ["mercury"]))
+    rows = {r["mention"]: r["ctx"] for r in m.collect()}
+    assert rows == {"0": [], "1": ["orbit", "planet"]}
+    clusters = ES.context_clusters(m)
+    assert clusters.count() == 2  # both mentions present (singletons ok)

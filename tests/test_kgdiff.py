@@ -147,3 +147,15 @@ def test_diff_repartition_invariant(spark):
     a = Q.QUERIES["kg_snapshot_diff"](spark, SF)
     b = Q.QUERIES["kg_snapshot_diff"](spark, SF).repartition(13)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_null_weight_side_classified_changed(spark):
+    """A side present with NULL weight must classify consistently with
+    weight_delta (coalesced-0 comparison), never 'same' + nonzero delta."""
+    old = spark.createDataFrame(
+        [("a", "p", "b", None)],
+        "subj string, pred string, obj string, weight long",
+    )
+    new = _mk(spark, [("a", "p", "b", 5)])
+    r = KD.diff_edges(old, new).collect()[0]
+    assert r["change"] == "changed" and r["weight_delta"] == 5

@@ -145,3 +145,21 @@ def test_real_corpus_smoke(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == docs.count()
     assert all(r["n_scored"] >= 1 for r in rows)
+
+
+def test_null_text_doc_fails_closed(spark):
+    """NULL-text docs are unscoreable: NULL ppl (never a coalesced
+    best-possible 0.0) and bucketed 'tail' — the filter fails closed."""
+    from naruhodo_spark.ops import lm as LM
+
+    docs = spark.createDataFrame(
+        [(0, "the quick fox"), (1, None), (2, "the quick fox jumps")],
+        "doc_id long, text string",
+    )
+    model = LM.ngram_counts(docs.where("doc_id = 0"), n=2)
+    out = LM.perplexity_buckets(LM.perplexity_scores(docs, model, n=2))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_scored"] == 0
+    assert rows[1]["log10_ppl"] is None and rows[1]["ppl"] is None
+    assert rows[1]["ppl_bucket"] == "tail"
+    assert rows[0]["ppl_bucket"] != "tail" or rows[2]["ppl_bucket"] != "tail"

@@ -177,3 +177,10 @@ def test_kg_triangle_stats_no_cross_product_no_python(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_topk_global_takeordered(spark):
+    # global top-k must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows), never a full global Sort
+    p = _plan(spark, "topk_global_orders")
+    assert "TakeOrderedAndProject" in p
