@@ -228,3 +228,25 @@ class parser:  # noqa: N801 — name mirrors the reference API
         from naruhodo_spark.operators import graphstats as GS
 
         return GS.triangle_counts(self._ksg_edges())
+
+    # -- file-format ingest (sources.py) -----------------------------------
+    def add_jsonl(self, path: str, **kw) -> "parser":
+        from naruhodo_spark import sources as SRC
+
+        return self.add_documents(
+            SRC.read_documents_jsonl(self.spark, path, to_spans=True, **kw)
+        )
+
+    def add_csv(self, path: str, **kw) -> "parser":
+        from naruhodo_spark import sources as SRC
+
+        return self.add_documents(
+            SRC.read_documents_csv(self.spark, path, to_spans=True, **kw)
+        )
+
+    def add_text_files(self, path: str) -> "parser":
+        from naruhodo_spark import sources as SRC
+
+        return self.add_documents(
+            SRC.read_documents_text(self.spark, path, to_spans=True)
+        )

@@ -1,0 +1,142 @@
+"""Document sources beyond parquet — JSONL, CSV, and raw text files,
+each normalized to the pipeline's spans shape (schemas.DOCUMENTS_SPANS)
+or the flat (doc_id, text) shape.
+
+Scale rules every reader here follows:
+
+* EXPLICIT SCHEMAS ONLY. ``spark.read.json``/``csv`` without a schema
+  runs a full inference scan before the real one — at 100 TB that is a
+  second pass over the corpus for zero information the caller didn't
+  already have. Every reader takes (or fixes) the schema up front, so
+  the one scan is the only scan and malformed rows surface through the
+  PERMISSIVE corrupt-record column instead of a driver exception.
+* doc_id is derived, never invented: JSONL/CSV carry their own id
+  column; raw text files get xxhash64(file path) — content-addressed
+  enough to be resume-stable and repartition-invariant (no
+  monotonically_increasing_id, whose values depend on partition layout
+  and break the resume contract).
+* No ``collect``/driver loops — a directory of a million files is a
+  normal input (Spark's file listing is distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from naruhodo_spark.operators.normalize import flat_to_spans
+
+_CORRUPT = "_corrupt_record"
+
+
+def _finish(
+    flat: DataFrame, to_spans: bool, id_is_string: bool = False
+) -> DataFrame:
+    if not to_spans:
+        return flat
+    if id_is_string:
+        # flat_to_spans formats int ids; string ids pass through
+        return flat.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).cast("int").alias("offset"),
+                )
+            ).alias("spans"),
+        )
+    return flat_to_spans(flat)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    to_spans: bool = False,
+) -> DataFrame:
+    """One JSON object per line with at least (id_col, text_col).
+    Returns (doc_id:string, text:string [, or spans]). Rows whose JSON
+    is malformed or whose id/text is missing are dropped, with the drop
+    observable via the reader's PERMISSIVE mode (count the raw frame's
+    corrupt column to audit — this function never errors mid-scan)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), True),
+            T.StructField(text_col, T.StringType(), True),
+            T.StructField(_CORRUPT, T.StringType(), True),
+        ]
+    )
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    flat = (
+        raw.where(
+            F.col(_CORRUPT).isNull()
+            & F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    return _finish(flat, to_spans, id_is_string=True)
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    header: bool = True,
+    sep: str = ",",
+    to_spans: bool = False,
+) -> DataFrame:
+    """CSV with an id and a text column — explicit 2-column schema, no
+    inference scan; quoted multi-line text fields are handled by the
+    standard CSV reader options."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), True),
+            T.StructField(text_col, T.StringType(), True),
+        ]
+    )
+    flat = (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+        .where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    return _finish(flat, to_spans, id_is_string=True)
+
+
+def read_documents_text(
+    spark: SparkSession,
+    path: str,
+    to_spans: bool = False,
+) -> DataFrame:
+    """One document PER FILE (the reference's ingest shape: a directory
+    of plain-text articles). doc_id = txt-<xxhash64(file path) hex> —
+    content-addressed off the stable path, not a partition-dependent
+    counter. wholetext keeps each file one row; Spark splits the FILE
+    LIST across tasks, so a million small files still parallelize (and
+    should be compacted upstream anyway)."""
+    raw = spark.read.text(path, wholetext=True)
+    flat = raw.select(
+        F.format_string(
+            "txt-%016x", F.xxhash64(F.input_file_name())
+        ).alias("doc_id"),
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source_file"),
+    )
+    out = flat.select("doc_id", "text") if to_spans else flat
+    return _finish(out, to_spans, id_is_string=True)
