@@ -635,3 +635,39 @@ def top_terms(docs: DataFrame, k: int = 5, min_df: int = 2) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "tfidf", "rank")
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, n_tokens, n_chars, mean_tokens, p50_tokens,
+    p95_tokens, pct_dup_text): the per-(source, lang) datasheet a
+    training corpus publishes (data-card reporting — Gebru et al. 2021
+    "Datasheets for Datasets"). ONE aggregation pass over the corpus:
+    token counts are computed inline (no join against token_counts),
+    the duplicate share rides a distinct-count of the md5 fingerprint
+    inside the same groupBy, and the percentiles use the t-digest-backed
+    percentile_approx aggregate — nothing here is a second corpus scan
+    or a driver collect beyond the bounded report rows."""
+    toks = tokens(norm_text(F.col("text")))
+    n_tok = F.size(toks)
+    base = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(norm_text(F.col("text"))).alias("fp"),
+    )
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+            F.percentile_approx("n_tokens", 0.5).alias("p50_tokens"),
+            F.percentile_approx("n_tokens", 0.95).alias("p95_tokens"),
+            F.round(
+                1.0 - F.count_distinct(F.col("fp")) / F.count(F.lit(1)), 4
+            ).alias("pct_dup_text"),
+        )
+        .orderBy("source", "lang")
+    )

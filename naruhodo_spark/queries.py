@@ -2182,6 +2182,16 @@ def kg_triangle_stats(spark, sf_dir):
     return GS.triangle_counts(edges)
 
 
+def ts_corpus_report(spark, sf_dir):
+    """Per-(source, lang) corpus datasheet (ops/textstats.corpus_report
+    — Gebru 2021 data-card reporting): doc/token/char totals, token
+    percentiles, exact-dup share — ONE aggregation pass, bounded output.
+    percentile_approx has no exact DuckDB twin, so the mirror in
+    tests/test_sources.py checks the exact columns and brackets the
+    approximate ones (rows-only)."""
+    return TS.corpus_report(_t(spark, sf_dir, "documents"))
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2199,6 +2209,7 @@ for _n, _f in [
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),
+    ("ts_corpus_report", ts_corpus_report),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

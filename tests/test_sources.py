@@ -81,3 +81,44 @@ def test_sources_feed_build_kg(spark, tmpdir_files):
     edges = kg["ksg_edges"].collect()
     assert len(edges) > 0
     assert {"alice", "carol"} <= {r["subj"] for r in edges}
+
+
+def test_corpus_report_vs_duckdb(spark):
+    """Exact columns (n_docs, n_tokens, n_chars, mean, dup share)
+    mirrored in DuckDB; approximate percentiles bracketed by the exact
+    min/max token counts per group."""
+    import duckdb
+
+    from naruhodo_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r["source"], r["lang"]): r
+           for r in Q.QUERIES["ts_corpus_report"](spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    mirror = con.execute(r"""
+        WITH t AS (
+          SELECT source, lang,
+                 len(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS n_tokens,
+                 length(text) AS n_chars,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents)
+        SELECT source, lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+               sum(n_chars) AS n_chars,
+               round(avg(n_tokens), 2) AS mean_tokens,
+               min(n_tokens) AS min_t, max(n_tokens) AS max_t,
+               round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS pct_dup
+        FROM t GROUP BY 1, 2
+    """).fetchdf()
+    assert len(out) == len(mirror)
+    for _, m in mirror.iterrows():
+        r = out[(m["source"], m["lang"])]
+        assert r["n_docs"] == m["n_docs"]
+        assert r["n_tokens"] == m["n_tokens"]
+        assert r["n_chars"] == m["n_chars"]
+        assert float(r["mean_tokens"]) == pytest.approx(float(m["mean_tokens"]), abs=0.01)
+        assert float(r["pct_dup_text"]) == pytest.approx(float(m["pct_dup"]), abs=1e-6)
+        assert m["min_t"] <= r["p50_tokens"] <= r["p95_tokens"] <= m["max_t"]
