@@ -171,6 +171,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_predicate_synonyms",
         "td_contrastive_pairs",
         "kg_triangle_stats",
+        "ts_corpus_report",
+        "sim_pq_topk",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -2192,6 +2192,38 @@ def ts_corpus_report(spark, sf_dir):
     return TS.corpus_report(_t(spark, sf_dir, "documents"))
 
 
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (ops/similarity.pq_* — Jégou 2011):
+    train m=4/ksub=16 codebooks on the 64-dim embeddings, encode every
+    vector to 4 codes, and answer 3 fixed queries by asymmetric
+    distance — a map-only scan over (vec_id, codes) with the query's
+    LUT shipped as literals (at 10^9 vectors the codes table is the
+    only thing read; that memory shape is PQ's whole reason to exist).
+    Python encode mirror + planted-cluster recall pinned in
+    tests/test_pq.py (rows-only — iterative k-means training)."""
+    from naruhodo_spark.ops import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # codebooks train on a hash-chosen subsample coalesced to few
+    # partitions (standard PQ practice — Jégou trains on ~100k of 10^9;
+    # the 12 tiny k-means jobs are latency-bound, not data-bound, so
+    # fewer partitions = fewer near-empty tasks)
+    train = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0).coalesce(2)
+    books = S.pq_train(train, m=4, ksub=16, iters=3)
+    enc = S.pq_encode(emb, books).localCheckpoint(eager=False)  # 3 scans
+    queries = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    }
+    out = None
+    for qid in sorted(queries):
+        t = S.pq_topk(enc, queries[qid], books, k=5).select(
+            F.lit(qid).alias("query_id"), "neighbor_id", "adc_dist", "rank"
+        )
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
 for _n, _f in [
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
@@ -2210,6 +2242,7 @@ for _n, _f in [
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),
     ("ts_corpus_report", ts_corpus_report),
+    ("sim_pq_topk", sim_pq_topk),
     (
         # CUBE demoted from the oracle window in favor of ts_mix_corpus:
         # the Expand-based grouping family stays driver-oracled via

@@ -184,3 +184,13 @@ def test_topk_global_takeordered(spark):
     # heaps + driver merge of k rows), never a full global Sort
     p = _plan(spark, "topk_global_orders")
     assert "TakeOrderedAndProject" in p
+
+
+def test_sim_pq_topk_scan_reads_codes_only(spark):
+    # the ADC scan must be map-only over (vec_id, codes): no join, no
+    # Python, and TakeOrderedAndProject for the top-k
+    p = _plan(spark, "sim_pq_topk")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "TakeOrderedAndProject" in p
