@@ -229,6 +229,26 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return GS.triangle_counts(self._ksg_edges())
 
+    def add_urls(self, urls: list[str], n_partitions: int = 4) -> "parser":
+        """Reference ``addUrls`` [PK naruhodo/parser.py +
+        naruhodo/utils/scraper.py]: fetch each page and stage its text.
+        Distributed via the ``naruhodo_web`` Python DataSource
+        (websource.py) — the URL list fans out one fetch task per
+        partition on the executors; the fetch itself is the documented
+        injectable stub (no network in this environment)."""
+        from naruhodo_spark.websource import WebDocumentSource
+
+        self.spark.dataSource.register(WebDocumentSource)
+        docs = (
+            self.spark.read.format("naruhodo_web")
+            .option("urls", "|".join(urls))
+            .option("n_partitions", str(n_partitions))
+            .load()
+        )
+        return self.add_documents(docs)
+
+    addUrls = add_urls  # reference spelling
+
     # -- file-format ingest (sources.py) -----------------------------------
     def add_jsonl(self, path: str, **kw) -> "parser":
         from naruhodo_spark import sources as SRC

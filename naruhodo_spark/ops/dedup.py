@@ -460,3 +460,138 @@ def simhash(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(fn, schema=_SIMHASH_SCHEMA)
+
+
+# -- banded Hamming join (simhash / phash near-dup candidates) ---------------
+
+def _default_bands(max_hamming: int) -> int:
+    """Smallest divisor of 64 strictly above max_hamming — the fewest
+    bands (widest slices, fewest candidates) that keep the pigeonhole
+    recall guarantee."""
+    for n in (1, 2, 4, 8, 16, 32, 64):
+        if n > max_hamming:
+            return n
+    raise ValueError(f"max_hamming={max_hamming} >= 64 matches everything")
+
+
+def _sig_bands(sigs: DataFrame, id_col: str, sig_col: str, n_bands: int):
+    """Explode a 64-bit signature into (id, sig, band_idx, band_val)
+    rows. shiftrightunsigned keeps negative (sign-bit-set) signatures
+    correct — bands are raw bit slices, never sign-extended."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = F.col(sig_col)
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        sig.alias("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftrightunsigned(sig, i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.band_idx"), F.col("b.band_val"))
+
+
+def hamming_hot_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    bucket_cap: int = 1_000,
+) -> DataFrame:
+    """Audit surface for hamming_near_dups' skew guard: the
+    (band_idx, band_val, n_members) buckets whose candidate generation
+    was dropped. Non-empty output means near-identical signatures above
+    the cap — exact-dedup those upstream (the repo's no-silent-caps
+    policy: the drop is observable, never implicit)."""
+    n_bands = n_bands or _default_bands(max_hamming)
+    bands = _sig_bands(sigs, id_col, sig_col, n_bands)
+    return (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > bucket_cap)
+    )
+
+
+def hamming_near_dups(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    bucket_cap: int = 1_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) <=
+    max_hamming over 64-bit signatures — the downstream simhash()
+    promised ("near-dups = Hamming <= 3") and the same machinery media
+    perceptual hashes use (ops/multimodal.media_near_dups).
+
+    Banding, not all-pairs: with n_bands > max_hamming (default: the
+    smallest divisor of 64 above it), pigeonhole guarantees any
+    qualifying pair agrees
+    exactly on at least one band, so candidates come from an equi-join
+    on (band_idx, band_val) and only candidates pay the popcount check
+    (F.bit_count(xor) — JVM-side). Recall within the cap is therefore
+    EXACT, unlike probabilistic MinHash banding.
+
+    Skew guard: a band bucket with B members yields B^2/2 candidates —
+    near-identical signatures (e.g. simhash 0 for empty docs) would go
+    quadratic. Buckets above bucket_cap are dropped from candidate
+    generation (hamming_hot_buckets audits them); exact-dedup upstream
+    is the right tool for identical content. At 10^12 docs everything
+    here is equi-join + groupBy on uniform hash-slice keys.
+    """
+    n_bands = n_bands or _default_bands(max_hamming)
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming} loses the "
+            "pigeonhole recall guarantee"
+        )
+    bands = _sig_bands(sigs, id_col, sig_col, n_bands)
+    hot = hamming_hot_buckets(
+        sigs, id_col, sig_col, max_hamming, n_bands, bucket_cap
+    ).select("band_idx", "band_val")
+    bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()  # a pair can match in several bands
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, bucket_cap: int = 1_000
+) -> DataFrame:
+    """simhash() + banded Hamming join: (id_a, id_b, hamming) text
+    near-dup pairs."""
+    return hamming_near_dups(
+        simhash(docs), "doc_id", "simhash", max_hamming, bucket_cap=bucket_cap
+    )

@@ -231,3 +231,73 @@ def sample_frames(
     return media.where(F.col("media_type") == "vid").mapInPandas(
         fn, schema=FRAMES
     )
+
+
+PHASHED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_idx", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),  # 64-bit signature
+    ]
+)
+
+
+def phash_media(media: DataFrame, hasher: Callable | None = None) -> DataFrame:
+    """Perceptual 64-bit hash per media span, Arrow-batched mapInPandas.
+
+    A real `hasher(payload, media_ref, media_type) -> int64` computes
+    dHash/pHash from decoded pixels (image libs absent here — same
+    injectable-stub contract as featurize_media); the stand-in hashes
+    the ref (md5 first 8 bytes, signed big-endian), which keeps the
+    schema, batching, and signedness handling real: identical refs
+    collide at Hamming 0, unrelated refs land ~32 bits apart.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if hasher is not None:
+                vals = [
+                    int(hasher(p, r, t))
+                    for p, r, t in zip(
+                        pdf["payload"], pdf["media_ref"], pdf["media_type"]
+                    )
+                ]
+            else:
+                vals = [
+                    int.from_bytes(
+                        hashlib.md5(f"phash|{r}".encode()).digest()[:8],
+                        "big",
+                        signed=True,
+                    )
+                    for r in pdf["media_ref"]
+                ]
+            out = pdf[["doc_id", "span_idx", "media_ref", "media_type"]].copy()
+            out["phash"] = pd.Series(vals, dtype="int64", index=pdf.index)
+            yield out
+
+    return media.mapInPandas(fn, schema=PHASHED)
+
+
+def media_near_dups(
+    hashed: DataFrame, max_hamming: int = 4, bucket_cap: int = 1_000
+) -> DataFrame:
+    """(ref_a, ref_b, hamming) near-duplicate media assets — the image
+    analog of text simhash dedup (re-encoded/resized copies of one
+    image land a few bits apart under dHash/pHash). One hash per
+    DISTINCT media_ref (an asset reused across documents is one node,
+    its hash is ref-functional), then the shared banded Hamming join
+    (ops/dedup.hamming_near_dups): equi-join candidates, popcount
+    filter, hot-bucket skew guard — nothing all-pairs at 10^12 docs.
+    """
+    from naruhodo_spark.ops.dedup import hamming_near_dups
+
+    sigs = hashed.select("media_ref", "phash").distinct()
+    return hamming_near_dups(
+        sigs, "media_ref", "phash", max_hamming, bucket_cap=bucket_cap
+    ).select(
+        F.col("id_a").alias("ref_a"),
+        F.col("id_b").alias("ref_b"),
+        "hamming",
+    )

@@ -2224,7 +2224,70 @@ def sim_pq_topk(spark, sf_dir):
     return out
 
 
+def kg_distinct_sketches(spark, sf_dir):
+    """Mergeable HLL distinct panel (ops/sketches.py): per-epoch
+    sketches over two synth-KG epochs folded into cumulative "as-of"
+    estimates — the O(epochs × 2 KB) alternative to rescanning 10^12
+    docs for "distinct entities so far". Estimate accuracy, merge
+    order-invariance, and the Count-Min point-query mirror are pinned
+    in tests/test_sketches.py (rows-only — sketch binaries are not
+    SQL-expressible)."""
+    from naruhodo_spark.ops import sketches as SK
+
+    triples = build_kg(_synth(spark), prof=_en())["triples_linked"]
+    e0 = triples.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    e1 = triples.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    panel = SK.entity_sketch_panel(e0, 0).unionByName(
+        SK.entity_sketch_panel(e1, 1)
+    )
+    return SK.estimate_distinct(SK.merge_sketches(panel, ["metric"])).select(
+        "metric", "n_distinct_est"
+    )
+
+
+def mm_media_near_dups(spark, sf_dir):
+    """Near-duplicate media assets over the interleaved synth corpus:
+    64-bit perceptual hashes (ops/multimodal.phash_media — real
+    dHash/pHash is the injected hasher; here a deterministic simulator
+    clusters assets 6 ways with 0–2 bit perturbations, standing in for
+    re-encoded copies) joined by the banded Hamming machinery shared
+    with text simhash (ops/dedup.hamming_near_dups: pigeonhole-exact
+    recall, hot-bucket skew guard). Brute-force python mirror pinned in
+    tests/test_hamming.py (rows-only — sketch bit arithmetic is not
+    DuckDB-expressible)."""
+    import hashlib as _hl
+
+    from naruhodo_spark.ops import multimodal as O_mm
+
+    media = O_mm.media_spans(_synth(spark))
+
+    def near_hasher(payload, ref, mtype):
+        doc = int(ref.split("://")[1].split("/")[0])
+        span = int(ref.rsplit("/", 1)[1].split(".")[0])
+        base = int.from_bytes(
+            _hl.md5(f"asset-{doc % 6}".encode()).digest()[:8], "big"
+        )
+        for b in range(span % 3):
+            base ^= 1 << ((11 * span + b) % 64)
+        return base - (1 << 64) if base >= (1 << 63) else base
+
+    hashed = O_mm.phash_media(media, hasher=near_hasher)
+    return O_mm.media_near_dups(hashed, max_hamming=4)
+
+
+def dd_simhash_near_dups(spark, sf_dir):
+    """The downstream the simhash operator promised: banded Hamming
+    join over the sf documents' 64-bit simhashes (exact recall at
+    hamming <= 3 by pigeonhole; hot buckets — e.g. empty-doc simhash
+    0 — skew-guarded + audited). Brute-force mirror in
+    tests/test_hamming.py (rows-only)."""
+    return D.simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
 for _n, _f in [
+    ("kg_distinct_sketches", kg_distinct_sketches),
+    ("mm_media_near_dups", mm_media_near_dups),
+    ("dd_simhash_near_dups", dd_simhash_near_dups),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),

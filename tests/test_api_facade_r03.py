@@ -30,3 +30,18 @@ def test_facade_new_graph_methods(spark):
     rows = w.collect()
     assert all(1 <= len(r["walk"]) <= 3 for r in rows)
     assert len(rows) > 0
+
+
+def test_facade_add_urls(spark):
+    p = parser(spark, lang="en")
+    urls = [f"https://example.org/page{i}" for i in range(5)]
+    p.add_urls(urls, n_partitions=2)
+    docs = p._docs()
+    rows = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    assert set(rows) == set(urls)
+    # stub fetch content flows into the spans schema unchanged
+    assert all(s[0]["kind"] == "text" and s[0]["text"] for s in rows.values())
+    # and the staged urls build into a graph alongside plain add()
+    p.add("alice visited bob.")
+    edges = p.edges
+    assert edges.count() > 0
