@@ -89,6 +89,58 @@ def _epoch_idempotent_write(
         )
 
 
+def _write_epoch_sketches(
+    spark: SparkSession, out_dir: str, epoch_id: int
+) -> None:
+    """Per-epoch HLL distinct panel (ops/sketches.py) for the store:
+    4 rows (subj/pred/obj/doc_id) × ~2 KB per epoch, derived from the
+    exactly-once ``triples_raw`` partition just written — read back
+    partition-pruned, so the panel inherits raw's retry/collision
+    story instead of inventing its own. Cumulative distinct counts
+    as-of any epoch then fold O(epochs) sketch rows
+    (:func:`distinct_stats_asof`) instead of rescanning raw."""
+    from naruhodo_spark.ops import sketches as SK
+
+    if not storage.table_exists(spark, "triples_raw", out_dir):
+        return  # zero-triple epoch on a fresh store: nothing to track
+    raw_e = (
+        storage.read_table(spark, "triples_raw", out_dir)
+        .where(F.col("epoch") == int(epoch_id))
+        .drop("epoch")
+    )
+    if raw_e.isEmpty():
+        # the raw partition was dropped (zero-triple retry): the panel
+        # partition must go too
+        storage.delete_partitions(
+            spark, "sketch_panel", out_dir, "epoch", [int(epoch_id)]
+        )
+        return
+    panel = SK.entity_sketch_panel(raw_e, epoch_id).localCheckpoint()
+    storage.write_table(
+        panel, "sketch_panel", out_dir, mode="overwrite",
+        partition_by=["epoch"],
+    )
+
+
+def distinct_stats_asof(
+    spark: SparkSession, out_dir: str, epoch: int
+) -> DataFrame:
+    """(metric, n_distinct_est) — distinct subjects / predicates /
+    objects / documents in the KG as-of ``epoch``, from the per-epoch
+    sketch panel: one partition-pruned read of ≤4×(epoch+1) two-KB rows
+    folded with hll_union_agg. At 10^12 docs this is the ONLY viable
+    shape for "how many entities so far" — exact recount means a full
+    raw rescan per checkpoint; ±1.6 % (lgk=12) is the standard trade."""
+    from naruhodo_spark.ops import sketches as SK
+
+    panel = storage.read_table(spark, "sketch_panel", out_dir).where(
+        F.col("epoch") <= int(epoch)
+    )
+    return SK.estimate_distinct(SK.merge_sketches(panel, ["metric"])).select(
+        "metric", "n_distinct_est"
+    )
+
+
 def incremental_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -266,6 +318,9 @@ def incremental_ingest(
         _epoch_idempotent_write(
             spark, "triples_raw", out_dir, new_triples, epoch_id, batch_ids
         )
+        # distinct-sketch panel rides on the raw partition (see helper);
+        # before the seen-commit, so any crash re-derives it with raw
+        _write_epoch_sketches(spark, out_dir, epoch_id)
         if dd is not None:
             _epoch_idempotent_write(
                 spark, "dup_flags", out_dir, dd["flags"], epoch_id,

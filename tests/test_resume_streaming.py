@@ -609,3 +609,43 @@ def test_epoch_diff_changelog(spark, tmp_out):
     # identical epochs diff to all-same
     same = epoch_diff(spark, tmp_out, 1, 1)
     assert {r["change"] for r in same.collect()} == {"same"}
+
+
+def test_sketch_panel_asof_tracks_raw(spark, tmp_out):
+    """The per-epoch HLL sketch panel: written alongside each epoch's
+    raw partition, folded by distinct_stats_asof into cumulative
+    distinct counts that match exact recounts of triples_raw within
+    sketch error — without rescanning raw."""
+    from naruhodo_spark.streaming import distinct_stats_asof
+
+    docs = synth.synth_documents(spark, 60).persist()
+    in_dir = f"{tmp_out}/in"
+    out = f"{tmp_out}/out"
+    first = docs.where(F.xxhash64("doc_id") % 2 == 0)
+    second = docs.where(F.xxhash64("doc_id") % 2 != 0)
+
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/ckpt")
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/ckpt")
+
+    panel = storage.read_table(spark, "sketch_panel", out)
+    epochs = sorted(r["epoch"] for r in panel.select("epoch").distinct().collect())
+    assert len(epochs) == 2
+    raw = storage.read_table(spark, "triples_raw", out)
+    for i, e in enumerate(epochs):
+        asof = {
+            r["metric"]: r["n_distinct_est"]
+            for r in distinct_stats_asof(spark, out, e).collect()
+        }
+        upto = raw.where(F.col("epoch") <= e)
+        for m in ("subj", "pred", "obj", "doc_id"):
+            exact = upto.select(m).distinct().count()
+            assert abs(asof[m] - exact) <= max(1, 0.05 * exact), (e, m, asof[m], exact)
+    # the as-of view is strictly monotone as the corpus grows
+    d0 = {r["metric"]: r["n_distinct_est"]
+          for r in distinct_stats_asof(spark, out, epochs[0]).collect()}
+    d1 = {r["metric"]: r["n_distinct_est"]
+          for r in distinct_stats_asof(spark, out, epochs[1]).collect()}
+    assert d1["doc_id"] > d0["doc_id"]
+    docs.unpersist()
