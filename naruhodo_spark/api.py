@@ -222,6 +222,19 @@ class parser:  # noqa: N801 — name mirrors the reference API
         )
         return W.random_walks(edges, walks_per_node, length, **kw)
 
+    def distances(
+        self, landmarks: list[str], max_dist: int = 6,
+        direction: str = "both",
+    ) -> DataFrame:
+        """(node, landmark, dist) — BFS distances to each landmark over
+        the KSG (operators/graphstats.landmark_distances); feed to
+        approx_distance for any-pair shortest-path upper bounds."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.landmark_distances(
+            self._ksg_edges(), landmarks, max_dist, direction
+        )
+
     def triangles(self) -> DataFrame:
         """(node, triangles, degree, clustering) — degree-ordered
         triangle counting over the KSG (operators/graphstats.py)."""

@@ -276,3 +276,83 @@ def triangle_counts(ksg_edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def landmark_distances(
+    ksg_edges: DataFrame,
+    landmarks: list[str],
+    max_dist: int = 6,
+    direction: str = "both",
+) -> DataFrame:
+    """(node, landmark, dist) — BFS distance from every node to each
+    landmark, all landmarks in ONE labeled frontier sweep.
+
+    This is the landmark/distance-sketch primitive (Das Sarma et al.,
+    WSDM'10): with L landmarks precomputed, any-pair shortest-path
+    queries are answered driver-free as min over landmarks of
+    d(u,l)+d(l,v) (:func:`approx_distance`) — the networkx
+    ``shortest_path_length`` analog that works when the graph doesn't
+    fit one machine. Each round is one frontier equi-join + one
+    anti-join against the visited table, both keyed on (node, landmark)
+    — node alone would be a hot key when frontiers from different
+    landmarks overlap; the composite key keeps the shuffle uniform.
+    max_dist bounds plan depth like k in k_hop_subgraph;
+    localCheckpoint per round truncates the iterative lineage.
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    spark = ksg_edges.sparkSession
+    hops = _edge_pairs(ksg_edges).select("src", "dst")
+    if direction == "in":
+        hops = hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        hops = hops.unionByName(
+            hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    hops = hops.distinct().localCheckpoint()
+
+    visited = spark.createDataFrame(
+        [(l, l, 0) for l in landmarks], "node string, landmark string, dist int"
+    )
+    frontier = visited.select("node", "landmark")
+    for depth in range(1, max_dist + 1):
+        nxt = (
+            hops.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "landmark")
+            .distinct()
+            .join(
+                visited.select("node", "landmark"),
+                ["node", "landmark"],
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", "landmark", F.lit(depth).alias("dist"))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def approx_distance(dists: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(u, v, dist_ub) — landmark upper bound min_l d(u,l)+d(l,v) for
+    each requested (u, v) pair, as two equi-joins of the pairs frame
+    against the precomputed landmark table + one groupBy. Exact when
+    some shortest u–v path passes a landmark; an upper bound otherwise
+    (the standard landmark-sketch trade). Pairs whose endpoints share
+    no reachable landmark are absent from the output (disconnected as
+    far as the sketch can see)."""
+    du = dists.select(
+        F.col("node").alias("u"), "landmark", F.col("dist").alias("d_u")
+    )
+    dv = dists.select(
+        F.col("node").alias("v"), "landmark", F.col("dist").alias("d_v")
+    )
+    return (
+        pairs.join(du, "u")
+        .join(dv, ["v", "landmark"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("d_u") + F.col("d_v")).alias("dist_ub"))
+    )

@@ -2284,10 +2284,25 @@ def dd_simhash_near_dups(spark, sf_dir):
     return D.simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
+def kg_landmark_distances(spark, sf_dir):
+    """Landmark distance sketch over the synth KSG
+    (operators/graphstats.landmark_distances — Das Sarma WSDM'10): one
+    labeled frontier sweep computes BFS distance from every entity to
+    each landmark; any-pair shortest paths then answer as
+    min_l d(u,l)+d(l,v) without touching the edge table again.
+    Python-BFS differential + upper-bound/endpoint-exactness properties
+    pinned in tests/test_graphstats.py (rows-only — iterative BFS)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    return GS.landmark_distances(edges, ["heidi", "victor"], max_dist=3)
+
+
 for _n, _f in [
     ("kg_distinct_sketches", kg_distinct_sketches),
     ("mm_media_near_dups", mm_media_near_dups),
     ("dd_simhash_near_dups", dd_simhash_near_dups),
+    ("kg_landmark_distances", kg_landmark_distances),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),

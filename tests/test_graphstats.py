@@ -227,3 +227,81 @@ def test_triangle_counts_empty_and_triangle_free(spark):
     rows = triangle_counts(path).collect()
     assert all(r["triangles"] == 0 for r in rows)
     assert len(rows) == 3
+
+
+def test_landmark_distances_vs_python_bfs(spark):
+    """landmark_distances: per-landmark BFS distances on a random graph
+    vs single-source python BFS, plus the approx_distance upper-bound
+    property (>= true distance; exact when a landmark sits on a
+    shortest path)."""
+    from collections import deque
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    names = [f"n{i}" for i in range(18)]
+    triples = []
+    for _ in range(40):
+        u, v = rng.choice(18, size=2, replace=False)
+        triples.append((names[u], "rel", names[v], int(rng.integers(1, 3))))
+    df = _edges_df(spark, triples)
+
+    adj = {}
+    for u, p, v, w in triples:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def py_bfs(src, cap):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            x = q.popleft()
+            if dist[x] == cap:
+                continue
+            for y in adj.get(x, ()):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        return dist
+
+    from naruhodo_spark.operators.graphstats import (
+        approx_distance,
+        landmark_distances,
+    )
+
+    landmarks = [names[0], names[9]]
+    cap = 4
+    got = {}
+    for r in landmark_distances(df, landmarks, max_dist=cap).collect():
+        got[(r["node"], r["landmark"])] = r["dist"]
+    want = {
+        (node, lm): d
+        for lm in landmarks
+        for node, d in py_bfs(lm, cap).items()
+    }
+    assert got == want
+
+    # upper-bound property over every reachable pair
+    dists = landmark_distances(df, landmarks, max_dist=6)
+    all_pairs = [
+        (a, b) for a in names for b in names if a < b
+    ]
+    pairs_df = spark.createDataFrame(all_pairs, "u string, v string")
+    ub = {
+        (r["u"], r["v"]): r["dist_ub"]
+        for r in approx_distance(dists, pairs_df).collect()
+    }
+    true = {n: py_bfs(n, 99) for n in names}
+    for (a, b), est in ub.items():
+        t = true[a].get(b)
+        assert t is not None and est >= t, (a, b, est, t)
+    # endpoint-exactness: pairs (lm, x) have dist_ub == true distance
+    # (the landmark itself sits on the path, d(lm,lm)=0)
+    for lm in landmarks:
+        for x in names:
+            if x == lm:
+                continue
+            key = (min(lm, x), max(lm, x))
+            t = true[lm].get(x)
+            if t is not None and t <= 6 and key in ub:
+                assert ub[key] == t, (key, ub[key], t)
