@@ -2298,11 +2298,44 @@ def kg_landmark_distances(spark, sf_dir):
     return GS.landmark_distances(edges, ["heidi", "victor"], max_dist=3)
 
 
+def td_quality_classifier(spark, sf_dir):
+    """fastText-style quality filter (ops/qualityclf.py — the GPT-3 §A /
+    LLaMA reference-vs-crawl classifier): train the hashed-BoW logistic
+    model on a deterministic planted good/bad corpus, score every doc.
+    The model is a (bucket, weight) DataFrame bounded by the hash dim —
+    never corpus- or vocab-sized; each GD iteration is four uniform-key
+    shuffles. Exact numpy GD mirror + separation + empty-doc prior
+    pinned in tests/test_qualityclf.py (rows-only — iterative
+    training)."""
+    from naruhodo_spark.ops import qualityclf as QC
+
+    good = ["theorem", "analysis", "citation", "methodology", "approach",
+            "study", "we", "show", "results"]
+    bad = ["click", "winner", "free", "casino", "buy", "now", "cheap"]
+    rows = []
+    for i in range(80):
+        g = [good[(i + j) % len(good)] for j in range(6)]
+        rows.append((f"good-{i}", " ".join(g), 1.0))
+        b = [bad[(i + 2 * j) % len(bad)] for j in range(6)]
+        rows.append((f"bad-{i}", " ".join(b), 0.0))
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(
+        [(d, y) for d, _, y in rows], ["doc_id", "label"]
+    )
+    w = QC.train_quality_classifier(
+        docs, labels, dim=1 << 12, iters=20, lr=2.0
+    )
+    return QC.score_quality(docs, w, dim=1 << 12)
+
+
 for _n, _f in [
     ("kg_distinct_sketches", kg_distinct_sketches),
     ("mm_media_near_dups", mm_media_near_dups),
     ("dd_simhash_near_dups", dd_simhash_near_dups),
     ("kg_landmark_distances", kg_landmark_distances),
+    ("td_quality_classifier", td_quality_classifier),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),
