@@ -173,6 +173,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_triangle_stats",
         "ts_corpus_report",
         "sim_pq_topk",
+        # added late-r03
+        "dd_simhash_near_dups",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -556,10 +556,19 @@ def hamming_near_dups(
             f"n_bands={n_bands} <= max_hamming={max_hamming} loses the "
             "pigeonhole recall guarantee"
         )
-    bands = _sig_bands(sigs, id_col, sig_col, n_bands)
-    hot = hamming_hot_buckets(
-        sigs, id_col, sig_col, max_hamming, n_bands, bucket_cap
-    ).select("band_idx", "band_val")
+    # one signature computation for all four consumers (both self-join
+    # sides + both anti-join probes): without the checkpoint the plan
+    # re-runs the upstream signature MapInPandas per branch — the
+    # expensive stage ×4 (caught by the plan pin in tests/test_plans.py)
+    bands = _sig_bands(sigs, id_col, sig_col, n_bands).localCheckpoint(
+        eager=False
+    )
+    hot = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > bucket_cap)
+        .select("band_idx", "band_val")
+    )
     bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")

@@ -194,3 +194,42 @@ def test_sim_pq_topk_scan_reads_codes_only(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_dd_simhash_near_dups_banded_equi_join(spark):
+    # candidates come from an equi-join on (band_idx, band_val) — never
+    # an all-pairs node; the only Python is the one simhash signature
+    # MapInPandas; the Hamming filter is JVM bit_count
+    p = _plan(spark, "dd_simhash_near_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the signature MapInPandas runs ONCE behind a lazy localCheckpoint
+    # (4 consumers: two self-join sides + two hot-bucket probes)
+    assert p.count("MapInPandas") <= 1
+    assert "bit_count" in p
+
+
+def test_kg_distinct_sketches_partial_agg(spark):
+    # HLL sketches must partial-aggregate (map-side combine) so shuffle
+    # volume is n_groups × ~2KB, and nothing touches Python
+    p = _plan(spark, "kg_distinct_sketches")
+    assert "hll_sketch_agg" in p and "hll_union_agg" in p
+    assert "partial_hll" in p.lower() or "partial" in p.lower()
+    assert "CartesianProduct" not in p
+
+
+def test_kg_landmark_distances_no_cross_product_no_python(spark):
+    # each BFS round is a frontier equi-join + anti-join on the
+    # (node, landmark) composite key — no all-pairs, no Python beyond
+    # the pipeline's extraction stage
+    p = _plan(spark, "kg_landmark_distances")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_td_quality_classifier_scoring_no_python(spark):
+    # scoring = one features⋈weights join + one per-doc agg, pure JVM
+    p = _plan(spark, "td_quality_classifier")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
