@@ -464,38 +464,77 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 # -- banded Hamming join (simhash / phash near-dup candidates) ---------------
 
-def _default_bands(max_hamming: int) -> int:
-    """Smallest divisor of 64 strictly above max_hamming — the fewest
-    bands (widest slices, fewest candidates) that keep the pigeonhole
-    recall guarantee."""
-    for n in (1, 2, 4, 8, 16, 32, 64):
-        if n > max_hamming:
-            return n
-    raise ValueError(f"max_hamming={max_hamming} >= 64 matches everything")
+def _default_bands(max_hamming: int, bands_per_key: int) -> int:
+    """Fewest blocks that keep the pigeonhole recall guarantee: at most
+    max_hamming blocks can differ, so >= bands_per_key clean blocks need
+    max_hamming + bands_per_key blocks total. Fewest blocks = widest
+    slices = fewest random key collisions."""
+    n = max_hamming + bands_per_key
+    if n > 64:
+        raise ValueError(
+            f"max_hamming={max_hamming} + bands_per_key={bands_per_key} "
+            "exceeds the 64-bit signature"
+        )
+    return n
 
 
-def _sig_bands(sigs: DataFrame, id_col: str, sig_col: str, n_bands: int):
+def _sig_block_keys(
+    sigs: DataFrame, id_col: str, sig_col: str, n_bands: int,
+    bands_per_key: int,
+):
     """Explode a 64-bit signature into (id, sig, band_idx, band_val)
-    rows. shiftrightunsigned keeps negative (sign-bit-set) signatures
-    correct — bands are raw bit slices, never sign-extended."""
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    candidate-key rows — one row per combination of ``bands_per_key``
+    of the ``n_bands`` bit blocks (Manku WWW'07 table scheme; block
+    widths may be uneven when n_bands does not divide 64).
+    shiftrightunsigned keeps negative (sign-bit-set) signatures
+    correct — blocks are raw bit slices, never sign-extended."""
+    import itertools
+
+    widths = [
+        64 // n_bands + (1 if i < 64 % n_bands else 0)
+        for i in range(n_bands)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sig = F.col(sig_col)
+    blocks = [
+        F.shiftrightunsigned(sig, offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_bands)
+    ]
+    # combo key = xxhash64 of the selected block values: one narrow
+    # 64-bit join key instead of a concatenated string. A hash collision
+    # only ADDS a candidate pair (popcount filters it) — recall is
+    # unaffected, and at ~2^64 key space collision volume is negligible.
+    entries = [
+        F.struct(
+            F.lit(ci).alias("band_idx"),
+            F.xxhash64(*[blocks[b] for b in combo]).alias("band_val"),
+        )
+        for ci, combo in enumerate(
+            itertools.combinations(range(n_bands), bands_per_key)
+        )
+    ]
     return sigs.select(
         F.col(id_col).alias("id"),
         sig.alias("sig"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_idx"),
-                    F.shiftrightunsigned(sig, i * width)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("band_val"),
-                )
-                for i in range(n_bands)
-            ])
-        ).alias("b"),
+        F.explode(F.array(*entries)).alias("b"),
     ).select("id", "sig", F.col("b.band_idx"), F.col("b.band_val"))
+
+
+def _check_banding(max_hamming: int, n_bands: int, bands_per_key: int):
+    if not 1 <= bands_per_key <= n_bands:
+        raise ValueError(
+            f"bands_per_key={bands_per_key} out of range for "
+            f"n_bands={n_bands}"
+        )
+    if n_bands - max_hamming < bands_per_key:
+        raise ValueError(
+            f"n_bands={n_bands} - max_hamming={max_hamming} < "
+            f"bands_per_key={bands_per_key} loses the pigeonhole recall "
+            "guarantee"
+        )
+    if n_bands > 64:
+        raise ValueError(f"n_bands={n_bands} exceeds the 64-bit signature")
 
 
 def hamming_hot_buckets(
@@ -505,14 +544,16 @@ def hamming_hot_buckets(
     max_hamming: int = 3,
     n_bands: int | None = None,
     bucket_cap: int = 1_000,
+    bands_per_key: int = 1,
 ) -> DataFrame:
     """Audit surface for hamming_near_dups' skew guard: the
     (band_idx, band_val, n_members) buckets whose candidate generation
     was dropped. Non-empty output means near-identical signatures above
     the cap — exact-dedup those upstream (the repo's no-silent-caps
     policy: the drop is observable, never implicit)."""
-    n_bands = n_bands or _default_bands(max_hamming)
-    bands = _sig_bands(sigs, id_col, sig_col, n_bands)
+    n_bands = n_bands or _default_bands(max_hamming, bands_per_key)
+    _check_banding(max_hamming, n_bands, bands_per_key)
+    bands = _sig_block_keys(sigs, id_col, sig_col, n_bands, bands_per_key)
     return (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -527,42 +568,48 @@ def hamming_near_dups(
     max_hamming: int = 3,
     n_bands: int | None = None,
     bucket_cap: int = 1_000,
+    bands_per_key: int = 1,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) <=
     max_hamming over 64-bit signatures — the downstream simhash()
     promised ("near-dups = Hamming <= 3") and the same machinery media
     perceptual hashes use (ops/multimodal.media_near_dups).
 
-    Banding, not all-pairs: with n_bands > max_hamming (default: the
-    smallest divisor of 64 above it), pigeonhole guarantees any
-    qualifying pair agrees
-    exactly on at least one band, so candidates come from an equi-join
-    on (band_idx, band_val) and only candidates pay the popcount check
-    (F.bit_count(xor) — JVM-side). Recall within the cap is therefore
-    EXACT, unlike probabilistic MinHash banding.
+    Block-combination candidates, not all-pairs (Manku, Jain & Das
+    Sarma, WWW'07 — the Google web-dedup design): split the signature
+    into n_bands bit blocks; a pair within max_hamming differs in at
+    most max_hamming blocks, so it agrees EXACTLY on every combination
+    of bands_per_key blocks drawn from its >= n_bands - max_hamming
+    clean ones (pigeonhole — recall is exact, unlike probabilistic
+    MinHash banding). Candidates come from an equi-join on
+    (combination_id, concatenated block values); only candidates pay
+    the popcount check (F.bit_count(xor), JVM-side).
 
-    Skew guard: a band bucket with B members yields B^2/2 candidates —
+    bands_per_key trades candidate volume against key fan-out:
+    - 1 (default): n_bands = max_hamming+1 wide blocks, one key each —
+      right up to ~10^5-10^6 signatures, after which random collisions
+      on a single ~16-bit block dominate the join.
+    - Manku's production point for max_hamming=3 is n_bands=6,
+      bands_per_key=3: C(6,3)=20 keys per signature but ~32 effective
+      key bits, so expected random-collision volume stays ~n^2/2^32 —
+      the 10^12-scale configuration (measured: BENCH/BASELINE.md).
+
+    Skew guard: a key bucket with B members yields B^2/2 candidates —
     near-identical signatures (e.g. simhash 0 for empty docs) would go
     quadratic. Buckets above bucket_cap are dropped from candidate
     generation (hamming_hot_buckets audits them); exact-dedup upstream
     is the right tool for identical content. At 10^12 docs everything
     here is equi-join + groupBy on uniform hash-slice keys.
     """
-    n_bands = n_bands or _default_bands(max_hamming)
-    if 64 % n_bands:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    if n_bands <= max_hamming:
-        raise ValueError(
-            f"n_bands={n_bands} <= max_hamming={max_hamming} loses the "
-            "pigeonhole recall guarantee"
-        )
+    n_bands = n_bands or _default_bands(max_hamming, bands_per_key)
+    _check_banding(max_hamming, n_bands, bands_per_key)
     # one signature computation for all four consumers (both self-join
-    # sides + both anti-join probes): without the checkpoint the plan
+    # sides + both hot-bucket probes): without the checkpoint the plan
     # re-runs the upstream signature MapInPandas per branch — the
-    # expensive stage ×4 (caught by the plan pin in tests/test_plans.py)
-    bands = _sig_bands(sigs, id_col, sig_col, n_bands).localCheckpoint(
-        eager=False
-    )
+    # expensive stage x4 (caught by the plan pin in tests/test_plans.py)
+    bands = _sig_block_keys(
+        sigs, id_col, sig_col, n_bands, bands_per_key
+    ).localCheckpoint(eager=False)
     hot = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -587,7 +634,7 @@ def hamming_near_dups(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .distinct()  # a pair can match in several bands
+        .distinct()  # a pair can match on several keys
     )
     return cand.select(
         "id_a",
@@ -597,10 +644,13 @@ def hamming_near_dups(
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 3, bucket_cap: int = 1_000
+    docs: DataFrame, max_hamming: int = 3, bucket_cap: int = 1_000,
+    **banding,
 ) -> DataFrame:
-    """simhash() + banded Hamming join: (id_a, id_b, hamming) text
-    near-dup pairs."""
+    """simhash() + block-combination Hamming join: (id_a, id_b, hamming)
+    text near-dup pairs. ``banding`` forwards n_bands/bands_per_key —
+    pass (6, 3) for the Manku web-scale configuration."""
     return hamming_near_dups(
-        simhash(docs), "doc_id", "simhash", max_hamming, bucket_cap=bucket_cap
+        simhash(docs), "doc_id", "simhash", max_hamming,
+        bucket_cap=bucket_cap, **banding,
     )

@@ -129,3 +129,28 @@ def test_phash_standin_deterministic(spark):
     h1 = {r["media_ref"]: r["phash"] for r in MM.phash_media(media).collect()}
     h2 = {r["media_ref"]: r["phash"] for r in MM.phash_media(media).collect()}
     assert h1 == h2 and len(h1) > 0
+
+
+def test_manku_block_combinations_match_bruteforce(spark):
+    """The Manku WWW'07 configuration (n_bands=6, bands_per_key=3 —
+    C(6,3)=20 keys of ~32 effective bits) finds exactly the same pairs
+    as single-band banding and the brute-force mirror."""
+    sigs = _clustered_sigs()
+    df = spark.createDataFrame(sigs, ["doc_id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.hamming_near_dups(
+            df, max_hamming=3, n_bands=6, bands_per_key=3
+        ).collect()
+    }
+    assert got == _brute_pairs(sigs, 3)
+
+
+def test_banding_guard_rejects_bad_configs(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a", 1)], ["doc_id", "simhash"])
+    with _pt.raises(ValueError):
+        DD.hamming_near_dups(df, max_hamming=3, n_bands=5, bands_per_key=3)
+    with _pt.raises(ValueError):
+        DD.hamming_near_dups(df, max_hamming=3, n_bands=3)
