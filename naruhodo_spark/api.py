@@ -159,6 +159,38 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
     plotToFile = plot_to_file
 
+    def entity_list(self, etype: int | None = None) -> DataFrame:
+        """Reference ``entityList`` analog [PK naruhodo/parser.py keeps
+        per-type entity lists next to G]: the KSG's entity nodes —
+        everything except the predicate nodes — as (node_id, etype,
+        count), optionally filtered to one type code (lang.py gazetteer
+        codes), ordered by mention count."""
+        nodes = self.build()["ksg_nodes"].where(
+            ~F.col("node_id").startswith("pred:")
+        )
+        if etype is not None:
+            nodes = nodes.where(F.col("etype") == int(etype))
+        return nodes.select("node_id", "etype", "count").orderBy(
+            F.col("count").desc(), "node_id"
+        )
+
+    entityList = entity_list  # reference spelling
+
+    def pro_list(self) -> DataFrame:
+        """Reference ``proList`` analog: pronoun-linked nodes
+        (node_id, pro class, count). Node merge keeps max(pro), so this
+        is every node mentioned via a pronoun at least once — resolved
+        pronouns appear as their antecedent (e.g. "she" → carol),
+        unresolved ones as their own surface (coref.py keeps them)."""
+        return (
+            self.build()["ksg_nodes"]
+            .where(F.col("pro") >= 0)
+            .select("node_id", "pro", "count")
+            .orderBy(F.col("count").desc(), "node_id")
+        )
+
+    proList = pro_list  # reference spelling
+
     # -- graph analytics (reference users run these on parser.G via
     #    networkx; here they are DataFrame programs over the same graph) --
     def _require_ksg(self) -> dict[str, DataFrame]:

@@ -45,3 +45,23 @@ def test_facade_add_urls(spark):
     p.add("alice visited bob.")
     edges = p.edges
     assert edges.count() > 0
+
+
+def test_facade_entity_and_pro_lists(spark):
+    p = parser(spark, lang="en")
+    p.add_all(
+        [
+            "alice visited bob.",
+            "alice praised carol. she met dave.",
+        ]
+    )
+    ents = p.entity_list().collect()
+    names = [r["node_id"] for r in ents]
+    assert "alice" in names and "dave" in names
+    assert not any(n.startswith("pred:") for n in names)
+    # ordered by count desc; alice and carol (2 mentions each) lead
+    assert {ents[0]["node_id"], ents[1]["node_id"]} == {"alice", "carol"}
+    # "she" resolved to carol -> carol is the pronoun-linked node
+    pros = p.pro_list().collect()
+    assert [r["node_id"] for r in pros] == ["carol"]
+    assert pros[0]["pro"] == 0  # PRO_PERSONAL
