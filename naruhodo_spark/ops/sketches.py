@@ -92,6 +92,11 @@ def entity_sketch_panel(
     2KB rows, never a rescan."""
     metrics = [c for c in ("subj", "pred", "obj", "doc_id")
                if c in triples.columns]
+    if not metrics:
+        raise ValueError(
+            "entity_sketch_panel needs at least one of subj/pred/obj/"
+            f"doc_id; got columns {triples.columns}"
+        )
     panels = [
         sketch_distinct(triples.select(m), [], m, lgk=lgk) for m in metrics
     ]
@@ -121,7 +126,9 @@ def freq_sketch(
     shuffle moves one sketch per partition, not the rows.
     """
     return df.select(
-        F.xxhash64(F.col(key_col).cast("string")).alias("__k")
+        F.xxhash64(
+            F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+        ).alias("__k")
     ).agg(
         F.count_min_sketch(
             "__k", F.lit(float(eps)), F.lit(float(confidence)),
@@ -191,7 +198,9 @@ def xxhash64_map(spark, keys: list) -> dict:
     """{key: xxhash64(str(key))} via one local Spark job over the tiny
     key list — keeps cms_estimate's hashing bit-identical to the
     sketch's without re-implementing xxhash64 in Python."""
-    df = spark.createDataFrame([(str(k),) for k in keys], ["k"])
+    df = spark.createDataFrame(
+        [("" if k is None else str(k),) for k in keys], ["k"]
+    )
     rows = df.select("k", F.xxhash64("k").alias("h")).collect()
     by_str = {r["k"]: r["h"] for r in rows}
-    return {k: by_str[str(k)] for k in keys}
+    return {k: by_str["" if k is None else str(k)] for k in keys}
