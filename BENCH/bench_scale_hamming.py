@@ -81,7 +81,7 @@ def main() -> None:
         print(json.dumps({
             "config": label, **kw, "n_sigs": args.n,
             "pairs": pairs, "best_wall_sec": round(best, 2),
-            "pairs_per_sec": round(args.n / best, 1),
+            "sigs_per_sec": round(args.n / best, 1),
         }))
     assert len(set(counts.values())) == 1, counts  # identical recall
     spark.stop()

@@ -283,6 +283,13 @@ class parser:  # noqa: N801 — name mirrors the reference API
         injectable stub (no network in this environment)."""
         from naruhodo_spark.websource import WebDocumentSource
 
+        bad = [u for u in urls if "|" in u]
+        if bad:
+            # '|' is the DataSource option separator — a pipe inside a
+            # URL would silently split into bogus fetches
+            raise ValueError(
+                f"URLs containing '|' are not supported: {bad[:3]}"
+            )
         self.spark.dataSource.register(WebDocumentSource)
         docs = (
             self.spark.read.format("naruhodo_web")

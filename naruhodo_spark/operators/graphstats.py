@@ -311,9 +311,17 @@ def landmark_distances(
         )
     hops = hops.distinct().localCheckpoint()
 
-    visited = spark.createDataFrame(
-        [(l, l, 0) for l in landmarks], "node string, landmark string, dist int"
-    )
+    # seed only landmarks that exist in the graph: a typo'd landmark
+    # must be ABSENT from the output, not asserted present at dist 0;
+    # distinct() also collapses duplicated landmark names
+    seeds = spark.createDataFrame(
+        [(lm, lm, 0) for lm in landmarks],
+        "node string, landmark string, dist int",
+    ).distinct()
+    graph_nodes = hops.select("src").union(hops.select("dst")).distinct()
+    visited = seeds.join(
+        graph_nodes.withColumnRenamed("src", "node"), "node", "left_semi"
+    ).localCheckpoint()
     frontier = visited.select("node", "landmark")
     for depth in range(1, max_dist + 1):
         nxt = (

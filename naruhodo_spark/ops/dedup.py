@@ -496,9 +496,13 @@ def _sig_block_keys(
     ]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
     sig = F.col(sig_col)
+    # a 64-bit-wide block (n_bands=1, the max_hamming=0 exact-signature
+    # config) needs no mask — and (1 << 64) - 1 would overflow LongType
     blocks = [
         F.shiftrightunsigned(sig, offsets[i])
         .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        if widths[i] < 64
+        else sig
         for i in range(n_bands)
     ]
     # combo key = xxhash64 of the selected block values: one narrow
@@ -550,7 +554,12 @@ def hamming_hot_buckets(
     (band_idx, band_val, n_members) buckets whose candidate generation
     was dropped. Non-empty output means near-identical signatures above
     the cap — exact-dedup those upstream (the repo's no-silent-caps
-    policy: the drop is observable, never implicit)."""
+    policy: the drop is observable, never implicit).
+
+    NOTE: this standalone form recomputes the banding (and whatever
+    feeds ``sigs``) from scratch — for production use prefer
+    ``hamming_near_dups(..., return_audit=True)``, which returns the
+    same frame from the already-checkpointed bands."""
     n_bands = n_bands or _default_bands(max_hamming, bands_per_key)
     _check_banding(max_hamming, n_bands, bands_per_key)
     bands = _sig_block_keys(sigs, id_col, sig_col, n_bands, bands_per_key)
@@ -569,6 +578,7 @@ def hamming_near_dups(
     n_bands: int | None = None,
     bucket_cap: int = 1_000,
     bands_per_key: int = 1,
+    return_audit: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) <=
     max_hamming over 64-bit signatures — the downstream simhash()
@@ -597,9 +607,12 @@ def hamming_near_dups(
     Skew guard: a key bucket with B members yields B^2/2 candidates —
     near-identical signatures (e.g. simhash 0 for empty docs) would go
     quadratic. Buckets above bucket_cap are dropped from candidate
-    generation (hamming_hot_buckets audits them); exact-dedup upstream
-    is the right tool for identical content. At 10^12 docs everything
-    here is equi-join + groupBy on uniform hash-slice keys.
+    generation (``return_audit=True`` returns (pairs, dropped_buckets)
+    computed from the SAME checkpointed bands — the standalone
+    hamming_hot_buckets recomputes the signature stage and exists for
+    ad-hoc inspection only); exact-dedup upstream is the right tool for
+    identical content. At 10^12 docs everything here is equi-join +
+    groupBy on uniform hash-slice keys.
     """
     n_bands = n_bands or _default_bands(max_hamming, bands_per_key)
     _check_banding(max_hamming, n_bands, bands_per_key)
@@ -610,12 +623,12 @@ def hamming_near_dups(
     bands = _sig_block_keys(
         sigs, id_col, sig_col, n_bands, bands_per_key
     ).localCheckpoint(eager=False)
-    hot = (
+    hot_full = (
         bands.groupBy("band_idx", "band_val")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .where(F.col("n_members") > bucket_cap)
-        .select("band_idx", "band_val")
     )
+    hot = hot_full.select("band_idx", "band_val")
     bands = bands.join(F.broadcast(hot), ["band_idx", "band_val"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -636,11 +649,12 @@ def hamming_near_dups(
         )
         .distinct()  # a pair can match on several keys
     )
-    return cand.select(
+    out = cand.select(
         "id_a",
         "id_b",
         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+    return (out, hot_full) if return_audit else out
 
 
 def simhash_near_dups(

@@ -80,12 +80,21 @@ def train_quality_classifier(
     afterwards with :func:`score_quality`).
     """
     spark = docs.sparkSession
-    feats = (
-        hashed_features(docs, dim, text_col)
-        .join(labels.select("doc_id"), "doc_id", "left_semi")
+    # dedupe labels and keep only labels whose doc exists: a stale or
+    # superset label table would otherwise inflate the gradient
+    # denominator (silent underfit), and duplicate label rows would
+    # double-weight their doc via inner-join fan-out
+    y = (
+        labels.select("doc_id", F.col("label").cast("double").alias("y"))
+        .dropDuplicates(["doc_id"])
+        .join(docs.select("doc_id"), "doc_id", "left_semi")
         .localCheckpoint()
     )
-    y = labels.select("doc_id", F.col("label").cast("double").alias("y"))
+    feats = (
+        hashed_features(docs, dim, text_col)
+        .join(y.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint()
+    )
     n = y.count()
     if n == 0:
         raise ValueError("no labeled documents to train on")

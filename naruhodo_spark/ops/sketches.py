@@ -195,12 +195,22 @@ def cms_estimate(sketch: bytes, key_hashes: dict) -> dict:
 
 
 def xxhash64_map(spark, keys: list) -> dict:
-    """{key: xxhash64(str(key))} via one local Spark job over the tiny
-    key list — keeps cms_estimate's hashing bit-identical to the
-    sketch's without re-implementing xxhash64 in Python."""
-    df = spark.createDataFrame(
-        [("" if k is None else str(k),) for k in keys], ["k"]
+    """{key: hash} via one local Spark job over the tiny key list,
+    applying the IDENTICAL expression freq_sketch aggregates
+    (xxhash64(coalesce(cast(key as string), ''))) to the TYPED values —
+    so boolean/float keys round-trip through Spark's own cast rules
+    ('true', '1.0E-7', …), not Python's str(), and probes hit the same
+    cells the sketch filled."""
+    # one partition so monotonically_increasing_id preserves list order
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).coalesce(1)
+    rows = (
+        df.select(
+            F.monotonically_increasing_id().alias("i"),
+            F.xxhash64(
+                F.coalesce(F.col("k").cast("string"), F.lit(""))
+            ).alias("h"),
+        )
+        .orderBy("i")
+        .collect()
     )
-    rows = df.select("k", F.xxhash64("k").alias("h")).collect()
-    by_str = {r["k"]: r["h"] for r in rows}
-    return {k: by_str["" if k is None else str(k)] for k in keys}
+    return {k: r["h"] for k, r in zip(keys, rows)}

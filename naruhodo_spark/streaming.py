@@ -133,11 +133,44 @@ def distinct_stats_asof(
     raw rescan per checkpoint; ±1.6 % (lgk=12) is the standard trade."""
     from naruhodo_spark.ops import sketches as SK
 
+    if not storage.table_exists(spark, "sketch_panel", out_dir):
+        raise ValueError(
+            f"no sketch_panel table at {out_dir}: the store predates the "
+            "panel (or every epoch had zero triples) — run "
+            "rebuild_sketch_panel(spark, out_dir) to backfill from "
+            "triples_raw"
+        )
     panel = storage.read_table(spark, "sketch_panel", out_dir).where(
         F.col("epoch") <= int(epoch)
     )
     return SK.estimate_distinct(SK.merge_sketches(panel, ["metric"])).select(
         "metric", "n_distinct_est"
+    )
+
+
+def rebuild_sketch_panel(spark: SparkSession, out_dir: str) -> None:
+    """Backfill/repair the per-epoch sketch panel from the exactly-once
+    ``triples_raw`` record: one grouped pass computes every epoch's
+    4 sketches (the upgrade path for stores written before the panel
+    existed, and the recovery after restoring out_dir from a backup —
+    same role rebuild_aggregates plays for the graph tables). Without
+    the backfill, an upgraded store's as-of folds would silently
+    undercount epochs ingested pre-upgrade."""
+    from naruhodo_spark.ops import sketches as SK
+
+    raw = storage.read_table(spark, "triples_raw", out_dir)
+    panels = [
+        SK.sketch_distinct(raw.select("epoch", m), ["epoch"], m)
+        for m in ("subj", "pred", "obj", "doc_id")
+        if m in raw.columns
+    ]
+    panel = panels[0]
+    for p in panels[1:]:
+        panel = panel.unionByName(p)
+    panel = panel.select("epoch", "metric", "sketch").localCheckpoint()
+    storage.write_table(
+        panel, "sketch_panel", out_dir, mode="overwrite",
+        partition_by=["epoch"],
     )
 
 

@@ -65,3 +65,11 @@ def test_facade_entity_and_pro_lists(spark):
     pros = p.pro_list().collect()
     assert [r["node_id"] for r in pros] == ["carol"]
     assert pros[0]["pro"] == 0  # PRO_PERSONAL
+
+
+def test_add_urls_rejects_pipes(spark):
+    import pytest as _pt
+
+    p = parser(spark, lang="en")
+    with _pt.raises(ValueError, match=r"\|"):
+        p.add_urls(["https://e.org/w?title=A|B"])

@@ -305,3 +305,15 @@ def test_landmark_distances_vs_python_bfs(spark):
             t = true[lm].get(x)
             if t is not None and t <= 6 and key in ub:
                 assert ub[key] == t, (key, ub[key], t)
+
+
+def test_landmark_missing_and_duplicate_landmarks(spark):
+    df = _edges_df(spark, [("a", "rel", "b", 1), ("b", "rel", "c", 1)])
+    from naruhodo_spark.operators.graphstats import landmark_distances
+
+    d = landmark_distances(df, ["a", "a", "no-such-node"], max_dist=3)
+    rows = [(r["node"], r["landmark"], r["dist"]) for r in d.collect()]
+    # a typo'd landmark is absent, not asserted at dist 0; duplicate
+    # landmark names collapse to one BFS
+    assert all(lm == "a" for _, lm, _ in rows)
+    assert sorted(rows) == [("a", "a", 0), ("b", "a", 1), ("c", "a", 2)]

@@ -154,3 +154,27 @@ def test_banding_guard_rejects_bad_configs(spark):
         DD.hamming_near_dups(df, max_hamming=3, n_bands=5, bands_per_key=3)
     with _pt.raises(ValueError):
         DD.hamming_near_dups(df, max_hamming=3, n_bands=3)
+
+
+def test_max_hamming_zero_exact_signatures(spark):
+    # n_bands=1 -> one 64-bit block; the mask path must not overflow
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", -7), ("d", -7), ("e", 9)],
+        ["doc_id", "simhash"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.hamming_near_dups(df, max_hamming=0).collect()
+    }
+    assert got == {("a", "b"), ("c", "d")}
+
+
+def test_return_audit_shares_bands(spark):
+    rows = [(f"dup-{i}", 1234567) for i in range(50)]
+    rows += [("keep-a", 1 << 40), ("keep-b", (1 << 40) ^ 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    pairs, audit = DD.hamming_near_dups(
+        df, max_hamming=3, bucket_cap=10, return_audit=True
+    )
+    assert pairs.count() == 1
+    assert audit.agg(F.max("n_members")).head()[0] == 52

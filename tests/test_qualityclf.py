@@ -101,3 +101,25 @@ def test_empty_doc_scores_prior(spark, trained):
     prior = 1.0 / (1.0 + np.exp(-bias_w))
     for r in rows:
         assert abs(r["p_good"] - prior) < 1e-9
+
+
+def test_labels_superset_and_duplicates_do_not_skew(spark):
+    docs, labels = _corpus(spark)
+    clean = QC.train_quality_classifier(
+        docs, labels, dim=DIM, iters=5, lr=2.0
+    ).collect()
+    # stale superset (1000 labels with no doc) + duplicated rows
+    import pyspark.sql.functions as F
+    stale = spark.range(1000).select(
+        F.concat(F.lit("ghost-"), F.col("id").cast("string")).alias("doc_id"),
+        F.lit(1.0).alias("label"),
+    )
+    messy = labels.unionByName(labels).unionByName(stale)
+    dirty = QC.train_quality_classifier(
+        docs, messy, dim=DIM, iters=5, lr=2.0
+    ).collect()
+    w_clean = {r["bucket"]: r["weight"] for r in clean}
+    w_dirty = {r["bucket"]: r["weight"] for r in dirty}
+    assert set(w_clean) == set(w_dirty)
+    for b, w in w_clean.items():
+        assert abs(w - w_dirty[b]) < 1e-12, b

@@ -649,3 +649,36 @@ def test_sketch_panel_asof_tracks_raw(spark, tmp_out):
           for r in distinct_stats_asof(spark, out, epochs[1]).collect()}
     assert d1["doc_id"] > d0["doc_id"]
     docs.unpersist()
+
+
+def test_distinct_stats_guard_and_panel_backfill(spark, tmp_out):
+    """A pre-panel store (triples_raw only) gets a clear error from
+    distinct_stats_asof, and rebuild_sketch_panel backfills every epoch
+    from raw so the as-of folds match exact recounts."""
+    import pytest as _pt
+
+    from naruhodo_spark.streaming import (
+        distinct_stats_asof,
+        rebuild_sketch_panel,
+    )
+
+    raw = spark.createDataFrame(
+        [(f"s{i % 7}", "p", f"o{i % 5}", f"d{i}", i % 3)
+         for i in range(60)],
+        "subj string, pred string, obj string, doc_id string, epoch int",
+    )
+    storage.write_table(
+        raw, "triples_raw", tmp_out, mode="overwrite", partition_by=["epoch"]
+    )
+    with _pt.raises(ValueError, match="rebuild_sketch_panel"):
+        distinct_stats_asof(spark, tmp_out, 2)
+    rebuild_sketch_panel(spark, tmp_out)
+    for e in (0, 1, 2):
+        asof = {
+            r["metric"]: r["n_distinct_est"]
+            for r in distinct_stats_asof(spark, tmp_out, e).collect()
+        }
+        upto = raw.where(F.col("epoch") <= e)
+        for m in ("subj", "pred", "obj", "doc_id"):
+            exact = upto.select(m).distinct().count()
+            assert abs(asof[m] - exact) <= max(1, 0.05 * exact), (e, m)

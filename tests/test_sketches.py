@@ -115,3 +115,15 @@ def test_cms_point_query_mirrors_spark(spark):
         assert est[k] <= true + 0.001 * n + 1, (k, est[k], true)
     # the hot key is cleanly separable from the tail — the skew-probe use
     assert est["hot"] > 10 * max(est["t1"], est["t3"], 1)
+
+
+def test_cms_typed_keys_roundtrip(spark):
+    # boolean/float keys must hash through Spark's cast rules, not
+    # Python str() — 'true' vs 'True', '1.0E-7' vs '1e-07'
+    df = spark.createDataFrame(
+        [(True,)] * 30 + [(False,)] * 5, ["k"]
+    )
+    sk = SK.freq_sketch(df, "k", eps=0.01, confidence=0.99).head()
+    est = SK.cms_estimate(sk["sketch"], SK.xxhash64_map(spark, [True, False]))
+    assert est[True] >= 30 and est[False] >= 5
+    assert est[True] <= 30 + 0.01 * 35 + 1
