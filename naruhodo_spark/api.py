@@ -267,6 +267,16 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), landmarks, max_dist, direction
         )
 
+    def train_embeddings(self, dim: int = 16, iters: int = 20,
+                         **kw) -> dict[str, DataFrame]:
+        """TransE embeddings over the KSG (ops/kgembed.py):
+        {"ent_emb", "rel_emb"} as (name, vec) DataFrames — the
+        graph-embedding training users run on exported graphs, kept
+        distributed."""
+        from naruhodo_spark.ops import kgembed as KEM
+
+        return KEM.train_transe(self._ksg_edges(), dim=dim, iters=iters, **kw)
+
     def triangles(self) -> DataFrame:
         """(node, triangles, degree, clustering) — degree-ordered
         triangle counting over the KSG (operators/graphstats.py)."""

@@ -1,0 +1,257 @@
+"""Distributed KG-embedding training (TransE, Bordes 2013) as a
+DataFrame program — the training loop the reference's users run on
+exported graphs, kept ON the cluster because a 10^9-entity embedding
+table never fits a driver.
+
+Model state = two DataFrames: ``ent_emb(name, vec array<double>)`` and
+``rel_emb(name, vec)``. One full-batch margin-loss iteration compiles
+to a fixed, driver-free plan:
+
+    pairs ⋈ embeddings          (5 uniform equi-joins on entity/pred)
+    violation mask + gradients  (zip_with / transform HOFs, JVM-side)
+    per-entity gradient         (union of 4 slot frames → ONE groupBy
+                                 with d element-wise F.avg aggs — no
+                                 explode-by-dimension row blowup)
+    update + L2-normalize       (left join + HOF arithmetic)
+
+Shuffle keys are entity/pred names — hub entities are real skew, which
+AQE's skew-join splitting handles (session.py); the gradient groupBy
+is map-side combinable. ``localCheckpoint`` per iteration truncates
+the iterative lineage (the CC/PageRank/classifier loop discipline).
+
+Determinism: init vectors derive per-(name, dim) from xxhash64 — no
+RNG; negatives come from ops/kgtrain.negative_samples(with_origin=True)
+(hash-derived, filtered); full-batch GD has no sampling. Reruns agree
+to float reassociation; pinned against an exact numpy mirror in
+tests/test_kgembed.py.
+
+Loss (squared-distance variant): for positive (h, r, t) and its
+corruption (h', r, t'),  L = Σ max(0, margin + |h+r−t|² − |h'+r−t'|²),
+entity vectors re-normalized to unit L2 every iteration (Bordes' own
+protocol); relations normalized at init only.
+
+At 10^12-doc scale full-batch is the wrong batch size — shard the pairs
+frame by hash into mini-epochs and run this loop per shard (the update
+rule is unchanged); the operator keeps full batch because it is exactly
+mirrorable and the plan shape per step is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 16
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """localCheckpoint + REBUILD over the materialized InternalRow RDD.
+
+    Plain localCheckpoint truncates the logical plan but its LogicalRDD
+    KEEPS the origin plan's Catalyst statistics. In a loop whose round
+    joins the model table several times, join stats multiply child
+    sizeInBytes, so the carried BigInteger's digit count compounds
+    ~(joins-per-round)× per iteration — measured here: 19 → 132 → 580 →
+    2371 → 9537 digits in 5 rounds, after which the driver spends its
+    time in BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor
+    (iteration wall went 0.3 s → 172 s by round 8). PageRank/CC never
+    hit this because one join per round grows digits linearly.
+    Rebuilding via internalCreateDataFrame over the SAME checkpointed
+    RDD (no data movement, no Python round-trip) resets stats to the
+    default, making every iteration's planning cost constant."""
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
+def _rand_vec(name_col, dim: int, seed: str, scale: float):
+    """array<double> of ``dim`` hash-derived uniforms in [-scale, scale]
+    — the xavier-style TransE init (scale = 6/sqrt(dim)) without RNG
+    state."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.lit(seed), name_col, i), F.lit(1_000_000))
+            / 500_000.0
+            - 1.0
+        )
+        * scale,
+    )
+
+
+def _l2_normalize(vec):
+    nrm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(nrm > 0, F.transform(vec, lambda x: x / nrm)).otherwise(vec)
+
+
+def init_embeddings(
+    names: DataFrame, dim: int = DIM, seed: str = "emb42", normalize=True
+) -> DataFrame:
+    """(name, vec) — deterministic init for a 1-column names frame."""
+    scale = 6.0 / (dim ** 0.5)
+    col = names.columns[0]
+    vec = _rand_vec(F.col(col), dim, seed, scale)
+    if normalize:
+        vec = _l2_normalize(vec)
+    return names.select(F.col(col).alias("name"), vec.alias("vec"))
+
+
+def _vadd(a, b):
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def _vsub(a, b):
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def _vscale(a, c):
+    return F.transform(a, lambda x: x * c)
+
+
+def _sqnorm(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def training_pairs(ksg_edges: DataFrame, k_neg: int = 2) -> DataFrame:
+    """(h, r, t, nh, nt) — each positive with one of its filtered
+    hash-corruptions (ops/kgtrain.negative_samples carries the replaced
+    entity back via with_origin, so the pair is exact)."""
+    from naruhodo_spark.ops import kgtrain as KT
+
+    negs = KT.negative_samples(ksg_edges, k=k_neg, with_origin=True)
+    tail = F.col("corrupted") == "tail"
+    return negs.select(
+        F.when(tail, F.col("subj")).otherwise(F.col("orig")).alias("h"),
+        F.col("pred").alias("r"),
+        F.when(tail, F.col("orig")).otherwise(F.col("obj")).alias("t"),
+        F.col("subj").alias("nh"),
+        F.col("obj").alias("nt"),
+    )
+
+
+def _grad_mean(contribs: DataFrame, dim: int) -> DataFrame:
+    """(name, g) — element-wise MEAN of gradient arrays per name: d
+    column-wise F.avg aggs (columnar, map-side combinable), never an
+    explode-by-dimension. Mean, not sum: in full batch a hub entity /
+    frequent relation collects thousands of contributions, and a summed
+    step scales with its frequency — measured to blow relation norms to
+    ~10^4 and invert the margin. The mean keeps every step O(lr)
+    regardless of degree (per-name normalized gradient)."""
+    return contribs.groupBy("name").agg(
+        F.array(
+            *[F.avg(F.element_at("g", i + 1)) for i in range(dim)]
+        ).alias("g")
+    )
+
+
+def train_transe(
+    ksg_edges: DataFrame,
+    dim: int = DIM,
+    iters: int = 20,
+    lr: float = 0.1,
+    margin: float = 1.0,
+    k_neg: int = 2,
+    seed: str = "emb42",
+) -> dict[str, DataFrame]:
+    """Fit TransE over KSG edges; returns {"ent_emb", "rel_emb"}
+    (name, vec array<double>) DataFrames."""
+    from naruhodo_spark.ops import kgtrain as KT
+
+    pairs = _truncate(training_pairs(ksg_edges, k_neg))
+    ents = KT.entity_table(ksg_edges)
+    rels = ksg_edges.select(F.col("pred").alias("name")).distinct()
+    ent = _truncate(init_embeddings(ents, dim, seed))
+    rel = _truncate(init_embeddings(rels, dim, seed + "/rel"))
+
+    for _ in range(int(iters)):
+        j = (
+            pairs
+            .join(ent.select(F.col("name").alias("h"),
+                             F.col("vec").alias("hv")), "h")
+            .join(ent.select(F.col("name").alias("t"),
+                             F.col("vec").alias("tv")), "t")
+            .join(ent.select(F.col("name").alias("nh"),
+                             F.col("vec").alias("nhv")), "nh")
+            .join(ent.select(F.col("name").alias("nt"),
+                             F.col("vec").alias("ntv")), "nt")
+            .join(rel.select(F.col("name").alias("r"),
+                             F.col("vec").alias("rv")), "r")
+        )
+        j = j.withColumn("sp", _vsub(_vadd(F.col("hv"), F.col("rv")),
+                                     F.col("tv")))
+        j = j.withColumn("sn", _vsub(_vadd(F.col("nhv"), F.col("rv")),
+                                     F.col("ntv")))
+        viol = (
+            j.where(F.lit(float(margin)) + _sqnorm(F.col("sp"))
+                    - _sqnorm(F.col("sn")) > 0)
+            .select("h", "r", "t", "nh", "nt", "sp", "sn")
+            .localCheckpoint()  # 5 gradient consumers below; stats reset
+            # happens at the ent/rel _truncate below, so this plain
+            # checkpoint cannot compound across rounds
+        )
+        two_sp = _vscale(F.col("sp"), F.lit(2.0))
+        two_sn = _vscale(F.col("sn"), F.lit(2.0))
+        ent_contribs = (
+            viol.select(F.col("h").alias("name"), two_sp.alias("g"))
+            .unionByName(
+                viol.select(F.col("t").alias("name"),
+                            _vscale(F.col("sp"), F.lit(-2.0)).alias("g")))
+            .unionByName(
+                viol.select(F.col("nh").alias("name"),
+                            _vscale(F.col("sn"), F.lit(-2.0)).alias("g")))
+            .unionByName(
+                viol.select(F.col("nt").alias("name"), two_sn.alias("g")))
+        )
+        rel_contribs = viol.select(
+            F.col("r").alias("name"), _vsub(two_sp, two_sn).alias("g")
+        )
+        eg = _grad_mean(ent_contribs, dim)
+        rg = _grad_mean(rel_contribs, dim)
+
+        def step(emb: DataFrame, grad: DataFrame, normalize: bool):
+            upd = emb.join(grad, "name", "left").select(
+                "name",
+                F.when(
+                    F.col("g").isNotNull(),
+                    F.zip_with(
+                        "vec", "g",
+                        lambda v, g: v - F.lit(float(lr)) * g
+                    ),
+                ).otherwise(F.col("vec")).alias("vec"),
+            )
+            if normalize:
+                upd = upd.select(
+                    "name", _l2_normalize(F.col("vec")).alias("vec")
+                )
+            return _truncate(upd)
+
+        ent = step(ent, eg, normalize=True)
+        rel = step(rel, rg, normalize=False)
+    return {"ent_emb": ent, "rel_emb": rel}
+
+
+def score_triples(
+    triples: DataFrame, ent_emb: DataFrame, rel_emb: DataFrame
+) -> DataFrame:
+    """(subj, pred, obj, dist) — TransE plausibility |h+r−t|² per input
+    triple (lower = more plausible); three equi-joins + HOF arithmetic,
+    the link-prediction scoring path."""
+    j = (
+        triples.select("subj", "pred", "obj")
+        .join(ent_emb.select(F.col("name").alias("subj"),
+                             F.col("vec").alias("hv")), "subj")
+        .join(ent_emb.select(F.col("name").alias("obj"),
+                             F.col("vec").alias("tv")), "obj")
+        .join(rel_emb.select(F.col("name").alias("pred"),
+                             F.col("vec").alias("rv")), "pred")
+    )
+    return j.select(
+        "subj", "pred", "obj",
+        _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")), F.col("tv")))
+        .alias("dist"),
+    )

@@ -50,15 +50,23 @@ def negative_samples(
     k: int = 2,
     seed: str = "neg42",
     bucket_target: int = 32,
+    with_origin: bool = False,
 ) -> DataFrame:
     """(subj, pred, obj, neg_i, corrupted) — up to k corrupted triples
     per positive; even neg_i corrupts the object (tail), odd corrupts
     the subject (head). ``corrupted`` = 'head' | 'tail'.
+
+    ``with_origin=True`` appends ``orig`` — the entity the corruption
+    replaced — so a caller can reconstruct the (positive, negative)
+    PAIR each row came from (TransE-style margin losses train on the
+    pair, not the bare negative: ops/kgembed.py).
     """
-    empty = ksg_edges.sparkSession.createDataFrame(
-        [], "subj string, pred string, obj string, neg_i int,"
-        " corrupted string"
+    schema = (
+        "subj string, pred string, obj string, neg_i int, corrupted string"
     )
+    if with_origin:
+        schema += ", orig string"
+    empty = ksg_edges.sparkSession.createDataFrame([], schema)
     if k <= 0:
         # sequence(0, k-1) would count DOWN (the repo-documented
         # descending-sequence pitfall) and mint neg_i=-1 rows
@@ -112,7 +120,11 @@ def negative_samples(
         # self-corruption guard: replacement must differ from the slot
         F.when(tail, F.col("obj")).otherwise(F.col("subj")).alias("_orig"),
         "replacement",
-    ).where(F.col("replacement") != F.col("_orig")).drop("_orig", "replacement")
+    ).where(F.col("replacement") != F.col("_orig"))
+
+    if with_origin:
+        negs = negs.withColumn("orig", F.col("_orig"))
+    negs = negs.drop("_orig", "replacement")
 
     # filtered sampling: a corruption that IS a true triple is not a
     # negative — anti-join against the positive set

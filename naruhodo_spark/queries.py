@@ -2330,12 +2330,40 @@ def td_quality_classifier(spark, sf_dir):
     return QC.score_quality(docs, w, dim=1 << 12)
 
 
+def td_transe_embeddings(spark, sf_dir):
+    """Distributed TransE over the synth KSG (ops/kgembed.py — Bordes
+    2013): 15 full-batch margin-GD iterations where the model is two
+    (name, vec) DataFrames and one step is 5 uniform equi-joins + one
+    d-column gradient agg; returns every positive/corruption scored by
+    the trained model (|h+r−t|², the link-prediction path). Exact numpy
+    GD mirror + margin-learning property pinned in
+    tests/test_kgembed.py (rows-only — iterative training)."""
+    from naruhodo_spark.ops import kgembed as KEM
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    model = KEM.train_transe(edges, dim=8, iters=15, lr=0.3, k_neg=2)
+    pairs = KEM.training_pairs(edges, k_neg=2)
+    pos = pairs.select(
+        F.col("h").alias("subj"), F.col("r").alias("pred"),
+        F.col("t").alias("obj"), F.lit("pos").alias("side"))
+    neg = pairs.select(
+        F.col("nh").alias("subj"), F.col("r").alias("pred"),
+        F.col("nt").alias("obj"), F.lit("neg").alias("side"))
+    scored = KEM.score_triples(
+        pos.unionByName(neg).distinct(), model["ent_emb"], model["rel_emb"]
+    )
+    return pos.unionByName(neg).distinct().join(
+        scored, ["subj", "pred", "obj"]
+    ).select("subj", "pred", "obj", "side", F.round("dist", 6).alias("dist"))
+
+
 for _n, _f in [
     ("kg_distinct_sketches", kg_distinct_sketches),
     ("mm_media_near_dups", mm_media_near_dups),
     ("dd_simhash_near_dups", dd_simhash_near_dups),
     ("kg_landmark_distances", kg_landmark_distances),
     ("td_quality_classifier", td_quality_classifier),
+    ("td_transe_embeddings", td_transe_embeddings),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),

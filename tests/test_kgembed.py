@@ -1,0 +1,145 @@
+"""Distributed TransE (ops/kgembed.py): exact numpy mirror of the
+full-batch margin GD (same init, same pairs, same update — collected
+from Spark so the hash-derived values are bit-identical), plus a
+learning property: true triples score closer than corruptions after
+training."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from naruhodo_spark.ops import kgembed as KE
+
+DIM = 8
+
+
+def _edges(spark):
+    # bipartite-ish planted structure: people 'visit' places,
+    # places 'host' events — enough entities for negatives to exist
+    rows = []
+    for i in range(12):
+        rows.append((f"person{i}", "visit", f"place{i % 4}", 1.0))
+    for i in range(4):
+        rows.append((f"place{i}", "host", f"event{i % 2}", 1.0))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, weight double"
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    edges = _edges(spark)
+    model = KE.train_transe(
+        edges, dim=DIM, iters=15, lr=0.1, margin=1.0, k_neg=2
+    )
+    return edges, model
+
+
+def test_transe_matches_numpy_mirror(spark, trained):
+    edges, model = trained
+    # identical inputs, straight from Spark
+    pairs = [
+        (r["h"], r["r"], r["t"], r["nh"], r["nt"])
+        for r in KE.training_pairs(edges, k_neg=2).collect()
+    ]
+    from naruhodo_spark.ops import kgtrain as KT
+
+    ents = [r["entity"] for r in KT.entity_table(edges).collect()]
+    rels = [r["name"] for r in
+            edges.select(F.col("pred").alias("name")).distinct().collect()]
+    e0 = {
+        r["name"]: np.array(r["vec"])
+        for r in KE.init_embeddings(
+            spark.createDataFrame([(e,) for e in ents], ["entity"]), DIM
+        ).collect()
+    }
+    r0 = {
+        r["name"]: np.array(r["vec"])
+        for r in KE.init_embeddings(
+            spark.createDataFrame([(x,) for x in rels], ["name"]),
+            DIM, seed="emb42/rel",
+        ).collect()
+    }
+
+    def norm(v):
+        n = np.sqrt((v * v).sum())
+        return v / n if n > 0 else v
+
+    E = {k: v.copy() for k, v in e0.items()}
+    R = {k: v.copy() for k, v in r0.items()}
+    lr, margin = 0.1, 1.0
+    for _ in range(15):
+        ge = {k: np.zeros(DIM) for k in E}
+        ce = {k: 0 for k in E}
+        gr = {k: np.zeros(DIM) for k in R}
+        cr = {k: 0 for k in R}
+        for h, r, t, nh, nt in pairs:
+            sp = E[h] + R[r] - E[t]
+            sn = E[nh] + R[r] - E[nt]
+            if margin + (sp * sp).sum() - (sn * sn).sum() > 0:
+                # mean gradient per name: accumulate sum + count, like
+                # _grad_mean's per-dim F.avg
+                ge[h] += 2 * sp; ce[h] += 1
+                ge[t] -= 2 * sp; ce[t] += 1
+                ge[nh] -= 2 * sn; ce[nh] += 1
+                ge[nt] += 2 * sn; ce[nt] += 1
+                gr[r] += 2 * sp - 2 * sn; cr[r] += 1
+        E = {k: norm(E[k] - lr * (ge[k] / max(ce[k], 1))) for k in E}
+        R = {k: R[k] - lr * (gr[k] / max(cr[k], 1)) for k in R}
+
+    got_e = {r["name"]: np.array(r["vec"])
+             for r in model["ent_emb"].collect()}
+    got_r = {r["name"]: np.array(r["vec"])
+             for r in model["rel_emb"].collect()}
+    assert set(got_e) == set(E) and set(got_r) == set(R)
+    for k in E:
+        np.testing.assert_allclose(got_e[k], E[k], atol=1e-9, err_msg=k)
+    for k in R:
+        np.testing.assert_allclose(got_r[k], R[k], atol=1e-9, err_msg=k)
+
+
+def test_transe_learns_margin(spark, trained):
+    edges, model = trained
+    pairs = KE.training_pairs(edges, k_neg=2)
+    pos = pairs.select(
+        F.col("h").alias("subj"), F.col("r").alias("pred"),
+        F.col("t").alias("obj"))
+    neg = pairs.select(
+        F.col("nh").alias("subj"), F.col("r").alias("pred"),
+        F.col("nt").alias("obj"))
+
+    def mean_dist(triples, ent, rel):
+        return (
+            KE.score_triples(triples, ent, rel)
+            .agg(F.avg("dist")).head()[0]
+        )
+
+    from naruhodo_spark.ops import kgtrain as KT
+    ent0 = KE.init_embeddings(KT.entity_table(edges), DIM)
+    rel0 = KE.init_embeddings(
+        edges.select(F.col("pred").alias("name")).distinct(),
+        DIM, seed="emb42/rel")
+    sep0 = mean_dist(neg, ent0, rel0) - mean_dist(pos, ent0, rel0)
+    sep1 = (mean_dist(neg, model["ent_emb"], model["rel_emb"])
+            - mean_dist(pos, model["ent_emb"], model["rel_emb"]))
+    # training must open the positive/negative gap substantially
+    assert sep1 > sep0 + 0.3, (sep0, sep1)
+    # and positives end up closer than negatives in absolute terms
+    assert mean_dist(pos, model["ent_emb"], model["rel_emb"]) < mean_dist(
+        neg, model["ent_emb"], model["rel_emb"])
+
+
+def test_negative_samples_with_origin_reconstructs_positive(spark):
+    from naruhodo_spark.ops import kgtrain as KT
+
+    edges = _edges(spark)
+    pos = {(r["subj"], r["pred"], r["obj"])
+           for r in edges.select("subj", "pred", "obj").distinct().collect()}
+    negs = KT.negative_samples(edges, k=2, with_origin=True).collect()
+    assert len(negs) > 0
+    for r in negs:
+        if r["corrupted"] == "tail":
+            assert (r["subj"], r["pred"], r["orig"]) in pos
+        else:
+            assert (r["orig"], r["pred"], r["obj"]) in pos
+        assert (r["subj"], r["pred"], r["obj"]) not in pos
