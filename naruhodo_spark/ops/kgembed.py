@@ -157,16 +157,37 @@ def train_transe(
     margin: float = 1.0,
     k_neg: int = 2,
     seed: str = "emb42",
+    init_ent: DataFrame | None = None,
+    init_rel: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Fit TransE over KSG edges; returns {"ent_emb", "rel_emb"}
-    (name, vec array<double>) DataFrames."""
+    (name, vec array<double>) DataFrames.
+
+    ``init_ent``/``init_rel`` warm-start from a previous model (e.g.
+    the last streaming epoch's tables): entities/relations present
+    there keep their trained vectors, names NEW to this edge set get
+    the hash init — the incremental-epoch protocol, so per-epoch
+    training cost follows the epoch, not the all-time graph. Stale
+    names (in the init but absent from these edges) are dropped; union
+    the previous table back in afterwards if they should persist."""
     from naruhodo_spark.ops import kgtrain as KT
 
     pairs = _truncate(training_pairs(ksg_edges, k_neg))
     ents = KT.entity_table(ksg_edges)
     rels = ksg_edges.select(F.col("pred").alias("name")).distinct()
-    ent = _truncate(init_embeddings(ents, dim, seed))
-    rel = _truncate(init_embeddings(rels, dim, seed + "/rel"))
+
+    def _init(names, s, warm):
+        fresh = init_embeddings(names, dim, s)
+        if warm is None:
+            return _truncate(fresh)
+        keep = warm.join(
+            names.toDF("name"), "name", "left_semi"
+        ).select("name", "vec")
+        new = fresh.join(warm.select("name"), "name", "left_anti")
+        return _truncate(keep.unionByName(new))
+
+    ent = _init(ents, seed, init_ent)
+    rel = _init(rels, seed + "/rel", init_rel)
 
     for _ in range(int(iters)):
         j = (

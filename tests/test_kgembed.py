@@ -143,3 +143,37 @@ def test_negative_samples_with_origin_reconstructs_positive(spark):
         else:
             assert (r["orig"], r["pred"], r["obj"]) in pos
         assert (r["subj"], r["pred"], r["obj"]) not in pos
+
+
+def test_warm_start_keeps_trained_and_inits_new(spark, trained):
+    edges, model = trained
+    # second "epoch": one new entity + reuse of existing ones
+    new_edges = _edges(spark).unionByName(
+        spark.createDataFrame(
+            [("person0", "visit", "newplace", 1.0)],
+            "subj string, pred string, obj string, weight double",
+        )
+    )
+    warm = KE.train_transe(
+        new_edges, dim=DIM, iters=0, k_neg=2,
+        init_ent=model["ent_emb"], init_rel=model["rel_emb"],
+    )
+    prev = {r["name"]: tuple(r["vec"]) for r in model["ent_emb"].collect()}
+    got = {r["name"]: tuple(r["vec"]) for r in warm["ent_emb"].collect()}
+    # iters=0 -> warm entities keep their exact trained vectors
+    for name, vec in prev.items():
+        assert got[name] == vec, name
+    # the new entity exists and got the deterministic hash init
+    fresh = {
+        r["name"]: tuple(r["vec"])
+        for r in KE.init_embeddings(
+            spark.createDataFrame([("newplace",)], ["entity"]), DIM
+        ).collect()
+    }
+    assert got["newplace"] == fresh["newplace"]
+    # and training from the warm start still runs
+    warm2 = KE.train_transe(
+        new_edges, dim=DIM, iters=2, k_neg=2,
+        init_ent=model["ent_emb"], init_rel=model["rel_emb"],
+    )
+    assert warm2["ent_emb"].count() == len(got)
