@@ -245,7 +245,10 @@ def near_dup_groups(
 ) -> DataFrame:
     """The production dedup deliverable: (doc_id, group_id) for EVERY
     doc, where group_id = min doc_id over the transitive closure of the
-    exact-duplicate and LSH-near-duplicate relations.
+    exact-duplicate and LSH-near-duplicate relations. CONTRACT: doc_id
+    must be numeric (castable to bigint — the repo-wide id policy);
+    non-numeric ids fail the final cast with CAST_INVALID_INPUT under
+    ANSI mode.
 
     Tiered for scale: byte-identical docs collapse onto one
     representative FIRST (one balanced shuffle on the content

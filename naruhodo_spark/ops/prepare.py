@@ -21,6 +21,12 @@ Stage order matters at scale and is the standard one:
 6. split LAST so train/val/test stay leak-free across near-duplicates
    (both members of a near-dup pair land in the same group, and the
    group representative carries the whole group into one split).
+
+An optional model-based quality gate (ops/qualityclf.py) runs with the
+cheap gates in stage 3: given a trained (bucket, weight) table, docs
+scoring below ``quality_threshold`` are dropped and every survivor
+carries ``p_good`` — the GPT-3 §A reference-vs-crawl filter slotted
+into the standard pipeline order.
 """
 
 from __future__ import annotations
@@ -41,6 +47,9 @@ def prepare_corpus(
     bench: DataFrame | None = None,
     decontam_n: int = 13,
     source_cap: int | None = None,
+    quality_weights: DataFrame | None = None,
+    quality_threshold: float = 0.5,
+    quality_dim: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, text, …) → one row per SURVIVING doc:
     (doc_id, text_redacted, group_id, group_size, n_tokens,
@@ -51,7 +60,8 @@ def prepare_corpus(
     the dedup multiplicity for loss-weighting schemes.
 
     Requires a ``source`` column on ``docs`` when ``source_cap`` is set
-    (the per-source quota has nothing to key on otherwise)."""
+    (the per-source quota has nothing to key on otherwise), and NUMERIC
+    doc_ids (near_dup_groups' group ids are bigint by contract)."""
     if source_cap is not None and "source" not in docs.columns:
         raise ValueError(
             "prepare_corpus(source_cap=...) requires a 'source' column on "
@@ -83,15 +93,31 @@ def prepare_corpus(
             (F.col("n_tokens") >= min_tokens)
             & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         )
-        .select(
-            "doc_id",
-            F.col("text").alias("text_redacted"),
-            "group_id",
-            "group_size",
-            "n_tokens",
-            "top_bigram_frac",
-            "split",
+    )
+    extra_cols = []
+    if quality_weights is not None:
+        # model-based gate rides the scrubbed text (same content every
+        # other stage sees); scoring is one join against the dim-bounded
+        # weights table + one per-doc agg (ops/qualityclf.score_quality)
+        from naruhodo_spark.ops import qualityclf as QC
+
+        qkw = {} if quality_dim is None else {"dim": quality_dim}
+        scores = QC.score_quality(red, quality_weights, **qkw).select(
+            "doc_id", "p_good"
         )
+        out = out.join(scores, "doc_id").where(
+            F.col("p_good") >= float(quality_threshold)
+        )
+        extra_cols = ["p_good"]
+    out = out.select(
+        "doc_id",
+        F.col("text").alias("text_redacted"),
+        "group_id",
+        "group_size",
+        "n_tokens",
+        "top_bigram_frac",
+        "split",
+        *extra_cols,
     )
     if bench is not None:
         from naruhodo_spark.ops import decontam as DC

@@ -804,3 +804,44 @@ def test_duplicate_alias_rows_no_row_multiplication(spark):
     # etype resolved deterministically to max (3)
     et = {r["subj_ne"] for r in a.where(F.col("subj") == "acme").collect()}
     assert et == {3}
+
+
+def test_prepare_corpus_quality_gate(spark):
+    """prepare_corpus(quality_weights=...): docs the trained classifier
+    scores below threshold are dropped and survivors carry p_good; the
+    pipeline without the gate is unchanged."""
+    from naruhodo_spark.ops import qualityclf as QC
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    good_text = "we show results of the analysis and the methodology here"
+    bad_text = "click now to buy cheap casino pills winner free bonus now"
+    train_docs = spark.createDataFrame(
+        [(f"g{i}", good_text + f" variant{i}") for i in range(20)]
+        + [(f"b{i}", bad_text + f" variant{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    labels = spark.createDataFrame(
+        [(f"g{i}", 1.0) for i in range(20)] + [(f"b{i}", 0.0) for i in range(20)],
+        ["doc_id", "label"],
+    )
+    w = QC.train_quality_classifier(
+        train_docs, labels, dim=1 << 12, iters=15, lr=2.0
+    )
+    # numeric doc_ids: near_dup_groups' group ids are bigint by
+    # contract (dedup.py pad_numeric_id)
+    docs = spark.createDataFrame(
+        [(str(i), (good_text if i % 2 else bad_text) + f" unique{i} filler")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    gated = prepare_corpus(
+        docs, quality_weights=w, quality_threshold=0.5, quality_dim=1 << 12
+    ).collect()
+    assert len(gated) > 0
+    assert all(r["p_good"] >= 0.5 for r in gated)
+    ids = {r["doc_id"] for r in gated}
+    assert all(int(i) % 2 == 1 for i in ids)  # only good-style docs
+    # without the gate both styles survive and no p_good column exists
+    base = prepare_corpus(docs)
+    assert "p_good" not in base.columns
+    assert base.count() > len(gated)
