@@ -159,6 +159,7 @@ def train_transe(
     seed: str = "emb42",
     init_ent: DataFrame | None = None,
     init_rel: DataFrame | None = None,
+    n_shards: int = 1,
 ) -> dict[str, DataFrame]:
     """Fit TransE over KSG edges; returns {"ent_emb", "rel_emb"}
     (name, vec array<double>) DataFrames.
@@ -169,7 +170,15 @@ def train_transe(
     the hash init — the incremental-epoch protocol, so per-epoch
     training cost follows the epoch, not the all-time graph. Stale
     names (in the init but absent from these edges) are dropped; union
-    the previous table back in afterwards if they should persist."""
+    the previous table back in afterwards if they should persist.
+
+    ``n_shards`` > 1 is mini-batch SGD, the web-scale batch size: each
+    iteration walks the hash-disjoint pair shards in order, applying
+    one update per shard (n_shards model updates per epoch instead of
+    one), so convergence per data pass improves while per-step join
+    volume drops to |pairs|/n_shards. Sharding is xxhash64 on the full
+    pair content — deterministic, partition-invariant, every pair in
+    exactly one shard."""
     from naruhodo_spark.ops import kgtrain as KT
 
     pairs = _truncate(training_pairs(ksg_edges, k_neg))
@@ -189,9 +198,23 @@ def train_transe(
     ent = _init(ents, seed, init_ent)
     rel = _init(rels, seed + "/rel", init_rel)
 
-    for _ in range(int(iters)):
+    if n_shards > 1:
+        pairs = pairs.withColumn(
+            "shard",
+            F.pmod(
+                F.xxhash64(F.lit(seed), "h", "r", "t", "nh", "nt"),
+                F.lit(int(n_shards)),
+            ),
+        )
+    steps = [
+        (i, s) for i in range(int(iters)) for s in range(int(n_shards))
+    ]
+    for _i, shard in steps:
+        batch = (
+            pairs.where(F.col("shard") == shard) if n_shards > 1 else pairs
+        )
         j = (
-            pairs
+            batch
             .join(ent.select(F.col("name").alias("h"),
                              F.col("vec").alias("hv")), "h")
             .join(ent.select(F.col("name").alias("t"),

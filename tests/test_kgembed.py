@@ -177,3 +177,69 @@ def test_warm_start_keeps_trained_and_inits_new(spark, trained):
         init_ent=model["ent_emb"], init_rel=model["rel_emb"],
     )
     assert warm2["ent_emb"].count() == len(got)
+
+
+def test_minibatch_sgd_matches_numpy_mirror(spark):
+    """n_shards=2: per-shard sequential updates, mirrored exactly in
+    numpy using Spark's own shard assignment."""
+    edges = _edges(spark)
+    model = KE.train_transe(
+        edges, dim=DIM, iters=4, lr=0.1, margin=1.0, k_neg=2, n_shards=2
+    )
+    pairs_df = KE.training_pairs(edges, k_neg=2)
+    shard_col = F.pmod(
+        F.xxhash64(F.lit("emb42"), "h", "r", "t", "nh", "nt"), F.lit(2)
+    )
+    pairs = [
+        (r["h"], r["r"], r["t"], r["nh"], r["nt"], r["shard"])
+        for r in pairs_df.withColumn("shard", shard_col).collect()
+    ]
+    assert {s for *_, s in pairs} == {0, 1}  # both shards non-empty
+    from naruhodo_spark.ops import kgtrain as KT
+
+    ents = [r["entity"] for r in KT.entity_table(edges).collect()]
+    rels = [r["name"] for r in
+            edges.select(F.col("pred").alias("name")).distinct().collect()]
+    E = {
+        r["name"]: np.array(r["vec"])
+        for r in KE.init_embeddings(
+            spark.createDataFrame([(e,) for e in ents], ["entity"]), DIM
+        ).collect()
+    }
+    R = {
+        r["name"]: np.array(r["vec"])
+        for r in KE.init_embeddings(
+            spark.createDataFrame([(x,) for x in rels], ["name"]),
+            DIM, seed="emb42/rel",
+        ).collect()
+    }
+
+    def norm(v):
+        n = np.sqrt((v * v).sum())
+        return v / n if n > 0 else v
+
+    lr, margin = 0.1, 1.0
+    for _ in range(4):
+        for shard in (0, 1):
+            ge = {k: np.zeros(DIM) for k in E}
+            ce = {k: 0 for k in E}
+            gr = {k: np.zeros(DIM) for k in R}
+            cr = {k: 0 for k in R}
+            for h, r, t, nh, nt, s in pairs:
+                if s != shard:
+                    continue
+                sp = E[h] + R[r] - E[t]
+                sn = E[nh] + R[r] - E[nt]
+                if margin + (sp * sp).sum() - (sn * sn).sum() > 0:
+                    ge[h] += 2 * sp; ce[h] += 1
+                    ge[t] -= 2 * sp; ce[t] += 1
+                    ge[nh] -= 2 * sn; ce[nh] += 1
+                    ge[nt] += 2 * sn; ce[nt] += 1
+                    gr[r] += 2 * sp - 2 * sn; cr[r] += 1
+            E = {k: norm(E[k] - lr * (ge[k] / max(ce[k], 1))) for k in E}
+            R = {k: R[k] - lr * (gr[k] / max(cr[k], 1)) for k in R}
+
+    got_e = {r["name"]: np.array(r["vec"])
+             for r in model["ent_emb"].collect()}
+    for k in E:
+        np.testing.assert_allclose(got_e[k], E[k], atol=1e-9, err_msg=k)
