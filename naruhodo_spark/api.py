@@ -165,7 +165,7 @@ class parser:  # noqa: N801 — name mirrors the reference API
         everything except the predicate nodes — as (node_id, etype,
         count), optionally filtered to one type code (lang.py gazetteer
         codes), ordered by mention count."""
-        nodes = self.build()["ksg_nodes"].where(
+        nodes = self._require_ksg()["ksg_nodes"].where(
             ~F.col("node_id").startswith("pred:")
         )
         if etype is not None:
@@ -183,7 +183,7 @@ class parser:  # noqa: N801 — name mirrors the reference API
         pronouns appear as their antecedent (e.g. "she" → carol),
         unresolved ones as their own surface (coref.py keeps them)."""
         return (
-            self.build()["ksg_nodes"]
+            self._require_ksg()["ksg_nodes"]
             .where(F.col("pro") >= 0)
             .select("node_id", "pro", "count")
             .orderBy(F.col("count").desc(), "node_id")

@@ -582,7 +582,7 @@ def hamming_near_dups(
     bucket_cap: int = 1_000,
     bands_per_key: int = 1,
     return_audit: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, DataFrame]":
     """(id_a, id_b, hamming) pairs with Hamming(sig_a, sig_b) <=
     max_hamming over 64-bit signatures — the downstream simhash()
     promised ("near-dups = Hamming <= 3") and the same machinery media
@@ -662,12 +662,14 @@ def hamming_near_dups(
 
 def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 3, bucket_cap: int = 1_000,
-    **banding,
+    n_bands: int | None = None, bands_per_key: int = 1,
 ) -> DataFrame:
     """simhash() + block-combination Hamming join: (id_a, id_b, hamming)
-    text near-dup pairs. ``banding`` forwards n_bands/bands_per_key —
-    pass (6, 3) for the Manku web-scale configuration."""
+    text near-dup pairs. n_bands/bands_per_key select the banding —
+    (6, 3) is the Manku web-scale configuration. (Explicit parameters,
+    not **kwargs: forwarding return_audit here would break this
+    function's pairs-frame contract.)"""
     return hamming_near_dups(
         simhash(docs), "doc_id", "simhash", max_hamming,
-        bucket_cap=bucket_cap, **banding,
+        n_bands=n_bands, bucket_cap=bucket_cap, bands_per_key=bands_per_key,
     )

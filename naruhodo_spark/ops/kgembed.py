@@ -189,6 +189,12 @@ def train_transe(
         fresh = init_embeddings(names, dim, s)
         if warm is None:
             return _truncate(fresh)
+        if not warm.where(F.size("vec") != dim).isEmpty():
+            # a dim-mismatched warm table would flow nulls through
+            # zip_with padding and corrupt every touched vector silently
+            raise ValueError(
+                f"warm-start table has vectors whose length != dim={dim}"
+            )
         keep = warm.join(
             names.toDF("name"), "name", "left_semi"
         ).select("name", "vec")
@@ -284,18 +290,25 @@ def score_triples(
 ) -> DataFrame:
     """(subj, pred, obj, dist) — TransE plausibility |h+r−t|² per input
     triple (lower = more plausible); three equi-joins + HOF arithmetic,
-    the link-prediction scoring path."""
+    the link-prediction scoring path. EVERY input triple keeps its row:
+    a triple touching an entity/relation absent from the model gets
+    dist NULL (left joins — the no-silent-caps policy; an inner join
+    would make coverage gaps indistinguishable from plausibility)."""
     j = (
         triples.select("subj", "pred", "obj")
         .join(ent_emb.select(F.col("name").alias("subj"),
-                             F.col("vec").alias("hv")), "subj")
+                             F.col("vec").alias("hv")), "subj", "left")
         .join(ent_emb.select(F.col("name").alias("obj"),
-                             F.col("vec").alias("tv")), "obj")
+                             F.col("vec").alias("tv")), "obj", "left")
         .join(rel_emb.select(F.col("name").alias("pred"),
-                             F.col("vec").alias("rv")), "pred")
+                             F.col("vec").alias("rv")), "pred", "left")
     )
     return j.select(
         "subj", "pred", "obj",
-        _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")), F.col("tv")))
-        .alias("dist"),
+        F.when(
+            F.col("hv").isNotNull()
+            & F.col("tv").isNotNull()
+            & F.col("rv").isNotNull(),
+            _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")), F.col("tv"))),
+        ).alias("dist"),
     )

@@ -98,13 +98,24 @@ def prepare_corpus(
     if quality_weights is not None:
         # model-based gate rides the scrubbed text (same content every
         # other stage sees); scoring is one join against the dim-bounded
-        # weights table + one per-doc agg (ops/qualityclf.score_quality)
+        # weights table + one per-doc agg (ops/qualityclf.score_quality).
+        # Scored frame = the SURVIVORS so far (out), not the full
+        # pre-dedup corpus — on a dup-heavy crawl scoring red would
+        # re-tokenize every duplicate the pipeline already discarded.
         from naruhodo_spark.ops import qualityclf as QC
 
-        qkw = {} if quality_dim is None else {"dim": quality_dim}
-        scores = QC.score_quality(red, quality_weights, **qkw).select(
-            "doc_id", "p_good"
-        )
+        if quality_dim is None:
+            # the weights table does not carry its training dim; a
+            # silent fallback to the default would hash tokens into a
+            # different bucket space than the model was trained on and
+            # gate documents on sigmoid(bias + collision noise)
+            raise ValueError(
+                "prepare_corpus(quality_weights=...) requires quality_dim "
+                "= the dim train_quality_classifier was called with"
+            )
+        scores = QC.score_quality(
+            out.select("doc_id", "text"), quality_weights, dim=quality_dim
+        ).select("doc_id", "p_good")
         out = out.join(scores, "doc_id").where(
             F.col("p_good") >= float(quality_threshold)
         )

@@ -80,13 +80,17 @@ def train_quality_classifier(
     afterwards with :func:`score_quality`).
     """
     spark = docs.sparkSession
-    # dedupe labels and keep only labels whose doc exists: a stale or
-    # superset label table would otherwise inflate the gradient
-    # denominator (silent underfit), and duplicate label rows would
-    # double-weight their doc via inner-join fan-out
+    # dedupe labels (max(label) — deterministic even when the same
+    # doc_id carries CONFLICTING labels, where dropDuplicates would
+    # pick a partitioning-dependent row and break the module's
+    # determinism contract) and keep only labels whose doc exists: a
+    # stale or superset label table would otherwise inflate the
+    # gradient denominator (silent underfit), and duplicate label rows
+    # would double-weight their doc via inner-join fan-out
     y = (
         labels.select("doc_id", F.col("label").cast("double").alias("y"))
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.max("y").alias("y"))
         .join(docs.select("doc_id"), "doc_id", "left_semi")
         .localCheckpoint()
     )

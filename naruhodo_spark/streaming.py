@@ -168,6 +168,22 @@ def rebuild_sketch_panel(spark: SparkSession, out_dir: str) -> None:
     for p in panels[1:]:
         panel = panel.unionByName(p)
     panel = panel.select("epoch", "metric", "sketch").localCheckpoint()
+    # the dynamic overwrite below only replaces partitions PRESENT in
+    # the frame — ghost panel partitions for epochs raw no longer has
+    # (partial restore, deleted raw partitions) must be dropped first,
+    # or as-of folds would silently overcount with stale sketches
+    if storage.table_exists(spark, "sketch_panel", out_dir):
+        raw_epochs = {r["epoch"] for r in raw.select("epoch").distinct().collect()}
+        existing = {
+            r["epoch"]
+            for r in storage.read_table(spark, "sketch_panel", out_dir)
+            .select("epoch").distinct().collect()
+        }
+        stale = sorted(existing - raw_epochs)
+        if stale:
+            storage.delete_partitions(
+                spark, "sketch_panel", out_dir, "epoch", stale
+            )
     storage.write_table(
         panel, "sketch_panel", out_dir, mode="overwrite",
         partition_by=["epoch"],

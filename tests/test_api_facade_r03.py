@@ -73,3 +73,14 @@ def test_add_urls_rejects_pipes(spark):
     p = parser(spark, lang="en")
     with _pt.raises(ValueError, match=r"\|"):
         p.add_urls(["https://e.org/w?title=A|B"])
+
+
+def test_entity_list_is_ksg_only(spark):
+    import pytest as _pt
+
+    p = parser(spark, lang="en", gtype="d")
+    p.add("alice visited bob.")
+    with _pt.raises(NotImplementedError):
+        p.entity_list()
+    with _pt.raises(NotImplementedError):
+        p.pro_list()

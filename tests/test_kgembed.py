@@ -243,3 +243,23 @@ def test_minibatch_sgd_matches_numpy_mirror(spark):
              for r in model["ent_emb"].collect()}
     for k in E:
         np.testing.assert_allclose(got_e[k], E[k], atol=1e-9, err_msg=k)
+
+
+def test_warm_start_dim_mismatch_fails_fast(spark, trained):
+    import pytest as _pt
+
+    edges, model = trained
+    with _pt.raises(ValueError, match="dim"):
+        KE.train_transe(edges, dim=DIM * 2, iters=1, init_ent=model["ent_emb"])
+
+
+def test_score_triples_keeps_unseen_with_null_dist(spark, trained):
+    edges, model = trained
+    t = spark.createDataFrame(
+        [("person0", "visit", "place0"), ("ghost", "visit", "place0")],
+        "subj string, pred string, obj string",
+    )
+    rows = {r["subj"]: r["dist"]
+            for r in KE.score_triples(t, model["ent_emb"], model["rel_emb"]).collect()}
+    assert set(rows) == {"person0", "ghost"}  # nothing silently dropped
+    assert rows["person0"] is not None and rows["ghost"] is None

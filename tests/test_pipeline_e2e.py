@@ -845,3 +845,20 @@ def test_prepare_corpus_quality_gate(spark):
     base = prepare_corpus(docs)
     assert "p_good" not in base.columns
     assert base.count() > len(gated)
+
+
+def test_prepare_quality_gate_requires_dim(spark):
+    import pytest as _pt
+
+    from naruhodo_spark.ops import qualityclf as QC
+    from naruhodo_spark.ops.prepare import prepare_corpus
+
+    docs = spark.createDataFrame(
+        [(str(i), f"some text {i}") for i in range(4)], ["doc_id", "text"]
+    )
+    labels = spark.createDataFrame(
+        [(str(i), float(i % 2)) for i in range(4)], ["doc_id", "label"]
+    )
+    w = QC.train_quality_classifier(docs, labels, dim=1 << 10, iters=1)
+    with _pt.raises(ValueError, match="quality_dim"):
+        prepare_corpus(docs, quality_weights=w)

@@ -123,3 +123,23 @@ def test_labels_superset_and_duplicates_do_not_skew(spark):
     assert set(w_clean) == set(w_dirty)
     for b, w in w_clean.items():
         assert abs(w - w_dirty[b]) < 1e-12, b
+
+
+def test_conflicting_labels_resolve_deterministically(spark):
+    docs, labels = _corpus(spark)
+    # add a CONFLICTING label for one doc: max() must win, same as if
+    # only the 1.0 row existed
+    conflict = labels.unionByName(
+        spark.createDataFrame([("bad-0", 1.0)], ["doc_id", "label"])
+    )
+    resolved = labels.withColumn(
+        "label",
+        F.when(F.col("doc_id") == "bad-0", 1.0).otherwise(F.col("label")),
+    )
+    w_c = {r["bucket"]: r["weight"] for r in QC.train_quality_classifier(
+        docs, conflict, dim=DIM, iters=4, lr=2.0).collect()}
+    w_r = {r["bucket"]: r["weight"] for r in QC.train_quality_classifier(
+        docs, resolved, dim=DIM, iters=4, lr=2.0).collect()}
+    assert set(w_c) == set(w_r)
+    for b in w_c:
+        assert abs(w_c[b] - w_r[b]) < 1e-12, b

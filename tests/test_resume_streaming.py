@@ -682,3 +682,37 @@ def test_distinct_stats_guard_and_panel_backfill(spark, tmp_out):
         for m in ("subj", "pred", "obj", "doc_id"):
             exact = upto.select(m).distinct().count()
             assert abs(asof[m] - exact) <= max(1, 0.05 * exact), (e, m)
+
+
+def test_rebuild_sketch_panel_drops_ghost_epochs(spark, tmp_out):
+    """Ghost panel partitions for epochs raw no longer holds must be
+    removed by the rebuild, or as-of folds would overcount."""
+    from naruhodo_spark.streaming import (
+        distinct_stats_asof,
+        rebuild_sketch_panel,
+    )
+
+    raw = spark.createDataFrame(
+        [(f"s{i % 5}", "p", f"o{i % 3}", f"d{i}", i % 4) for i in range(40)],
+        "subj string, pred string, obj string, doc_id string, epoch int",
+    )
+    storage.write_table(
+        raw, "triples_raw", tmp_out, mode="overwrite", partition_by=["epoch"]
+    )
+    rebuild_sketch_panel(spark, tmp_out)
+    # raw loses epochs 2-3 (partial restore); panel still has them
+    storage.write_table(
+        raw.where(F.col("epoch") <= 1), "triples_raw", tmp_out,
+        mode="overwrite", partition_by=["epoch"],
+    )
+    # note: dynamic overwrite keeps epochs 2-3 in raw; delete explicitly
+    storage.delete_partitions(spark, "triples_raw", tmp_out, "epoch", [2, 3])
+    rebuild_sketch_panel(spark, tmp_out)
+    panel = storage.read_table(spark, "sketch_panel", tmp_out)
+    assert {r["epoch"] for r in panel.select("epoch").distinct().collect()} == {0, 1}
+    asof = {r["metric"]: r["n_distinct_est"]
+            for r in distinct_stats_asof(spark, tmp_out, 3).collect()}
+    upto = raw.where(F.col("epoch") <= 1)
+    for m in ("subj", "obj", "doc_id"):
+        exact = upto.select(m).distinct().count()
+        assert abs(asof[m] - exact) <= max(1, 0.05 * exact), (m, asof[m], exact)
