@@ -267,6 +267,14 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), landmarks, max_dist, direction
         )
 
+    def verbalize(self, max_facts: int = 50) -> DataFrame:
+        """KG→text (ops/verbalize.py, KELM-style): one deterministic
+        training document per entity — feed back into the corpus ops
+        or an LM pretraining mix."""
+        from naruhodo_spark.ops import verbalize as VB
+
+        return VB.verbalize_triples(self._ksg_edges(), max_facts=max_facts)
+
     def train_embeddings(self, dim: int = 16, iters: int = 20,
                          **kw) -> dict[str, DataFrame]:
         """TransE embeddings over the KSG (ops/kgembed.py):

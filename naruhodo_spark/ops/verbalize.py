@@ -1,0 +1,96 @@
+"""KG → text verbalization (KELM-style, Agarwal et al. NAACL 2021):
+render knowledge-graph triples back into natural-language training
+sentences, so the curated KG feeds LM pretraining alongside the raw
+corpus — the loop-closing op of a KG+corpus engine (Agarwal et al.
+report verbalized Wikidata improving LM factuality when mixed in).
+
+The reference's users do this driver-side over the exported networkx
+graph; here it is two aggregations:
+
+1. per-triple sentence rendering — pure Catalyst string expressions
+   honoring the edge flags the extractor recorded (negation → "does
+   not", passivity → "is ... by", objectless triples verbalize the
+   bare predicate);
+2. per-subject grouping — one groupBy(subj) with a sort_array over
+   (pred, obj) collect_list, so each entity yields ONE deterministic
+   paragraph regardless of partitioning (KELM groups by Wikidata
+   entity the same way).
+
+Scale shape: one uniform shuffle on subj; paragraph size is bounded by
+an explicit per-entity cap with an audit column (hub entities would
+otherwise build unbounded strings — the no-silent-caps policy:
+``n_facts``/``n_facts_kept`` make the truncation observable). Output
+is documents-shaped (doc_id, text), so every downstream corpus op
+(dedup, quality, packing, mixing) consumes it unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _clause(subj, pred, obj, negative, passive):
+    """One rendered clause. Templates are deliberately simple and
+    deterministic (the KELM paper fine-tunes a T5 verbalizer; the
+    template form is its ablation baseline and the only dependency-free
+    option here)."""
+    base_np = F.concat(subj, F.lit(" "), pred, F.lit(" "), obj)
+    neg_np = F.concat(subj, F.lit(" does not "), pred, F.lit(" "), obj)
+    base_p = F.concat(subj, F.lit(" is "), pred, F.lit(" by "), obj)
+    neg_p = F.concat(subj, F.lit(" is not "), pred, F.lit(" by "), obj)
+    base_obj0 = F.concat(subj, F.lit(" "), pred)
+    neg_obj0 = F.concat(subj, F.lit(" does not "), pred)
+    has_obj = obj != ""
+    return (
+        F.when(passive & negative & has_obj, neg_p)
+        .when(passive & has_obj, base_p)
+        .when(negative & has_obj, neg_np)
+        .when(has_obj, base_np)
+        .when(negative, neg_obj0)
+        .otherwise(base_obj0)
+    )
+
+
+def verbalize_triples(
+    ksg_edges: DataFrame, max_facts: int = 50
+) -> DataFrame:
+    """(doc_id, text, n_facts, n_facts_kept) — one synthetic document
+    per subject entity: its facts rendered as clauses, sorted by
+    (pred, obj) for partition-invariant output, joined with ". ".
+    ``doc_id`` is ``kg:<subj>`` (resume-stable, content-derived like
+    every id in this repo). Facts beyond ``max_facts`` per entity are
+    dropped deterministically (lexicographic order) and the audit
+    columns record how many."""
+    neg = (
+        F.col("negative")
+        if "negative" in ksg_edges.columns
+        else F.lit(False)
+    )
+    pas = (
+        F.col("passive") if "passive" in ksg_edges.columns else F.lit(False)
+    )
+    clauses = ksg_edges.select(
+        F.col("subj"),
+        F.struct(
+            F.col("pred"),
+            F.col("obj"),
+            _clause(F.col("subj"), F.col("pred"), F.col("obj"), neg, pas)
+            .alias("clause"),
+        ).alias("fact"),
+    )
+    grouped = clauses.groupBy("subj").agg(
+        F.sort_array(F.collect_list("fact")).alias("facts")
+    )
+    kept = F.slice(F.col("facts"), 1, int(max_facts))
+    return grouped.select(
+        F.concat(F.lit("kg:"), F.col("subj")).alias("doc_id"),
+        F.concat(
+            F.array_join(
+                F.transform(kept, lambda f: f["clause"]), ". "
+            ),
+            F.lit("."),
+        ).alias("text"),
+        F.size("facts").alias("n_facts"),
+        F.least(F.size("facts"), F.lit(int(max_facts))).alias("n_facts_kept"),
+    )

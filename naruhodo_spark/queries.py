@@ -2357,6 +2357,21 @@ def td_transe_embeddings(spark, sf_dir):
     ).select("subj", "pred", "obj", "side", F.round("dist", 6).alias("dist"))
 
 
+def td_kelm_corpus(spark, sf_dir):
+    """KG→text verbalization (ops/verbalize.py — KELM, Agarwal 2021):
+    the synth KSG rendered into one deterministic training document per
+    entity (template clauses honoring negation/passivity/objectless
+    flags, sorted facts, hub cap with n_facts audit). Output is
+    documents-shaped so every corpus op consumes it; the roundtrip
+    property (re-extraction recovers >= 0.6 of plain triples) is pinned
+    in tests/test_verbalize.py (rows-only — string building over
+    collect_list is not portably SQL-mirrored)."""
+    from naruhodo_spark.ops import verbalize as VB
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    return VB.verbalize_triples(edges)
+
+
 for _n, _f in [
     ("kg_distinct_sketches", kg_distinct_sketches),
     ("mm_media_near_dups", mm_media_near_dups),
@@ -2364,6 +2379,7 @@ for _n, _f in [
     ("kg_landmark_distances", kg_landmark_distances),
     ("td_quality_classifier", td_quality_classifier),
     ("td_transe_embeddings", td_transe_embeddings),
+    ("td_kelm_corpus", td_kelm_corpus),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),
