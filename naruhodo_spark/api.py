@@ -234,6 +234,14 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return RS.predicate_clusters(self._ksg_edges(), **kw)
 
+    def inverse_predicates(self, **kw) -> DataFrame:
+        """(pred_a, pred_b, jaccard, symmetric) — inverse/symmetric
+        relation detection over this graph's edges
+        (operators/relsyn.inverse_pairs)."""
+        from naruhodo_spark.operators import relsyn as RS
+
+        return RS.inverse_pairs(self._ksg_edges(), **kw)
+
     def diff(self, other: "parser | DataFrame", **kw) -> DataFrame:
         """Edge changelog vs another parser's graph (or a raw edge
         frame): added/removed/changed/same per (subj, pred, obj)

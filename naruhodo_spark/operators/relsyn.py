@@ -165,3 +165,76 @@ def predicate_clusters(
     return prof_preds.join(labels, "pred", "left").select(
         "pred", F.coalesce("canon_pred", F.col("pred")).alias("canon_pred")
     )
+
+
+def inverse_pairs(
+    triples: DataFrame,
+    min_support: int = MIN_SUPPORT,
+    df_cap: int = DF_CAP,
+    threshold: float = JACCARD_T,
+) -> DataFrame:
+    """(pred_a, pred_b, n_inter, jaccard, symmetric) — predicate pairs
+    where pred_a's (subj, obj) profile overlaps pred_b's REVERSED
+    profile: r(a,b) ⇔ r'(b,a) patterns ("buy"/"sell",
+    "employs"/"works_at"), the inverse-relation half of DIRT-style
+    relation canonicalization (Lin & Pantel 2001 score reversed paths
+    the same way). pred_a == pred_b rows detect SYMMETRIC relations
+    (r ≈ r⁻¹: "marry", "borders") and carry symmetric=true.
+
+    Same scale shape as synonym_pairs: profiles are one uniform
+    groupBy; candidates come from an equi-join of the forward index
+    against the reversed index on the hashed argument-pair key (never
+    an all-pairs predicate join); promiscuous keys above df_cap are
+    dropped (audit via the same inverted-index discipline); exact
+    Jaccard only on candidates. |fwd(A) ∩ rev(B)| = |rev(A) ∩ fwd(B)|,
+    so orientation is canonicalized to pred_a <= pred_b without losing
+    pairs."""
+    base = (
+        triples.where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("obj") != "")
+        )
+        .select("pred", "subj", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)  # fwd + rev + counts share it
+    )
+    n = base.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    eligible = n.where(F.col("n_pairs") >= min_support)
+    fwd = base.select(
+        "pred", F.md5(F.concat_ws("\x1f", "subj", "obj")).alias("arg_key")
+    ).join(eligible, "pred")
+    rev = base.select(
+        "pred", F.md5(F.concat_ws("\x1f", "obj", "subj")).alias("arg_key")
+    ).join(eligible.select("pred"), "pred")
+    df_counts = fwd.groupBy("arg_key").agg(F.count(F.lit(1)).alias("df"))
+    fwd = fwd.join(
+        df_counts.where(F.col("df") <= df_cap).select("arg_key"), "arg_key"
+    )
+    cand = (
+        fwd.select("arg_key", F.col("pred").alias("pred_a"),
+                   F.col("n_pairs").alias("n_a"))
+        .join(rev.select("arg_key", F.col("pred").alias("pred_b")),
+              "arg_key")
+        .where(F.col("pred_a") <= F.col("pred_b"))
+        .groupBy("pred_a", "pred_b", "n_a")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    nb = eligible.select(
+        F.col("pred").alias("pred_b"), F.col("n_pairs").alias("n_b")
+    )
+    return (
+        cand.join(nb, "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_inter",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+            (F.col("pred_a") == F.col("pred_b")).alias("symmetric"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -2372,6 +2372,41 @@ def td_kelm_corpus(spark, sf_dir):
     return VB.verbalize_triples(edges)
 
 
+def kg_inverse_predicates(spark, sf_dir):
+    """Inverse/symmetric relation detection (relsyn.inverse_pairs —
+    the DIRT reversed-path half): forward-vs-reversed profile equi-join
+    on the hashed argument-pair key. The synth corpus's extracted
+    relations are directional-only, so the KG edges are augmented with
+    a deterministic planted inverse family (employ/work_for over the
+    linked entities) — the detector must find exactly that plant plus
+    any organically symmetric predicates; exact planted-inverse
+    semantics pinned in tests/test_relsyn.py (rows-only)."""
+    from naruhodo_spark.operators.relsyn import inverse_pairs
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"].select(
+        "subj", "pred", "obj"
+    )
+    ents = (
+        edges.where(F.col("obj") != "")
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+        .orderBy("a", "b")
+        .limit(40)
+    )
+    planted = ents.select(
+        F.col("a").alias("subj"), F.lit("employ").alias("pred"),
+        F.col("b").alias("obj"),
+    ).unionByName(
+        ents.select(
+            F.col("b").alias("subj"), F.lit("work_for").alias("pred"),
+            F.col("a").alias("obj"),
+        )
+    )
+    return inverse_pairs(
+        edges.unionByName(planted), min_support=3, threshold=0.5
+    )
+
+
 for _n, _f in [
     ("kg_distinct_sketches", kg_distinct_sketches),
     ("mm_media_near_dups", mm_media_near_dups),
@@ -2380,6 +2415,7 @@ for _n, _f in [
     ("td_quality_classifier", td_quality_classifier),
     ("td_transe_embeddings", td_transe_embeddings),
     ("td_kelm_corpus", td_kelm_corpus),
+    ("kg_inverse_predicates", kg_inverse_predicates),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),

@@ -134,3 +134,48 @@ def test_query_surface_runs(spark):
     rows = out.collect()
     assert set(out.columns) == {"pred", "canon_pred"}
     assert len(rows) > 0
+
+
+def test_inverse_pairs_planted(spark):
+    """inverse_pairs: planted exact inverse (buy/sell), a symmetric
+    relation (marry), and an unrelated predicate (visit) — the inverse
+    and the symmetric row surface with jaccard 1.0, nothing else."""
+    from naruhodo_spark.operators.relsyn import inverse_pairs
+
+    rows = []
+    for i in range(8):
+        rows.append((f"a{i}", "buy", f"b{i}"))
+        rows.append((f"b{i}", "sell", f"a{i}"))          # exact inverse
+        rows.append((f"m{i}", "marry", f"n{i}"))
+        rows.append((f"n{i}", "marry", f"m{i}"))         # symmetric
+        rows.append((f"a{i}", "visit", f"c{i}"))         # unrelated
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r["pred_a"], r["pred_b"]): r
+        for r in inverse_pairs(t, min_support=3, threshold=0.5).collect()
+    }
+    assert set(got) == {("buy", "sell"), ("marry", "marry")}
+    assert got[("buy", "sell")]["jaccard"] == 1.0
+    assert not got[("buy", "sell")]["symmetric"]
+    assert got[("marry", "marry")]["jaccard"] == 1.0
+    assert got[("marry", "marry")]["symmetric"]
+
+
+def test_inverse_pairs_partial_overlap_threshold(spark):
+    from naruhodo_spark.operators.relsyn import inverse_pairs
+
+    rows = []
+    for i in range(10):
+        rows.append((f"x{i}", "teach", f"y{i}"))
+    for i in range(5):  # only half the pairs reversed
+        rows.append((f"y{i}", "learn_from", f"x{i}"))
+    for i in range(5, 10):
+        rows.append((f"q{i}", "learn_from", f"p{i}"))
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # jaccard = 5 / (10 + 10 - 5) = 1/3
+    got = inverse_pairs(t, min_support=3, threshold=0.3).collect()
+    pair = [r for r in got if {r["pred_a"], r["pred_b"]} == {"learn_from", "teach"}]
+    assert len(pair) == 1 and abs(pair[0]["jaccard"] - 1 / 3) < 1e-9
+    assert not inverse_pairs(t, min_support=3, threshold=0.4).where(
+        "pred_a = 'learn_from' OR pred_b = 'learn_from'"
+    ).count()
