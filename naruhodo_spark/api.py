@@ -211,6 +211,45 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return GS.degree_stats(self._ksg_edges())
 
+    def hits(self, iterations: int = 20) -> DataFrame:
+        """(node, hub, authority) — Kleinberg HITS over the KSG
+        (operators/graphstats.hits); numpy-pinned power iteration."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.hits(self._ksg_edges(), iterations)
+
+    def summary(self) -> DataFrame:
+        """(stat, value) one-stop graph report: node/edge/predicate
+        counts, total weight, and degree percentiles — two aggregation
+        passes, bounded output (the networkx `nx.info` analog)."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        edges = self._ksg_edges()
+        deg = GS.degree_stats(edges)
+        e = edges.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("weight").cast("double").alias("total_weight"),
+            F.countDistinct("pred").alias("n_predicates"),
+        ).head()
+        d = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max(F.col("in_degree") + F.col("out_degree")).alias("max_deg"),
+            F.expr(
+                "percentile_approx(in_degree + out_degree,"
+                " array(0.5, 0.95), 1000)"
+            ).alias("pct"),
+        ).head()
+        rows = [
+            ("n_nodes", float(d["n_nodes"])),
+            ("n_edges", float(e["n_edges"])),
+            ("n_predicates", float(e["n_predicates"])),
+            ("total_weight", float(e["total_weight"] or 0.0)),
+            ("max_degree", float(d["max_deg"] or 0.0)),
+            ("p50_degree", float(d["pct"][0]) if d["pct"] else 0.0),
+            ("p95_degree", float(d["pct"][1]) if d["pct"] else 0.0),
+        ]
+        return self.spark.createDataFrame(rows, "stat string, value double")
+
     def k_hop(self, sources: list[str], k: int = 2,
               direction: str = "both") -> tuple[DataFrame, DataFrame]:
         from naruhodo_spark.operators import graphstats as GS

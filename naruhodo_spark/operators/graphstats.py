@@ -364,3 +364,64 @@ def approx_distance(dists: DataFrame, pairs: DataFrame) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.min(F.col("d_u") + F.col("d_v")).alias("dist_ub"))
     )
+
+
+def hits(
+    ksg_edges: DataFrame,
+    iterations: int = 20,
+) -> DataFrame:
+    """(node, hub, authority) — Kleinberg's HITS by power iteration,
+    the same loop discipline as :func:`pagerank`: each round is one
+    equi-join + one aggregation per direction (authority(v) = Σ hub(u)
+    over u→v, then hub(u) = Σ authority(v) over u→v), with L2
+    normalization from a single collected scalar per direction (O(1)
+    driver traffic) and localCheckpoint lineage truncation. Stats
+    growth is linear in rounds (one self-reference per update — the
+    safe shape, see ops/kgembed._truncate for the compounding case).
+    Deterministic: init 1/√n, fixed iteration count."""
+    spark = ksg_edges.sparkSession
+    pairs = (
+        _edge_pairs(ksg_edges).select("src", "dst").distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("node"))
+        .union(pairs.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "node string, hub double, authority double"
+        )
+    init = 1.0 / (n ** 0.5)
+    hub = nodes.select("node", F.lit(init).alias("s")).localCheckpoint()
+
+    def _norm(df):
+        tot = df.agg(F.sum(F.col("s") * F.col("s"))).head()[0] or 0.0
+        if tot <= 0:
+            return df
+        return df.select("node", (F.col("s") / float(tot ** 0.5)).alias("s"))
+
+    auth = hub
+    for _ in range(int(iterations)):
+        auth = _norm(
+            pairs.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            # sink-only/source-only nodes keep a 0 row so the output
+            # always covers every node
+            .join(nodes, "node", "right")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("s"))
+        ).localCheckpoint()
+        hub = _norm(
+            pairs.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("s"))
+            .join(nodes, "node", "right")
+            .select("node", F.coalesce("s", F.lit(0.0)).alias("s"))
+        ).localCheckpoint()
+    return hub.select("node", F.col("s").alias("hub")).join(
+        auth.select("node", F.col("s").alias("authority")), "node"
+    )

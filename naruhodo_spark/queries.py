@@ -2416,6 +2416,17 @@ for _n, _f in [
     ("td_transe_embeddings", td_transe_embeddings),
     ("td_kelm_corpus", td_kelm_corpus),
     ("kg_inverse_predicates", kg_inverse_predicates),
+    (
+        # Kleinberg HITS over the synth KSG (graphstats.hits): the
+        # PageRank-loop discipline per direction, numpy-pinned in
+        # tests/test_graphstats.py (rows-only — iterative)
+        "kg_hits_scores",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.operators.graphstats", fromlist=["hits"]
+        ).hits(
+            build_kg(_synth(spark), prof=_en())["ksg_edges"], iterations=10
+        ),
+    ),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
     ("td_decontam", td_decontam),

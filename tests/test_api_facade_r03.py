@@ -84,3 +84,16 @@ def test_entity_list_is_ksg_only(spark):
         p.entity_list()
     with _pt.raises(NotImplementedError):
         p.pro_list()
+
+
+def test_facade_hits_and_summary(spark):
+    p = parser(spark, lang="en")
+    p.add_all(["alice visited bob.", "bob praised carol.",
+               "carol met alice."])
+    h = {r["node"]: r for r in p.hits(iterations=5).collect()}
+    assert len(h) >= 3
+    assert all(r["hub"] >= 0 and r["authority"] >= 0 for r in h.values())
+    s = {r["stat"]: r["value"] for r in p.summary().collect()}
+    assert s["n_nodes"] >= 3 and s["n_edges"] == 3
+    assert s["n_predicates"] == 3 and s["max_degree"] >= 1
+    assert s["p50_degree"] <= s["p95_degree"] <= s["max_degree"]

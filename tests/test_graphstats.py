@@ -317,3 +317,42 @@ def test_landmark_missing_and_duplicate_landmarks(spark):
     # landmark names collapse to one BFS
     assert all(lm == "a" for _, lm, _ in rows)
     assert sorted(rows) == [("a", "a", 0), ("b", "a", 1), ("c", "a", 2)]
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    names = [f"n{i}" for i in range(14)]
+    triples = []
+    for _ in range(30):
+        u, v = rng.choice(14, size=2, replace=False)
+        triples.append((names[u], "rel", names[v], 1))
+    df = _edges_df(spark, triples)
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in G.hits(df, iterations=12).collect()}
+
+    pairs = sorted({(s, o) for (s, p, o, w) in triples})
+    nodes = sorted({u for u, v in pairs} | {v for u, v in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in pairs:
+        A[idx[u], idx[v]] = 1.0
+    h = np.full(len(nodes), 1.0 / np.sqrt(len(nodes)))
+
+    def norm(x):
+        s = np.sqrt((x * x).sum())
+        return x / s if s > 0 else x
+
+    a = h.copy()
+    for _ in range(12):
+        a = norm(A.T @ h)
+        h = norm(A @ a)
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(h[idx[v]], abs=1e-9), v
+        assert got[v][1] == pytest.approx(a[idx[v]], abs=1e-9), v
+
+
+def test_hits_empty(spark):
+    assert G.hits(_edges_df(spark, []), iterations=2).count() == 0
