@@ -273,6 +273,13 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return RS.predicate_clusters(self._ksg_edges(), **kw)
 
+    def mine_rules(self, **kw) -> DataFrame:
+        """(r1, r2, r3, support, n_body, confidence) — AMIE-style path
+        rules r1∘r2 ⇒ r3 over this graph (operators/rules.py)."""
+        from naruhodo_spark.operators import rules as RU
+
+        return RU.mine_path_rules(self._ksg_edges(), **kw)
+
     def inverse_predicates(self, **kw) -> DataFrame:
         """(pred_a, pred_b, jaccard, symmetric) — inverse/symmetric
         relation detection over this graph's edges

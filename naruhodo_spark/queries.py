@@ -2417,6 +2417,31 @@ for _n, _f in [
     ("td_kelm_corpus", td_kelm_corpus),
     ("kg_inverse_predicates", kg_inverse_predicates),
     (
+        # AMIE-style path-rule mining (operators/rules.py) over the
+        # synth KG augmented with a planted parent∘parent⇒grandparent
+        # family (organic compositions are sparse at synth scale);
+        # exact-support/confidence + python-mirror pins in
+        # tests/test_rules.py (rows-only)
+        "kg_path_rules",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.operators.rules", fromlist=["mine_path_rules"]
+        ).mine_path_rules(
+            build_kg(_synth(spark), prof=_en())["ksg_edges"]
+            .select("subj", "pred", "obj")
+            .unionByName(
+                spark.createDataFrame(
+                    [(f"fam{i}-a", "parent", f"fam{i}-b") for i in range(8)]
+                    + [(f"fam{i}-b", "parent", f"fam{i}-c") for i in range(8)]
+                    + [(f"fam{i}-a", "grandparent", f"fam{i}-c")
+                       for i in range(6)],
+                    "subj string, pred string, obj string",
+                )
+            ),
+            min_support=2,
+            min_confidence=0.5,
+        ),
+    ),
+    (
         # Kleinberg HITS over the synth KSG (graphstats.hits): the
         # PageRank-loop discipline per direction, numpy-pinned in
         # tests/test_graphstats.py (rows-only — iterative)
