@@ -37,7 +37,7 @@ from naruhodo_spark.operators.canon import cc_labels_auto
 from naruhodo_spark.ops.dedup import _signatures_from_shingles
 from naruhodo_spark.ops.textstats import norm_text
 
-SEP = "\x1f"  # unit separator — cannot appear in normalized tokens
+SEP = "\x1f"  # unit separator between md5 HEX digests (see _node_id)
 N_HASHES = 16
 # 8 bands × 2 rows: recall-first banding. At candidate-Jaccard 0.7 a
 # pair misses all bands with p = (1 − 0.7²)^8 ≈ 0.004 (vs 0.22 for
@@ -217,20 +217,43 @@ def context_clusters(
     pairs, stars = _context_pairs(
         mentions, n_hashes, n_bands, threshold, bucket_cap
     )
+
+    # CC node id: md5(entity) SEP md5(mention). The r03 shape was the
+    # raw 'entity\x1fmention' concat recovered with split_part — wrong
+    # whenever an entity or mention itself contains \x1f (norm_text
+    # collapses Java \s, which does NOT include U+001F — ADVICE r03),
+    # silently mislabeling clusters. Hex digests cannot contain the
+    # separator, so the composite is injective; (entity, mention) is
+    # recovered by an equi-join against the distinct mention frame
+    # instead of string surgery.
+    def _node_id(ent, men):
+        return F.concat_ws(SEP, F.md5(ent), F.md5(men))
+
     edges = pairs.select(
-        F.concat_ws(SEP, "entity", "mention_a").alias("src"),
-        F.concat_ws(SEP, "entity", "mention_b").alias("dst"),
+        _node_id(F.col("entity"), F.col("mention_a")).alias("src"),
+        _node_id(F.col("entity"), F.col("mention_b")).alias("dst"),
     ).unionByName(
         stars.select(
-            F.concat_ws(SEP, "entity", "hub").alias("src"),
-            F.concat_ws(SEP, "entity", "mention").alias("dst"),
+            _node_id(F.col("entity"), F.col("hub")).alias("src"),
+            _node_id(F.col("entity"), F.col("mention")).alias("dst"),
         )
     )
     labels = cc_labels_auto(edges)  # (node, label), entity-local
-    lab = labels.select(
-        F.split_part(F.col("node"), F.lit(SEP), F.lit(1)).alias("entity"),
-        F.split_part(F.col("node"), F.lit(SEP), F.lit(2)).alias("mention"),
-        F.split_part(F.col("label"), F.lit(SEP), F.lit(2)).alias("cluster"),
+    ids = mentions.select("entity", "mention").distinct().select(
+        "entity",
+        "mention",
+        _node_id(F.col("entity"), F.col("mention")).alias("node"),
+    )
+    # cluster label = lexicographic-min MENTION in the component (the
+    # r03 semantics: min over 'entity\x1fmention' strings within one
+    # entity ordered by mention) — an agg over recovered mentions, not
+    # a parse of the opaque min node id
+    lab = labels.join(ids, "node").select("entity", "mention", "label")
+    rep = lab.groupBy("entity", "label").agg(
+        F.min("mention").alias("cluster")
+    )
+    lab = lab.join(rep, ["entity", "label"]).select(
+        "entity", "mention", "cluster"
     )
     return (
         mentions.select("entity", "mention")

@@ -38,11 +38,20 @@ DF_CAP = 1000
 JACCARD_T = 0.5
 
 
+def _arg_key(a, b):
+    """Injective hash of an ORDERED argument pair. The components are
+    md5'd BEFORE the separator join: hex digests cannot contain the
+    \\x1f separator, so ("a\\x1fb", "c") and ("a", "b\\x1fc") get
+    distinct keys (a raw concat_ws would alias them — ADVICE r03).
+    Collision floor is md5's, the same bar as exact dedup."""
+    return F.md5(F.concat_ws("\x1f", F.md5(a), F.md5(b)))
+
+
 def predicate_profiles(triples: DataFrame) -> DataFrame:
     """(pred, arg_key, n_pairs): one row per distinct (pred, subj, obj)
     with the predicate's profile size attached. arg_key is the hashed
-    argument pair (md5 of the separator-joined pair — 8-byte-ish join
-    keys instead of two strings)."""
+    argument pair (md5-of-md5s — fixed-width join keys instead of two
+    strings, separator-collision-proof)."""
     base = (
         triples.where(
             F.col("subj").isNotNull()
@@ -51,7 +60,7 @@ def predicate_profiles(triples: DataFrame) -> DataFrame:
         )
         .select(
             "pred",
-            F.md5(F.concat_ws("\x1f", "subj", "obj")).alias("arg_key"),
+            _arg_key(F.col("subj"), F.col("obj")).alias("arg_key"),
         )
         .distinct()
     )
@@ -185,9 +194,12 @@ def inverse_pairs(
     groupBy; candidates come from an equi-join of the forward index
     against the reversed index on the hashed argument-pair key (never
     an all-pairs predicate join); promiscuous keys above df_cap are
-    dropped (audit via the same inverted-index discipline); exact
-    Jaccard only on candidates. |fwd(A) ∩ rev(B)| = |rev(A) ∩ fwd(B)|,
-    so orientation is canonicalized to pred_a <= pred_b without losing
+    dropped FROM BOTH SIDES — a key's candidate row count is
+    df_fwd × df_rev, so capping only the forward side (the r03 shape)
+    still let one promiscuous reversed pair mint df_cap × df_rev rows
+    (ADVICE r03); audit via `promiscuous_inverse_keys`. Exact Jaccard
+    only on candidates. |fwd(A) ∩ rev(B)| = |rev(A) ∩ fwd(B)|, so
+    orientation is canonicalized to pred_a <= pred_b without losing
     pairs."""
     base = (
         triples.where(
@@ -203,14 +215,18 @@ def inverse_pairs(
     n = base.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
     eligible = n.where(F.col("n_pairs") >= min_support)
     fwd = base.select(
-        "pred", F.md5(F.concat_ws("\x1f", "subj", "obj")).alias("arg_key")
+        "pred", _arg_key(F.col("subj"), F.col("obj")).alias("arg_key")
     ).join(eligible, "pred")
     rev = base.select(
-        "pred", F.md5(F.concat_ws("\x1f", "obj", "subj")).alias("arg_key")
+        "pred", _arg_key(F.col("obj"), F.col("subj")).alias("arg_key")
     ).join(eligible.select("pred"), "pred")
-    df_counts = fwd.groupBy("arg_key").agg(F.count(F.lit(1)).alias("df"))
+    fwd_df = fwd.groupBy("arg_key").agg(F.count(F.lit(1)).alias("df"))
+    rev_df = rev.groupBy("arg_key").agg(F.count(F.lit(1)).alias("df"))
     fwd = fwd.join(
-        df_counts.where(F.col("df") <= df_cap).select("arg_key"), "arg_key"
+        fwd_df.where(F.col("df") <= df_cap).select("arg_key"), "arg_key"
+    )
+    rev = rev.join(
+        rev_df.where(F.col("df") <= df_cap).select("arg_key"), "arg_key"
     )
     cand = (
         fwd.select("arg_key", F.col("pred").alias("pred_a"),
@@ -237,4 +253,50 @@ def inverse_pairs(
             (F.col("pred_a") == F.col("pred_b")).alias("symmetric"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def promiscuous_inverse_keys(
+    triples: DataFrame,
+    min_support: int = MIN_SUPPORT,
+    df_cap: int = DF_CAP,
+) -> DataFrame:
+    """(arg_key, df_fwd, df_rev): the audit surface for
+    `inverse_pairs` — argument-pair keys dropped from either index side
+    for exceeding df_cap. A key appears when its forward OR reversed
+    document frequency is promiscuous; NULL on a side means the key
+    never occurred in that orientation. No silent truncation (the
+    cooccur.py oversized_docs pattern)."""
+    base = (
+        triples.where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+            & (F.col("obj") != "")
+        )
+        .select("pred", "subj", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = base.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    eligible = n.where(F.col("n_pairs") >= min_support).select("pred")
+    fwd_df = (
+        base.select(
+            "pred", _arg_key(F.col("subj"), F.col("obj")).alias("arg_key")
+        )
+        .join(eligible, "pred")
+        .groupBy("arg_key")
+        .agg(F.count(F.lit(1)).alias("df_fwd"))
+    )
+    rev_df = (
+        base.select(
+            "pred", _arg_key(F.col("obj"), F.col("subj")).alias("arg_key")
+        )
+        .join(eligible, "pred")
+        .groupBy("arg_key")
+        .agg(F.count(F.lit(1)).alias("df_rev"))
+    )
+    return fwd_df.join(rev_df, "arg_key", "full_outer").where(
+        (F.coalesce("df_fwd", F.lit(0)) > df_cap)
+        | (F.coalesce("df_rev", F.lit(0)) > df_cap)
     )

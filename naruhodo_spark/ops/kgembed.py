@@ -44,6 +44,18 @@ from pyspark.sql import functions as F
 DIM = 16
 
 
+def _stats_reset_rebuild(ck: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed frame over its own materialized
+    InternalRow RDD via the (private) classic-session JVM API. Isolated
+    so tests can (a) assert the signature still exists on this pyspark
+    build and (b) monkeypatch it away to exercise the fallback."""
+    spark = ck.sparkSession
+    jdf = spark._jsparkSession.internalCreateDataFrame(
+        ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+    )
+    return DataFrame(jdf, spark)
+
+
 def _truncate(df: DataFrame) -> DataFrame:
     """localCheckpoint + REBUILD over the materialized InternalRow RDD.
 
@@ -58,13 +70,39 @@ def _truncate(df: DataFrame) -> DataFrame:
     hit this because one join per round grows digits linearly.
     Rebuilding via internalCreateDataFrame over the SAME checkpointed
     RDD (no data movement, no Python round-trip) resets stats to the
-    default, making every iteration's planning cost constant."""
+    default, making every iteration's planning cost constant.
+
+    The rebuild uses private JVM API (no `_jsparkSession` under Spark
+    Connect; the signature is unpinned across pyspark versions), so it
+    is capability-guarded: on ANY failure we fall back to the plain
+    checkpoint — correct, just slower planning in long loops. The
+    result carries `_nh_stats_reset` (which path ran; pinned by
+    tests/test_kgembed.py so a Spark bump that silently kills the fast
+    path fails loudly) and `_nh_ck` (the checkpoint handle, so loops
+    can `_release` superseded iterations' cached blocks)."""
     ck = df.localCheckpoint()
-    spark = df.sparkSession
-    jdf = spark._jsparkSession.internalCreateDataFrame(
-        ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
-    )
-    return DataFrame(jdf, spark)
+    try:
+        out = _stats_reset_rebuild(ck)
+        out._nh_stats_reset = True
+    except Exception:
+        out = ck
+        out._nh_stats_reset = False
+    out._nh_ck = ck
+    return out
+
+
+def _release(df: DataFrame | None) -> None:
+    """Unpersist the cached blocks behind a `_truncate` result once a
+    successor checkpoint has fully materialized (learn_bpe's
+    prev.unpersist() discipline — without it a long training run
+    accumulates one superseded model copy per iteration in storage
+    memory until the ContextCleaner happens to run)."""
+    ck = getattr(df, "_nh_ck", None)
+    if ck is not None:
+        try:
+            ck.unpersist()
+        except Exception:
+            pass
 
 
 def _rand_vec(name_col, dim: int, seed: str, scale: float):
@@ -280,8 +318,15 @@ def train_transe(
                 )
             return _truncate(upd)
 
+        prev_ent, prev_rel = ent, rel
         ent = step(ent, eg, normalize=True)
         rel = step(rel, rg, normalize=False)
+        # the new checkpoints are eagerly materialized inside step();
+        # the superseded model copies and this step's violation frame
+        # are now dead weight in storage memory — free them
+        _release(prev_ent)
+        _release(prev_rel)
+        viol.unpersist()
     return {"ent_emb": ent, "rel_emb": rel}
 
 

@@ -124,12 +124,14 @@ def freq_sketch(
     rows of 8 bytes — eps=0.001/conf=0.99 is 7×2000×8 ≈ 110 KB, driver-
     safe at any corpus size. Map-side partial aggregation means the
     shuffle moves one sketch per partition, not the rows.
+
+    NULL keys hash to a reserved sentinel (`_NULL_KEY_HASH`) rather
+    than coalescing to '' — the r03 shape merged NULL and
+    empty-string counts into one cell, an overestimate beyond the
+    eps·N bound for either key (ADVICE r03). A real key colliding with
+    the sentinel requires an exact 64-bit xxhash64 hit (p = 2⁻⁶⁴).
     """
-    return df.select(
-        F.xxhash64(
-            F.coalesce(F.col(key_col).cast("string"), F.lit(""))
-        ).alias("__k")
-    ).agg(
+    return df.select(_key_hash(F.col(key_col)).alias("__k")).agg(
         F.count_min_sketch(
             "__k", F.lit(float(eps)), F.lit(float(confidence)),
             F.lit(int(seed))
@@ -140,6 +142,19 @@ def freq_sketch(
 
 _PRIME_MODULUS = (1 << 31) - 1
 _M64 = (1 << 64) - 1
+
+# reserved CMS key for NULL — keeps NULL distinct from '' (and every
+# other string, up to a 2^-64 xxhash64 collision)
+_NULL_KEY_HASH = -(1 << 63)
+
+
+def _key_hash(col):
+    """int64 CMS key: xxhash64 of the string cast, with NULL pinned to
+    the reserved sentinel. Shared by freq_sketch (aggregation) and
+    xxhash64_map (probes) so both sides hit the same cells."""
+    return F.when(col.isNull(), F.lit(_NULL_KEY_HASH)).otherwise(
+        F.xxhash64(col.cast("string"))
+    )
 
 
 def _cms_parse(b: bytes) -> tuple[int, int, int, list[list[int]], list[int]]:
@@ -197,18 +212,16 @@ def cms_estimate(sketch: bytes, key_hashes: dict) -> dict:
 def xxhash64_map(spark, keys: list) -> dict:
     """{key: hash} via one local Spark job over the tiny key list,
     applying the IDENTICAL expression freq_sketch aggregates
-    (xxhash64(coalesce(cast(key as string), ''))) to the TYPED values —
-    so boolean/float keys round-trip through Spark's own cast rules
-    ('true', '1.0E-7', …), not Python's str(), and probes hit the same
-    cells the sketch filled."""
+    (`_key_hash`: xxhash64 of the string cast, NULL → reserved
+    sentinel) to the TYPED values — so boolean/float keys round-trip
+    through Spark's own cast rules ('true', '1.0E-7', …), not Python's
+    str(), and probes hit the same cells the sketch filled."""
     # one partition so monotonically_increasing_id preserves list order
     df = spark.createDataFrame([(k,) for k in keys], ["k"]).coalesce(1)
     rows = (
         df.select(
             F.monotonically_increasing_id().alias("i"),
-            F.xxhash64(
-                F.coalesce(F.col("k").cast("string"), F.lit(""))
-            ).alias("h"),
+            _key_hash(F.col("k")).alias("h"),
         )
         .orderBy("i")
         .collect()

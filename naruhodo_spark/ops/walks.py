@@ -95,8 +95,11 @@ def random_walks(
         ).alias("r"),
         F.col("src").alias("cur"),
     ).select(
-        # unit separator: node names may themselves contain '#'
-        F.concat_ws("\x1f", "cur", "r").alias("walk_id"),
+        # injective walk id: md5 hex cannot contain the \x1f separator,
+        # so a node name containing \x1f (or anything else) cannot
+        # collide two (start, replica) walks (ADVICE r03 — the relsyn
+        # arg_key discipline)
+        F.concat_ws("\x1f", F.md5("cur"), "r").alias("walk_id"),
         F.col("cur").alias("start"),
         "cur",
         F.array("cur").alias("walk"),

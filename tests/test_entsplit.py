@@ -173,3 +173,35 @@ def test_entity_only_mention_keeps_row(spark):
     assert rows == {"0": [], "1": ["orbit", "planet"]}
     clusters = ES.context_clusters(m)
     assert clusters.count() == 2  # both mentions present (singletons ok)
+
+
+def test_separator_in_names_does_not_corrupt_clusters(spark):
+    """ADVICE r03: norm_text collapses Java \\s, which excludes U+001F,
+    so a mention/entity containing \\x1f used to corrupt the composite
+    CC node ids (split_part mislabeled clusters). Mentions crafted to
+    alias under the old raw-concat scheme must now land in their own
+    correct clusters."""
+    # old scheme: ('e\x1fa', 'b') and ('e', 'a\x1fb') both concat to
+    # 'e\x1fa\x1fb'; here two DISTINCT mentions of one entity embed the
+    # separator and must cluster by context, not by id accidents
+    rows = [
+        ("ent", "m\x1f1", ["planet", "orbit", "solar", "sun"]),
+        ("ent", "m\x1f2", ["planet", "orbit", "solar", "telescope"]),
+        ("ent", "lab1", ["metal", "toxic", "alloy", "liquid"]),
+        ("ent", "lab2", ["metal", "toxic", "alloy", "thermometer"]),
+    ]
+    m = spark.createDataFrame(
+        rows, "entity string, mention string, ctx array<string>"
+    )
+    out = ES.context_clusters(m, threshold=0.3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["cluster"], set()).add(r["mention"])
+    assert set(map(frozenset, got.values())) == {
+        frozenset({"m\x1f1", "m\x1f2"}),
+        frozenset({"lab1", "lab2"}),
+    }
+    # every mention keeps its exact original string
+    assert {r["mention"] for r in out.collect()} == {
+        "m\x1f1", "m\x1f2", "lab1", "lab2"
+    }

@@ -263,3 +263,78 @@ def test_score_triples_keeps_unseen_with_null_dist(spark, trained):
             for r in KE.score_triples(t, model["ent_emb"], model["rel_emb"]).collect()}
     assert set(rows) == {"person0", "ghost"}  # nothing silently dropped
     assert rows["person0"] is not None and rows["ghost"] is None
+
+
+def test_stats_reset_private_api_still_exists(spark):
+    """The fast `_truncate` path rides private classic-session JVM API
+    (`_jsparkSession.internalCreateDataFrame` over `toRdd()`). This pin
+    makes a pyspark upgrade that removes/renames the signature fail
+    LOUDLY here instead of silently degrading every training loop to
+    the slow-planning fallback (ADVICE r03; VERDICT r03 'What's wrong'
+    #1)."""
+    df = spark.range(4).select(F.col("id").cast("string").alias("name"))
+    out = KE._truncate(df)
+    assert out._nh_stats_reset is True, (
+        "private stats-reset API gone on this pyspark build — "
+        "re-derive the rebuild or accept the slow fallback explicitly"
+    )
+    assert out.count() == 4
+    KE._release(out)
+
+
+def test_truncate_fallback_trains_identically(spark, trained, monkeypatch):
+    """With the private rebuild unavailable (Spark Connect / API bump),
+    `_truncate` must fall back to the plain checkpoint and training
+    must produce BIT-IDENTICAL vectors (the rebuild only resets
+    planner statistics — never data)."""
+    edges, _ = trained
+
+    def fast():
+        return KE.train_transe(edges, dim=DIM, iters=3, k_neg=2)
+
+    ref = {r["name"]: tuple(r["vec"])
+           for r in fast()["ent_emb"].collect()}
+
+    def boom(ck):
+        raise RuntimeError("simulated Spark Connect: no _jsparkSession")
+
+    monkeypatch.setattr(KE, "_stats_reset_rebuild", boom)
+    probe = KE._truncate(
+        spark.range(2).select(F.col("id").cast("string").alias("name")))
+    assert probe._nh_stats_reset is False  # fallback path engaged
+    got = {r["name"]: tuple(r["vec"])
+           for r in fast()["ent_emb"].collect()}
+    assert got == ref
+
+
+def test_minibatch_sgd_converges(spark):
+    """VERDICT r03 task #6: the web-scale batch size (n_shards > 1)
+    must still LEARN — after a mini-batch run the positive/corruption
+    separation opens vs the untrained model, and positives score
+    closer in absolute terms."""
+    from naruhodo_spark.ops import kgtrain as KT
+
+    edges = _edges(spark)
+    model = KE.train_transe(
+        edges, dim=DIM, iters=6, lr=0.1, margin=1.0, k_neg=2, n_shards=4
+    )
+    pairs = KE.training_pairs(edges, k_neg=2)
+    pos = pairs.select(F.col("h").alias("subj"), F.col("r").alias("pred"),
+                       F.col("t").alias("obj"))
+    neg = pairs.select(F.col("nh").alias("subj"), F.col("r").alias("pred"),
+                       F.col("nt").alias("obj"))
+
+    def mean_dist(triples, ent, rel):
+        return (KE.score_triples(triples, ent, rel)
+                .agg(F.avg("dist")).head()[0])
+
+    ent0 = KE.init_embeddings(KT.entity_table(edges), DIM)
+    rel0 = KE.init_embeddings(
+        edges.select(F.col("pred").alias("name")).distinct(),
+        DIM, seed="emb42/rel")
+    sep0 = mean_dist(neg, ent0, rel0) - mean_dist(pos, ent0, rel0)
+    sep1 = (mean_dist(neg, model["ent_emb"], model["rel_emb"])
+            - mean_dist(pos, model["ent_emb"], model["rel_emb"]))
+    assert sep1 > sep0 + 0.3, (sep0, sep1)
+    assert mean_dist(pos, model["ent_emb"], model["rel_emb"]) < mean_dist(
+        neg, model["ent_emb"], model["rel_emb"])

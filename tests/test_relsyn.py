@@ -179,3 +179,37 @@ def test_inverse_pairs_partial_overlap_threshold(spark):
     assert not inverse_pairs(t, min_support=3, threshold=0.4).where(
         "pred_a = 'learn_from' OR pred_b = 'learn_from'"
     ).count()
+
+
+def test_inverse_rev_side_cap_and_audit(spark):
+    """ADVICE r03: a promiscuous REVERSED argument pair must be capped
+    and audited, not just the forward side. Plant one (subj, obj) pair
+    that k predicates share in the forward orientation — its REVERSED
+    key has df_rev = k via those same predicates' profiles — plus an
+    honest inverse pair that must survive the cap."""
+    rows = []
+    # 6 predicates all assert p_i(x, y): the reversed key (y, x) has
+    # df_rev = 6 once each predicate also carries (y, x) rows
+    for i in range(6):
+        rows += [(f"x{j}", f"p{i}", f"y{j}") for j in range(3)]
+        rows.append(("hub_a", f"p{i}", "hub_b"))
+        rows.append(("hub_b", f"p{i}", "hub_a"))
+    # honest inverse pair, disjoint entities
+    rows += [(f"s{j}", "buys", f"t{j}") for j in range(3)]
+    rows += [(f"t{j}", "sells", f"s{j}") for j in range(3)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    audit = R.promiscuous_inverse_keys(t, min_support=3, df_cap=4)
+    arows = audit.collect()
+    assert len(arows) >= 1  # the hub key is surfaced, not silent
+    assert all(
+        (r["df_fwd"] or 0) > 4 or (r["df_rev"] or 0) > 4 for r in arows
+    )
+
+    inv = R.inverse_pairs(t, min_support=3, df_cap=4, threshold=0.5)
+    got = {(r["pred_a"], r["pred_b"]) for r in inv.collect()}
+    assert ("buys", "sells") in got  # honest inverses survive the cap
+    # the hub-only overlap between p_i predicates came solely from the
+    # capped key, so no p_i/p_j pair may clear the threshold via it
+    assert not any(a.startswith("p") and b.startswith("p")
+                   for a, b in got if a != b)

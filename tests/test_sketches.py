@@ -127,3 +127,23 @@ def test_cms_typed_keys_roundtrip(spark):
     est = SK.cms_estimate(sk["sketch"], SK.xxhash64_map(spark, [True, False]))
     assert est[True] >= 30 and est[False] >= 5
     assert est[True] <= 30 + 0.01 * 35 + 1
+
+
+def test_cms_null_key_distinct_from_empty_string(spark):
+    """ADVICE r03: NULL and '' must occupy distinct CMS cells — the
+    coalesce-to-'' shape merged their counts, overestimating both
+    beyond the eps·N bound. 40 NULLs + 3 empties: each estimate must
+    stay within its own eps·N envelope, not the merged 43."""
+    df = spark.createDataFrame(
+        [(None,)] * 40 + [("",)] * 3 + [("x",)] * 7,
+        "k string",
+    )
+    sk = SK.freq_sketch(df, "k", eps=0.001, confidence=0.99).head()
+    est = SK.cms_estimate(
+        sk["sketch"], SK.xxhash64_map(spark, [None, "", "x"])
+    )
+    n = sk["n_rows"]
+    assert n == 50
+    assert 40 <= est[None] <= 40 + 0.001 * n + 1
+    assert 3 <= est[""] <= 3 + 0.001 * n + 1  # NOT 43
+    assert 7 <= est["x"] <= 7 + 0.001 * n + 1
