@@ -100,14 +100,21 @@ def topk_ivf(embeddings: DataFrame, k: int = 3, cell_col: str = "label") -> Data
 
 def hyperplane_sketch(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Random-hyperplane LSH sign sketch, fully deterministic: plane p's
-    coefficient for dimension d is a pseudo-random ±1/±3 derived from
-    xxhash64(p‖d). Stays JVM-side (no UDF): coefficient = f(pos) inside a
-    zip_with over the embedding array."""
+    coefficient for dimension d is a pseudo-random value in [-3, 3]
+    derived from md5_48(p‖d) — the repo's engine-portable hash idiom
+    (was xxhash64 through r03; switched so the DuckDB driver oracle can
+    reproduce the buckets bit-for-bit). Stays JVM-side (no UDF):
+    coefficient = f(pos) inside a zip_with over the embedding array; the
+    dot fold is left-to-right in array order, which DuckDB's
+    list_reduce mirrors exactly (same float addition order → same
+    sign)."""
+    from naruhodo_spark.ops.textstats import md5_48
+
     dim_idx = F.sequence(F.lit(0), F.size("embedding") - 1)
     bits = []
     for p in range(n_planes):
         coef = lambda pos, _p=p: (
-            (F.pmod(F.xxhash64(F.concat_ws(":", F.lit(_p), pos.cast("string"))), F.lit(7)) - 3)
+            (F.pmod(md5_48(F.concat_ws(":", F.lit(_p), pos.cast("string"))), F.lit(7)) - 3)
         ).cast("double")
         dot = F.aggregate(
             F.zip_with(
