@@ -145,6 +145,15 @@ JA_PRON = {
     "そこ": S.PRO_LOCATIVE, "あそこ": S.PRO_LOCATIVE,
 }
 JA_STOP_MAINS = ["する", "なる", "ある", "いる", "こと", "もの"]
+# NE gazetteer — the JA analog of the EN person/location/org lists
+# (mirrors the reference's NE dictionaries [PK naruhodo/utils/
+# dicts.py]); r04: without it the pronoun classes could not
+# discriminate in JA (彼 → nearest PERSON, それ → nearest non-person,
+# あそこ → nearest LOCATION all degraded to nearest-any)
+JA_NE_PERSONS = ["太郎", "花子", "次郎", "健太", "美咲",
+                 "アリス", "ボブ", "キャロル", "デイブ", "先生"]
+JA_NE_LOCATIONS = ["東京", "京都", "大阪", "学校", "公園", "駅", "図書館"]
+JA_NE_ORGS = ["会社", "大学", "銀行"]
 # copulas split off as their own bunsetsu by the raw-text segmenter
 # (operators/jaseg.py): 寺だ → 寺|だ, matching how CaboCha emits the
 # copula as the sentence-final predicate
@@ -183,10 +192,17 @@ JA_HIRA_CONTENT += [
 
 
 def ja_profile() -> dict:
+    ne = {}
+    for w in JA_NE_PERSONS:
+        ne[w] = S.ETYPE_PERSON
+    for w in JA_NE_LOCATIONS:
+        ne[w] = S.ETYPE_LOCATION
+    for w in JA_NE_ORGS:
+        ne[w] = S.ETYPE_ORG
     return {
         "lang": "ja",
         "order": "sov",  # func-word (particle) AFTER noun, predicate last
-        "ne": {},
+        "ne": ne,
         "pro": dict(JA_PRON),
         "particles": set(JA_CASE_PARTICLES),
         "subj_particles": set(JA_SUBJ_PARTICLES),

@@ -170,10 +170,17 @@ def chunk_sentence_ja(sentence: str, prof: dict) -> list[dict]:
     chunks: list[dict] = []
 
     def emit(surface, main, ctype, pro, neg, tense):
+        # NE only on noun chunks (the EN chunker's rule): pronouns keep
+        # UNKNOWN so resolve_pronouns' is_ent mask stays pronoun-free,
+        # and predicates are never entities
+        ne = (
+            prof.get("ne", {}).get(main, S.ETYPE_UNKNOWN)
+            if ctype == S.CTYPE_NOUN else S.ETYPE_UNKNOWN
+        )
         chunks.append(
             dict(
                 chunk_id=len(chunks), parent=-1, surface=surface, main=main,
-                func="", ctype=ctype, ne_type=S.ETYPE_UNKNOWN, pro=pro,
+                func="", ctype=ctype, ne_type=ne, pro=pro,
                 negative=neg, passive=pas_flag(surface), tense=tense,
             )
         )

@@ -509,6 +509,10 @@ def chunk_arrays_ja(
     sufs = tuple(prof["verb_suffixes"])
     is_part_u = np.fromiter((t in particles for t in uniq), bool, nu)
     pro_u = np.fromiter((prod.get(t, S.PRO_NONE) for t in uniq), np.int32, nu)
+    ned = prof.get("ne", {})
+    ne_u = np.fromiter(
+        (ned.get(t, S.ETYPE_UNKNOWN) for t in uniq), np.int32, nu
+    )
     # exception lexicon: lexical ない/ぬ enders stay PREDICATES but not
     # negated; ず-ending adverbs drop out of the negation class entirely
     # (they fall through to the noun default, mirroring the spec)
@@ -583,7 +587,11 @@ def chunk_arrays_ja(
             "main": etok,
             "func": func_v,
             "ctype": ctype,
-            "ne_type": np.full(len(epos), S.ETYPE_UNKNOWN, dtype=np.int32),
+            # NE only on noun chunks — pronoun/verb emissions keep
+            # UNKNOWN, mirroring the row-wise spec's emit rule
+            "ne_type": np.where(
+                is_pron_e | is_verb_e, S.ETYPE_UNKNOWN, ne_u[einv]
+            ).astype(np.int32),
             "pro": np.where(is_pron_e, pro_v, S.PRO_NONE).astype(np.int32),
             "negative": is_negv_e,
             # row-wise emit computes pas_flag(surface) for EVERY chunk

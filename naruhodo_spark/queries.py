@@ -1951,6 +1951,18 @@ def kg_triples_ja(spark, sf_dir):
     )["triples"]
 
 
+def kg_coref_ja_multi(spark, sf_dir):
+    """O13/O14 in JA across sentence boundaries: the multi-sentence
+    golden corpus (synth.ja_golden_multi_corpus — r04) through the full
+    raw pipeline. tests/test_ja_golden.py pins exact segmentations, a
+    P/R >= 0.95 gate vs the row-wise spec mirror (resolution classes +
+    carryover), and direct planted-antecedent discrimination (彼 skips
+    a nearer non-person; それ skips a nearer person)."""
+    return build_kg(
+        synth.ja_golden_multi_documents(spark, 36), prof=L.get_profile("ja")
+    )["triples"]
+
+
 def kg_export_surface(spark, sf_dir):
     """O4/O34 export-path invariants, driver-executed (VERDICT r02
     next-round #7): the viewer JSON surfaces (export.nodes_json /
@@ -2604,6 +2616,7 @@ for _n, _f in [
     ("mm_resize", mm_resize),
     ("mm_frame_sample", mm_frame_sample),
     ("kg_triples_ja", kg_triples_ja),
+    ("kg_coref_ja_multi", kg_coref_ja_multi),
     # --- r04 oracle-slot rotation: demoted after 3 driver-green rounds
     # (see the rotation-policy note above the rows-only marker); each
     # keeps its pytest coverage and its bench entry where it had one

@@ -221,6 +221,84 @@ def ja_golden_corpus(n_sents: int = 120, seed: int = SEED) -> list[tuple[str, li
     return out
 
 
+JA_LOCATIONS = ["東京", "京都", "大阪", "学校", "公園", "駅"]
+# hiragana nouns that do NOT end in a verb-suffix character (つ/す/く…):
+# the chunker's suffix heuristic classifies such enders as predicates
+# (the documented jaseg/chunker limitation, operators/jaseg.py) — the
+# multi-sentence templates need args that stay NOUN chunks so the
+# planted antecedents are assertable directly
+JA_HIRA_NOUN_ARGS = ["にわとり", "はなし", "ともだち", "へや", "でんわ",
+                     "のみもの", "くだもの", "たまご", "さかな", "はさみ",
+                     "とけい"]
+
+
+def ja_golden_multi_corpus(
+    n_docs: int = 36, seed: int = SEED
+) -> list[tuple[str, list[list[str]]]]:
+    """[(raw_doc_text, [gold_tokens per sentence])] — multi-sentence JA
+    documents with authored segmentations (VERDICT r03 next-round #4),
+    exercising O13 pronoun resolution and O14 subject carryover ACROSS
+    sentence boundaries. Each template plants an unambiguous antecedent:
+
+      M0  [S が O を V]  [彼 は O2 を V2]          彼 → S (personal)
+      M1  [S は O を V]  [それ は C だ]            それ → O (demonstrative)
+      M2  [S が O を V]  [O2 を V2]                carryover: subj = S
+      M3  [S が LOC に O を V]  [あそこ は C だ]   あそこ → LOC (locative)
+      M4  [S が O を V]  [O2 が Vpass]  [彼 は O3 を V3]
+          彼 must SKIP the nearer non-person O2 and resolve to S —
+          the class-discrimination case the r04 JA NE gazetteer enables
+      M5  [O を S が V]  [それ は C だ]
+          それ must SKIP the nearer PERSON S and resolve to O
+
+    Raw text has no whitespace; sentences end with 。 so the engine's
+    sentence splitter + raw segmenter run for real."""
+    rng = np.random.RandomState(seed + 1)
+
+    def pick(xs):
+        return xs[int(rng.randint(len(xs)))]
+
+    out: list[tuple[str, list[list[str]]]] = []
+    for i in range(n_docs):
+        t = i % 6
+        s = pick(JA_SUBJECTS)
+        o, o2, o3 = pick(JA_OBJECTS), pick(JA_HIRA_NOUN_ARGS), pick(JA_OBJECTS)
+        v, v2, v3 = pick(JA_VERBS), pick(JA_VERBS), pick(JA_VERBS)
+        if t == 0:
+            sents = [[s, "が", o, "を", v], ["彼", "は", o2, "を", v2]]
+        elif t == 1:
+            sents = [[s, "は", o, "を", v],
+                     ["それ", "は", pick(JA_COP_NOUNS), "だ"]]
+        elif t == 2:
+            sents = [[s, "が", o, "を", v], [o2, "を", v2]]
+        elif t == 3:
+            sents = [[s, "が", pick(JA_LOCATIONS), "に", o, "を", v],
+                     ["あそこ", "は", pick(JA_COP_NOUNS), "だ"]]
+        elif t == 4:
+            sents = [[s, "が", o, "を", v],
+                     [o2, "が", pick(JA_VERBS_PASS)],
+                     ["彼", "は", o3, "を", v3]]
+        else:
+            sents = [[o, "を", s, "が", v],
+                     ["それ", "は", pick(JA_COP_NOUNS), "だ"]]
+        raw = "".join("".join(toks) + "。" for toks in sents)
+        out.append((raw, sents))
+    return out
+
+
+def ja_golden_multi_documents(
+    spark: SparkSession, n_docs: int = 36, seed: int = SEED
+) -> DataFrame:
+    """The multi-sentence corpus as a spans-shaped documents table."""
+    rows = [
+        (
+            f"jam-{i:04d}",
+            [{"kind": "text", "text": raw, "media_ref": "", "offset": 0}],
+        )
+        for i, (raw, _sents) in enumerate(ja_golden_multi_corpus(n_docs, seed))
+    ]
+    return spark.createDataFrame(rows, schema=S.DOCUMENTS_SPANS)
+
+
 def ja_golden_documents(spark: SparkSession, n_sents: int = 120,
                         seed: int = SEED, segmented: bool = False) -> DataFrame:
     """The corpus as a spans-shaped documents table, one sentence per
