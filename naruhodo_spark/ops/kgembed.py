@@ -187,6 +187,45 @@ def _grad_mean(contribs: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def _joined(batch: DataFrame, ent: DataFrame, rel: DataFrame) -> DataFrame:
+    """pairs ⋈ model: the 5 uniform equi-joins both the training step
+    and the loss evaluation ride."""
+    return (
+        batch
+        .join(ent.select(F.col("name").alias("h"),
+                         F.col("vec").alias("hv")), "h")
+        .join(ent.select(F.col("name").alias("t"),
+                         F.col("vec").alias("tv")), "t")
+        .join(ent.select(F.col("name").alias("nh"),
+                         F.col("vec").alias("nhv")), "nh")
+        .join(ent.select(F.col("name").alias("nt"),
+                         F.col("vec").alias("ntv")), "nt")
+        .join(rel.select(F.col("name").alias("r"),
+                         F.col("vec").alias("rv")), "r")
+        .withColumn("sp", _vsub(_vadd(F.col("hv"), F.col("rv")),
+                                F.col("tv")))
+        .withColumn("sn", _vsub(_vadd(F.col("nhv"), F.col("rv")),
+                                F.col("ntv")))
+    )
+
+
+def transe_loss(
+    pairs: DataFrame, ent: DataFrame, rel: DataFrame, margin: float = 1.0
+) -> float:
+    """Full-corpus margin loss Σ max(0, margin + |h+r−t|² − |h'+r−t'|²)
+    under the given model — the convergence metric. One forward pass
+    (the 5 equi-joins + a single agg); the per-pair values never leave
+    the executors. Pairs touching entities/relations absent from the
+    model drop out (inner joins) — score coverage is the caller's
+    concern (score_triples is the no-silent-drop surface)."""
+    j = _joined(pairs.select("h", "r", "t", "nh", "nt"), ent, rel)
+    val = F.lit(float(margin)) + _sqnorm(F.col("sp")) - _sqnorm(F.col("sn"))
+    out = j.agg(
+        F.sum(F.when(val > 0, val).otherwise(F.lit(0.0))).alias("loss")
+    ).head()[0]
+    return float(out or 0.0)
+
+
 def train_transe(
     ksg_edges: DataFrame,
     dim: int = DIM,
@@ -198,6 +237,7 @@ def train_transe(
     init_ent: DataFrame | None = None,
     init_rel: DataFrame | None = None,
     n_shards: int = 1,
+    round_metrics: list | None = None,
 ) -> dict[str, DataFrame]:
     """Fit TransE over KSG edges; returns {"ent_emb", "rel_emb"}
     (name, vec array<double>) DataFrames.
@@ -216,7 +256,15 @@ def train_transe(
     one), so convergence per data pass improves while per-step join
     volume drops to |pairs|/n_shards. Sharding is xxhash64 on the full
     pair content — deterministic, partition-invariant, every pair in
-    exactly one shard."""
+    exactly one shard.
+
+    ``round_metrics``: when a list is passed, one dict per completed
+    iteration is appended: {"iter", "loss" (FULL-corpus margin loss
+    under the post-iteration model — one extra forward pass, computed
+    only when requested), "wall_s"} — the mini-batch-vs-full-batch
+    convergence evidence (BENCH/bench_scale_kgembed.py)."""
+    import time as _time
+
     from naruhodo_spark.ops import kgtrain as KT
 
     pairs = _truncate(training_pairs(ksg_edges, k_neg))
@@ -253,6 +301,7 @@ def train_transe(
     steps = [
         (i, s) for i in range(int(iters)) for s in range(int(n_shards))
     ]
+    iter_t0 = _time.time()
     for _i, shard in steps:
         batch = (
             pairs.where(F.col("shard") == shard) if n_shards > 1 else pairs
@@ -327,6 +376,16 @@ def train_transe(
         _release(prev_ent)
         _release(prev_rel)
         viol.unpersist()
+        if round_metrics is not None and shard == int(n_shards) - 1:
+            wall = _time.time() - iter_t0  # training only, loss excluded
+            loss = transe_loss(
+                pairs.select("h", "r", "t", "nh", "nt"), ent, rel, margin
+            )
+            round_metrics.append({
+                "iter": _i, "loss": round(loss, 4),
+                "wall_s": round(wall, 3),
+            })
+            iter_t0 = _time.time()
     return {"ent_emb": ent, "rel_emb": rel}
 
 

@@ -338,3 +338,20 @@ def test_minibatch_sgd_converges(spark):
     assert sep1 > sep0 + 0.3, (sep0, sep1)
     assert mean_dist(pos, model["ent_emb"], model["rel_emb"]) < mean_dist(
         neg, model["ent_emb"], model["rel_emb"])
+
+
+def test_round_metrics_loss_decreases(spark):
+    """The instrumented convergence surface (round_metrics +
+    transe_loss): per-iteration full-corpus margin loss must be
+    monotone-ish downward — last iteration strictly below the first —
+    and wall entries must cover every iteration."""
+    edges = _edges(spark)
+    metrics: list = []
+    KE.train_transe(
+        edges, dim=DIM, iters=5, lr=0.1, k_neg=2, n_shards=2,
+        round_metrics=metrics,
+    )
+    assert [m["iter"] for m in metrics] == list(range(5))
+    losses = [m["loss"] for m in metrics]
+    assert losses[-1] < losses[0], losses
+    assert all(m["wall_s"] > 0 for m in metrics)
