@@ -128,12 +128,45 @@ def run_cfg(cores: int, runs: int, timeout: int = 7200) -> dict:
     raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stderr[-4000:]}")
 
 
+def run_ceiling(k: int, runs: int, timeout: int = 7200) -> dict:
+    """Hardware-ceiling measurement (the tiered-dedup drill protocol,
+    BENCH/BASELINE.md "Second-workload scaling"): K CONCURRENT,
+    fully independent local[2] JVMs over the same input. They share
+    nothing but the box, so any per-job slowdown vs a solo local[2]
+    run is the machine's memory-bandwidth/LLC wall — the denominator
+    that does not compound across real multi-node executors."""
+    code = _JOB.format(repo=REPO, cores=2, inp=INPUT_DIR, runs=runs)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code], stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for _ in range(k)
+    ]
+    walls = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        got = None
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                got = json.loads(line[len("RESULT "):])
+        if got is None:
+            raise RuntimeError(f"no RESULT from ceiling job:\n{err[-4000:]}")
+        walls.append(min(got["walls"]))
+    return {"k": k, "per_job_best_walls": [round(w, 2) for w in walls]}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicate", type=int, default=256)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--skip-prep", action="store_true")
+    ap.add_argument(
+        "--ceiling", type=int, default=0, metavar="K",
+        help="instead of the 2→8 sweep, run K concurrent independent "
+        "local[2] jobs (hardware-ceiling protocol) and print per-job walls",
+    )
     args = ap.parse_args()
 
     if not args.skip_prep:
@@ -145,6 +178,10 @@ def main() -> None:
                            text=True, timeout=1800)
         if r.returncode != 0:
             raise RuntimeError(r.stderr[-4000:])
+
+    if args.ceiling:
+        print(json.dumps(run_ceiling(args.ceiling, args.runs)))
+        return
 
     res = {}
     for cores in (2, 8):

@@ -138,6 +138,20 @@ def learn_bpe(
     collect + one fold pass; ``localCheckpoint`` truncates the growing
     fold lineage each round (PageRank idiom), with the previous round's
     checkpoint unpersisted once superseded.
+
+    Production guidance (measured, BENCH/BASELINE.md "BPE
+    production-batch drill"): per-round wall is ~0.3 s and nearly
+    batch-independent — the scale cost is the ROUND COUNT
+    (= n_merges / batch driver round-trips), so a 32k-merge vocabulary
+    is ~2.5 h of round-trips at batch=1 vs ~4 min at batch=64.
+    Batched greedy picks disjoint pairs per round from stale counts, so
+    the learned list deviates from batch=1's strict frequency ranking
+    where counts plateau; the honest quality metric is held-out
+    COMPRESSION, not rule-list identity (equal-budget drill: batch=8
+    costs +1.8% pieces/word vs batch=1, batch=64 costs +8.7%).
+    Recommended production setting ``batch=8..32`` — ~8-30× fewer
+    driver rounds for low-single-digit compression loss; validate
+    pieces/word on a held-out split when raising ``batch`` further.
     """
     if n_merges < 0:
         raise ValueError(f"learn_bpe: n_merges must be >= 0, got {n_merges}")

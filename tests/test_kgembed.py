@@ -355,3 +355,21 @@ def test_round_metrics_loss_decreases(spark):
     losses = [m["loss"] for m in metrics]
     assert losses[-1] < losses[0], losses
     assert all(m["wall_s"] > 0 for m in metrics)
+
+
+def test_minibatch_converges_faster_per_round(spark):
+    """The drill claim recorded in BENCH/BASELINE.md (r04 TransE
+    convergence section): at equal round counts, hash-sharded
+    mini-batch SGD (k sequential model updates per round) ends at a
+    strictly lower full-corpus margin loss than full-batch GD."""
+    edges = _edges(spark)
+    full_m: list = []
+    mini_m: list = []
+    KE.train_transe(edges, dim=DIM, iters=4, lr=0.1, k_neg=2,
+                    n_shards=1, round_metrics=full_m)
+    KE.train_transe(edges, dim=DIM, iters=4, lr=0.1, k_neg=2,
+                    n_shards=4, round_metrics=mini_m)
+    assert mini_m[-1]["loss"] < full_m[-1]["loss"], (
+        [m["loss"] for m in full_m],
+        [m["loss"] for m in mini_m],
+    )
