@@ -339,6 +339,22 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return KEM.train_transe(self._ksg_edges(), dim=dim, iters=iters, **kw)
 
+    def evaluate_embeddings(
+        self, model: dict[str, DataFrame], test: DataFrame, **kw
+    ) -> DataFrame:
+        """Filtered link-prediction metrics (ops/kglinkpred.py, Bordes
+        2013 protocol) of a train_embeddings() model against held-out
+        ``test`` triples (subj, pred, obj), with the full KSG as the
+        known-true filter: one row per side + 'all' with n, n_unranked,
+        mean rank, MRR, hits@k."""
+        from naruhodo_spark.ops import kglinkpred as LPR
+
+        ranks = LPR.rank_candidates(
+            test, model["ent_emb"], model["rel_emb"],
+            known=self._ksg_edges().select("subj", "pred", "obj"), **kw
+        )
+        return LPR.link_prediction_metrics(ranks)
+
     def triangles(self) -> DataFrame:
         """(node, triangles, degree, clustering) — degree-ordered
         triangle counting over the KSG (operators/graphstats.py)."""

@@ -2438,6 +2438,32 @@ def td_transe_embeddings(spark, sf_dir):
     ).select("subj", "pred", "obj", "side", F.round("dist", 6).alias("dist"))
 
 
+def td_transe_eval(spark, sf_dir):
+    """Filtered link-prediction evaluation (ops/kglinkpred.py — the
+    Bordes 2013 ranking protocol) of a TransE model trained on the
+    synth KSG: edges hash-split into train/test (md5 — leak-free,
+    resume-stable), the model trained on the train side only, and every
+    test triple ranked against ALL entities on both corruption sides
+    with the known-true filter over the full edge set. Rank-as-a-count
+    (no global sort), Catalyst path; exhaustive numpy mirror + BLAS
+    twin equality pinned in tests/test_kglinkpred.py (rows-only —
+    iterative training upstream)."""
+    from naruhodo_spark.ops import kgembed as KEM
+    from naruhodo_spark.ops import kglinkpred as LPR
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    key = F.md5(F.concat_ws("\x1f", "subj", "pred", "obj"))
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % 5
+    train = edges.where(bucket != 0)
+    test = edges.where(bucket == 0).select("subj", "pred", "obj")
+    model = KEM.train_transe(train, dim=8, iters=10, lr=0.3, k_neg=2)
+    ranks = LPR.rank_candidates(
+        test, model["ent_emb"], model["rel_emb"],
+        known=edges.select("subj", "pred", "obj"),
+    )
+    return ranks.orderBy("subj", "pred", "obj", "side")
+
+
 def td_kelm_corpus(spark, sf_dir):
     """KG→text verbalization (ops/verbalize.py — KELM, Agarwal 2021):
     the synth KSG rendered into one deterministic training document per
@@ -2495,6 +2521,7 @@ for _n, _f in [
     ("kg_landmark_distances", kg_landmark_distances),
     ("td_quality_classifier", td_quality_classifier),
     ("td_transe_embeddings", td_transe_embeddings),
+    ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus", td_kelm_corpus),
     ("kg_inverse_predicates", kg_inverse_predicates),
     (

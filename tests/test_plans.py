@@ -233,3 +233,20 @@ def test_td_quality_classifier_scoring_no_python(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_td_transe_eval_rank_as_count_plan(spark):
+    # rank-as-a-count over the whole entity table: the candidate scan
+    # is the intended broadcast(queries) nested-loop — the eval-set
+    # side broadcast (BuildRight), the 10^9-entity side streamed once —
+    # NEVER a CartesianProduct, and exactly ONE such scan per side
+    # family; no row-at-a-time Python. (MapInPandas appears upstream in
+    # the synth KG extraction feeding the model, not in the evaluator —
+    # the evaluator's Catalyst path adds none.)
+    p = _plan(spark, "td_transe_eval")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "BuildRight" in p.split("BroadcastNestedLoopJoin", 1)[1][:60]
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the count is map-side combinable: partial_count under the qid agg
+    assert "partial_count" in p
