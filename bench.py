@@ -175,6 +175,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "sim_pq_topk",
         # added late-r03
         "dd_simhash_near_dups",
+        # added r04 (query-set change — not like-for-like vs r03 totals)
+        "kg_motif_peers",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -362,6 +362,25 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return GS.triangle_counts(self._ksg_edges())
 
+    def find(
+        self,
+        pattern: "list[tuple[str, str | None, str]]",
+        anti: "list[tuple[str, str | None, str]] | None" = None,
+        distinct_nodes: bool = True,
+    ) -> DataFrame:
+        """GraphFrames-style motif search over the KSG: one column per
+        node variable (plus ``?``-bound predicate variables), one row
+        per embedding. The reference exposes ``parser.G`` for users to
+        hand-roll pattern loops over the in-memory DiGraph; here the
+        pattern compiles to a Catalyst equi-join chain
+        (operators/motif.py) that never cross-joins."""
+        from naruhodo_spark.operators.motif import match_motif_ksg
+
+        return match_motif_ksg(
+            self._ksg_edges(), pattern, anti=anti,
+            distinct_nodes=distinct_nodes,
+        )
+
     def add_urls(self, urls: list[str], n_partitions: int = 4) -> "parser":
         """Reference ``addUrls`` [PK naruhodo/parser.py +
         naruhodo/utils/scraper.py]: fetch each page and stage its text.

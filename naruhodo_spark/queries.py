@@ -631,14 +631,61 @@ def pivot_qty_by_status(spark, sf_dir):
     )
 
 
+# pivot_qty_by_status: oracle DEMOTED r04 (driver-green r01–r03; rotation
+# policy — see the rotation note above the rows-only marker). Registered
+# rows-only at the end of this module; pytest coverage unchanged. Its
+# slot goes to kg_motif_peers — first driver oracle for the motif matcher.
+
+
+def kg_motif_peers(spark, sf_dir):
+    """Declarative motif matching (operators/motif.py) driven over an
+    SQL-derivable KG: customer/supplier co-location. Edges are
+    (c:X)-[cust_from]->(n:Y), (s:X)-[supp_from]->(n:Y),
+    (n:Y)-[in_region]->(r:Z); the 3-edge motif binds the region
+    predicate as an output variable, so the compiled join chain AND the
+    pred-var projection are both oracle-checked (the DuckDB mirror is
+    the equivalent join chain over the base tables)."""
+    from naruhodo_spark.operators.motif import match_motif
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.lit("cust_from").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.lit("supp_from").alias("pred"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    geo = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = cust.unionByName(supp).unionByName(geo)
+    return match_motif(
+        edges,
+        [
+            ("c", "cust_from", "n"),
+            ("s", "supp_from", "n"),
+            ("n", "?via", "r"),
+        ],
+    )
+
+
 _register(
-    "pivot_qty_by_status",
-    pivot_qty_by_status,
+    "kg_motif_peers",
+    kg_motif_peers,
     """
-    SELECT l_returnflag,
-           round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS qty_open,
-           round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS qty_filled
-    FROM lineitem GROUP BY l_returnflag
+    SELECT 'c:' || c_custkey   AS c,
+           'n:' || n_nationkey AS n,
+           's:' || s_suppkey   AS s,
+           'r:' || r_regionkey AS r,
+           'in_region'         AS via
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN supplier ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
     """,
 )
 
@@ -2654,5 +2701,6 @@ for _n, _f in [
     ("agg_percentiles", agg_percentiles),
     ("joins_semi_anti", joins_semi_anti),
     ("setop_users", setop_users),
+    ("pivot_qty_by_status", pivot_qty_by_status),
 ]:
     _register(_n, _f)
