@@ -301,3 +301,92 @@ def media_near_dups(
         F.col("id_b").alias("ref_b"),
         "hamming",
     )
+
+
+def caption_pairs(
+    docs_spans: DataFrame,
+    sides: str = "both",
+    max_chars: "int | None" = None,
+) -> DataFrame:
+    """(doc_id, media_ref, caption, side) — one row per (media span,
+    adjacent text span) with the RAW text: the contrastive
+    image/text training-pair shape (CLIP-style weak supervision from
+    interleaved documents; media_adjacency keeps only entity mentions,
+    this keeps the caption surface itself).
+
+    ``sides``: 'before', 'after', or 'both' — which neighboring text
+    span(s) to pair. ``max_chars`` truncates captions JVM-side so the
+    downstream tokenizer batch is bounded.
+
+    Scale shape: all positional arithmetic runs INSIDE each row's spans
+    array via higher-order functions (transform with index + slice /
+    filter prefix scans) — zero shuffle, zero Python, no window. The
+    output is document-partitioned like its input; dedup/quota/tokenize
+    compose downstream (ops/dedup, ops/textstats).
+    """
+    if sides not in ("before", "after", "both"):
+        raise ValueError(f"sides must be before|after|both, got {sides!r}")
+    ordered = F.array_sort(
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["media_ref"].alias("media_ref"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+    # per media element: the nearest text span strictly before / after
+    # in offset order (element_at(-1) of the preceding text slice;
+    # element_at(1) of the following one)
+    ann = F.transform(
+        F.col("_ord"),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["media_ref"].alias("media_ref"),
+            # try_element_at: ANSI mode is on — out-of-bounds must be
+            # null (no preceding/following text span), not an error
+            F.try_element_at(
+                F.filter(
+                    F.slice(F.col("_ord"), 1, i),
+                    lambda p: p["kind"] == F.lit("text"),
+                ),
+                F.lit(-1),
+            )["text"].alias("before"),
+            F.try_element_at(
+                F.filter(
+                    # slice beyond array end is legal: returns empty
+                    F.slice(F.col("_ord"), i + 2, F.size(F.col("_ord"))),
+                    lambda p: p["kind"] == F.lit("text"),
+                ),
+                F.lit(1),
+            )["text"].alias("after"),
+        ),
+    )
+    media = (
+        docs_spans.withColumn("_ord", ordered)
+        .select("doc_id", F.explode(ann).alias("m"))
+        .where(F.col("m.kind") == "media")
+    )
+    outs = []
+    for side in ("before", "after"):
+        if sides in (side, "both"):
+            cap = F.col(f"m.{side}")
+            if max_chars is not None:
+                cap = F.substring(cap, 1, max_chars)
+            outs.append(
+                media.where(
+                    F.col(f"m.{side}").isNotNull()
+                    & (F.col(f"m.{side}") != "")
+                ).select(
+                    "doc_id",
+                    F.col("m.media_ref").alias("media_ref"),
+                    cap.alias("caption"),
+                    F.lit(side).alias("side"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1985,6 +1985,14 @@ def mm_frame_sample(spark, sf_dir):
     return MM.sample_frames(media)
 
 
+def mm_caption_pairs(spark, sf_dir):
+    """CLIP-style (media_ref, adjacent raw caption) pairs over the
+    interleaved synth corpus — zero-shuffle array arithmetic
+    (ops/multimodal.caption_pairs); exact python mirror + plan pin in
+    tests/test_multimodal.py."""
+    return MM.caption_pairs(_synth(spark), max_chars=256)
+
+
 def kg_triples_ja(spark, sf_dir):
     """Language pluggability: the identical dataflow under the JA particle
     profile over RAW (unsegmented) Japanese — the longest-match
@@ -2687,6 +2695,7 @@ for _n, _f in [
     ("kg_cc_labels", kg_cc_labels),
     ("kg_span_invariant", kg_span_invariant),
     ("mm_media_features", mm_media_features),
+    ("mm_caption_pairs", mm_caption_pairs),
     ("mm_resize", mm_resize),
     ("mm_frame_sample", mm_frame_sample),
     ("kg_triples_ja", kg_triples_ja),
