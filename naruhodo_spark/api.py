@@ -218,6 +218,28 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return GS.hits(self._ksg_edges(), iterations)
 
+    def communities(self, max_iterations: int = 10) -> DataFrame:
+        """(node, label) — synchronous weighted label propagation over
+        the KSG (operators/graphstats.label_propagation); a
+        modularity-style alternative to the PMI/CC-based
+        entity_communities."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.label_propagation(self._ksg_edges(), max_iterations)
+
+    def related_entities(
+        self, seeds: list[str], damping: float = 0.85,
+        iterations: int = 15,
+    ) -> DataFrame:
+        """(node, rank) — personalized PageRank restarted at ``seeds``
+        (operators/graphstats.personalized_pagerank): 'entities related
+        to these', numpy-pinned."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.personalized_pagerank(
+            self._ksg_edges(), seeds, damping, iterations
+        )
+
     def summary(self) -> DataFrame:
         """(stat, value) one-stop graph report: node/edge/predicate
         counts, total weight, and degree percentiles — two aggregation

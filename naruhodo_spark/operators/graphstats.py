@@ -425,3 +425,140 @@ def hits(
     return hub.select("node", F.col("s").alias("hub")).join(
         auth.select("node", F.col("s").alias("authority")), "node"
     )
+
+
+def label_propagation(
+    ksg_edges: DataFrame,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan 2007) → (node, label); label = the community's
+    max-member-id representative.
+
+    Each round every node adopts the label with the highest total
+    incident edge weight among its neighbors (undirected view); ties
+    break to the lexicographically larger label, which together with
+    synchronous updates makes the result deterministic and
+    repartition-invariant. Synchronous LPA can oscillate on bipartite
+    substructures, so the loop stops at ``max_iterations`` even if not
+    converged (converged = zero labels changed, an O(1) driver scalar).
+
+    Scale shape: one equi-join (labels ⋈ undirected edges) + one
+    two-column aggregation per round — the same linear per-round cost
+    as pagerank/hits; localCheckpoint truncates lineage every round and
+    the superseded round's blocks are unpersisted eagerly.
+    """
+    spark = ksg_edges.sparkSession
+    edges = _edge_pairs(ksg_edges)
+    und = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    prev_ck = None
+    for _ in range(max_iterations):
+        # each node's neighbor labels, weighted; pick (max weight, then
+        # max label) — max(struct(...)) is one partial-aggregable agg
+        neigh = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.sum("weight").alias("w"))
+            .groupBy("src")
+            .agg(F.max(F.struct("w", "label")).alias("best"))
+            .select(F.col("src").alias("node"), F.col("best.label").alias("new_label"))
+        )
+        nxt = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = nxt.agg(F.sum(F.col("_chg").cast("int"))).collect()[0][0]
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck, labels = nxt, nxt.select("node", "label")
+        if not changed:
+            break
+    return labels
+
+
+def personalized_pagerank(
+    ksg_edges: DataFrame,
+    seeds: list[str],
+    damping: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """Personalized PageRank → (node, rank), sum(rank)=1: random walk
+    with restart to the ``seeds`` set — 'relevance to these entities',
+    the standard seed-expansion / related-entity primitive.
+
+    Identical loop shape to :func:`pagerank` (one equi-join + one agg
+    per round, O(1) driver scalars, localCheckpoint per round); the
+    teleport vector is 1/len(seeds) on seeds and 0 elsewhere, so both
+    the restart mass and the dangling mass return to the seeds instead
+    of spreading uniformly.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    spark = ksg_edges.sparkSession
+    edges = _edge_pairs(ksg_edges)
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    trans = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        return spark.createDataFrame([], "node string, rank double")
+    tele = F.when(
+        F.col("node").isin(list(seeds)), F.lit(1.0 / len(set(seeds)))
+    ).otherwise(F.lit(0.0))
+
+    ranks = nodes.select("node", tele.alias("rank"))
+    has_out = out_w.select(F.col("src").alias("node"))
+
+    prev_ck = None
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("c"))
+        )
+        restart = 1.0 - damping + damping * dangling
+        nxt = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (tele * F.lit(restart)
+                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck = ranks = nxt
+    return ranks

@@ -2101,6 +2101,38 @@ def kg_media_links(spark, sf_dir):
     return edges
 
 
+def kg_lpa_communities(spark, sf_dir):
+    """Synchronous weighted label propagation over the built KSG
+    (operators/graphstats.label_propagation); exact python mirror +
+    planted-cluster + repartition-invariance pins in
+    tests/test_graphstats.py."""
+    from naruhodo_spark.operators import graphstats as O_gs
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    # weight>=2 sparsifies the dense synth KG so propagation yields a
+    # non-trivial community structure (the surface returns per-node
+    # labels, non-vacuous even when communities merge)
+    return O_gs.label_propagation(
+        edges.where(F.col("weight") >= 2), max_iterations=6
+    ).orderBy("node")
+
+
+def kg_personalized_pagerank(spark, sf_dir):
+    """Random walk with restart to a seed entity set over the built KSG
+    (operators/graphstats.personalized_pagerank); exact numpy mirror in
+    tests/test_graphstats.py. Seeds are two hot synth entities — the
+    'entities related to X' expansion surface."""
+    from naruhodo_spark.operators import graphstats as O_gs
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    return (
+        O_gs.personalized_pagerank(edges, ["heidi", "victor"], iterations=8)
+        .where(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
 def kg_entity_salience(spark, sf_dir):
     """Graph analytics over the built KSG (operators/graphstats.py):
     weighted PageRank (iterative join+agg power iteration, numpy-pinned
@@ -2617,6 +2649,8 @@ for _n, _f in [
     ),
     ("kg_media_links", kg_media_links),
     ("kg_entity_salience", kg_entity_salience),
+    ("kg_lpa_communities", kg_lpa_communities),
+    ("kg_personalized_pagerank", kg_personalized_pagerank),
     ("dd_dup_spans", dd_dup_spans),
     ("td_dsir_scores", td_dsir_scores),
     ("sim_semantic_dedup", sim_semantic_dedup),

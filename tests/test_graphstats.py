@@ -356,3 +356,128 @@ def test_hits_matches_numpy(spark):
 
 def test_hits_empty(spark):
     assert G.hits(_edges_df(spark, []), iterations=2).count() == 0
+
+
+# ---------------------------------------------------------------------
+# label propagation (synchronous, weighted, max-(w,label) tie-break)
+# ---------------------------------------------------------------------
+
+def _python_lpa(pairs, max_iterations=10):
+    """Exact mirror of graphstats.label_propagation: undirected weight
+    sums, synchronous update, argmax by (total weight, label)."""
+    und = {}
+    for u, v, w in pairs:
+        und[(u, v)] = und.get((u, v), 0) + w
+        und[(v, u)] = und.get((v, u), 0) + w
+    nodes = sorted({u for u, _ in und})
+    labels = {v: v for v in nodes}
+    for _ in range(max_iterations):
+        nxt = {}
+        for v in nodes:
+            acc = {}
+            for (a, b), w in und.items():
+                if a == v:
+                    acc[labels[b]] = acc.get(labels[b], 0) + w
+            nxt[v] = max(acc.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if nxt == labels:
+            labels = nxt
+            break
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_python(spark):
+    rng = np.random.default_rng(7)
+    names = [f"n{i}" for i in range(14)]
+    triples = []
+    for _ in range(40):
+        u, v = rng.choice(14, size=2, replace=False)
+        triples.append((names[u], "rel", names[v], int(rng.integers(1, 5))))
+    df = _edges_df(spark, triples)
+    got = {r["node"]: r["label"] for r in G.label_propagation(df).collect()}
+    want = _python_lpa([(s, o, w) for (s, p, o, w) in triples])
+    assert got == want
+
+
+def test_label_propagation_two_planted_clusters(spark):
+    # two dense cliques bridged by one weak edge → two communities
+    a = [f"a{i}" for i in range(5)]
+    b = [f"b{i}" for i in range(5)]
+    triples = []
+    for grp in (a, b):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                triples.append((grp[i], "rel", grp[j], 5))
+    triples.append((a[0], "rel", b[0], 1))
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(_edges_df(spark, triples)).collect()}
+    assert len({got[x] for x in a}) == 1
+    assert len({got[x] for x in b}) == 1
+    assert got[a[0]] != got[b[0]]
+
+
+def test_label_propagation_repartition_invariant(spark):
+    triples = [("a", "r", "b", 2), ("b", "r", "c", 1), ("d", "r", "e", 3),
+               ("c", "r", "a", 2), ("e", "r", "d", 1)]
+    df1 = _edges_df(spark, triples).repartition(1)
+    df13 = _edges_df(spark, triples).repartition(13)
+    g1 = sorted(tuple(r) for r in G.label_propagation(df1).collect())
+    g13 = sorted(tuple(r) for r in G.label_propagation(df13).collect())
+    assert g1 == g13
+
+
+# ---------------------------------------------------------------------
+# personalized PageRank (restart to seed set)
+# ---------------------------------------------------------------------
+
+def _numpy_ppr(pairs, seeds, d=0.85, iters=15):
+    nodes = sorted({u for u, v, w in pairs} | {v for u, v, w in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for u, v, w in pairs:
+        W[idx[u], idx[v]] += w
+    out = W.sum(axis=1)
+    P = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    t = np.zeros(n)
+    for s in set(seeds):
+        t[idx[s]] = 1.0 / len(set(seeds))
+    r = t.copy()
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        r = t * (1 - d + d * dangling) + d * (P.T @ r)
+    return {v: r[i] for v, i in idx.items()}
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    names = [f"n{i}" for i in range(12)]
+    triples = []
+    for _ in range(30):
+        u, v = rng.choice(12, size=2, replace=False)
+        triples.append((names[u], "rel", names[v], int(rng.integers(1, 5))))
+    triples.append((names[1], "rel", "sink", 2))
+    seeds = [names[0], names[3]]
+    df = _edges_df(spark, triples)
+    got = {r["node"]: r["rank"]
+           for r in G.personalized_pagerank(df, seeds).collect()}
+    want = _numpy_ppr([(s, o, w) for (s, p, o, w) in triples], seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    # two components; all mass must stay in the seed's component
+    triples = [("a", "r", "b", 1), ("b", "r", "a", 1),
+               ("x", "r", "y", 1), ("y", "r", "x", 1)]
+    got = {r["node"]: r["rank"]
+           for r in G.personalized_pagerank(_edges_df(spark, triples), ["a"]).collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] + got["b"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_requires_seeds(spark):
+    with pytest.raises(ValueError, match="seed"):
+        G.personalized_pagerank(_edges_df(spark, [("a", "r", "b", 1)]), [])
