@@ -173,3 +173,118 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .where(F.col("c.context").isNotNull())
         .select("center", "c.context", "c.offset")
     )
+
+
+def biased_walks(
+    edges: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 2,
+    length: int = 5,
+    seed: str = "n2v42",
+    neighbor_cap: int = NEIGHBOR_CAP,
+) -> DataFrame:
+    """Node2vec biased walks (Grover & Leskovec, KDD 2016) →
+    (walk_id, start, walk array<string>): second-order transitions where
+    stepping from ``prev`` to ``cur`` weights each candidate ``x`` by
+    1/p if x == prev (return), 1 if x is a neighbor of prev (BFS-ish),
+    1/q otherwise (DFS-ish). p = q = 1 is an unbiased second-order walk.
+
+    Determinism contract (module standard): the weighted pick uses
+    u = pmod(xxhash64(seed, walk_id, step), 2^31)/2^31 against the
+    candidate list's cumulative weights, candidates ordered by dst — no
+    RNG, resume-stable, repartition-invariant. The python mirror in
+    tests reproduces the same fold order, so equality is exact.
+
+    Plan shape per step (L-1 bounded rounds, lazy localCheckpoint every
+    CHECKPOINT_EVERY):
+
+    - frontier ⋈ capped adjacency on cur → ≤cap candidate rows/walk;
+    - ONE left semi-ish join (prev, candidate) vs the capped adjacency
+      marks distance-1 candidates (the only second-order lookup);
+    - the cumulative-weight pick is a window partitioned by walk_id —
+      bounded at ≤cap rows per key by construction, so skew-free (same
+      argument as _capped_adjacency's index window).
+
+    The first step has no prev → all candidates weigh 1 (uniform).
+    Dead ends truncate the walk, exactly like :func:`random_walks`.
+    """
+    if length < 1:
+        raise ValueError(f"biased_walks: length must be >= 1, got {length}")
+    if walks_per_node < 1:
+        raise ValueError(
+            f"biased_walks: walks_per_node must be >= 1, got {walks_per_node}"
+        )
+    if p <= 0 or q <= 0:
+        raise ValueError(f"biased_walks: p and q must be > 0, got p={p} q={q}")
+    adj = (
+        _capped_adjacency(edges, neighbor_cap, seed)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    starts = adj.select("src").distinct()
+    frontier = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("r"),
+        F.col("src").alias("cur"),
+    ).select(
+        F.concat_ws("\x1f", F.md5("cur"), "r").alias("walk_id"),
+        F.col("cur").alias("start"),
+        F.lit(None).cast("string").alias("prev"),
+        "cur",
+        F.array("cur").alias("walk"),
+    )
+    for step in range(1, length):
+        cand = frontier.where(F.col("cur").isNotNull()).join(
+            adj.select(F.col("src").alias("cur"), F.col("dst").alias("x")),
+            "cur",
+        )
+        # distance-1 flag: is (prev, x) an edge? null-safe eqs keep the
+        # first step (prev null) out of the semi join result
+        d1 = adj.select(
+            F.col("src").alias("prev"), F.col("dst").alias("x"),
+            F.lit(True).alias("is_d1"),
+        )
+        cand = cand.join(d1, ["prev", "x"], "left").select(
+            "walk_id", "start", "prev", "cur", "walk", "x",
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("is_d1"), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+            .alias("w"),
+        )
+        wlk = Window.partitionBy("walk_id").orderBy("x")
+        wall = Window.partitionBy("walk_id")
+        u = (
+            F.pmod(F.xxhash64(F.lit(seed), "walk_id", F.lit(step)), F.lit(2**31))
+            / F.lit(float(2**31))
+        )
+        picked = (
+            cand.withColumn("cum", F.sum("w").over(wlk))
+            # tot = max(cum), NOT a separate whole-partition sum: an
+            # independent fold order could differ from cum's final value
+            # in the last ulp and let thr land beyond every interval
+            .withColumn("tot", F.max("cum").over(wall))
+            .withColumn("thr", u * F.col("tot"))
+            # first candidate whose cumulative weight exceeds the
+            # threshold: cum - w <= thr < cum
+            .where((F.col("cum") - F.col("w") <= F.col("thr"))
+                   & (F.col("thr") < F.col("cum")))
+            .select(
+                "walk_id", "start",
+                F.col("cur").alias("prev"),
+                F.col("x").alias("cur"),
+                F.concat("walk", F.array("x")).alias("walk"),
+            )
+        )
+        done = frontier.join(
+            picked.select("walk_id"), "walk_id", "left_anti"
+        ).select(
+            "walk_id", "start",
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(None).cast("string").alias("cur"),
+            "walk",
+        )
+        frontier = picked.unionByName(done)
+        if step % CHECKPOINT_EVERY == 0:
+            frontier = frontier.localCheckpoint(eager=False)
+    return frontier.select("walk_id", "start", "walk")

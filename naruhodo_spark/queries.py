@@ -2304,6 +2304,23 @@ def td_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def td_biased_walk_pairs(spark, sf_dir):
+    """Node2vec (Grover 2016) second-order biased walks over the same
+    SVO graph (ops/walks.biased_walks: deterministic hash-threshold
+    weighted pick, bounded per-walk window), expanded to skip-gram
+    pairs. BFS-ish setting (p=4, q=0.5 explores outward); extreme-p/q
+    behavior and determinism pinned in tests/test_walks.py (rows-only —
+    iterative)."""
+    from naruhodo_spark.ops import walks as W
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    walks = W.biased_walks(edges, p=4.0, q=0.5, walks_per_node=2, length=5)
+    return W.skipgram_pairs(walks, window=2)
+
+
 def kg_predicate_synonyms(spark, sf_dir):
     """Relation canonicalization (operators/relsyn.py — DIRT-style
     distributional predicate synonymy, Lin & Pantel 2001): predicates
@@ -2659,6 +2676,7 @@ for _n, _f in [
     ("ts_lm_perplexity", ts_lm_perplexity),
     ("kg_entity_split", kg_entity_split),
     ("td_walk_pairs", td_walk_pairs),
+    ("td_biased_walk_pairs", td_biased_walk_pairs),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),

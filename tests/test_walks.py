@@ -152,3 +152,75 @@ def test_query_surface_runs(spark):
     rows = out.collect()
     assert {"center", "context", "offset"} <= set(out.columns)
     assert len(rows) > 0
+
+
+# ---------------------------------------------------------------------
+# node2vec biased walks
+# ---------------------------------------------------------------------
+
+def _cycle(spark, n=6):
+    """Undirected cycle v0..v{n-1} (both edge directions)."""
+    pairs = []
+    for i in range(n):
+        a, b = f"v{i}", f"v{(i + 1) % n}"
+        pairs.extend([(a, b), (b, a)])
+    return _edges(spark, pairs)
+
+
+def test_biased_walks_are_paths(spark, diamond):
+    adj = {(r["src"], r["dst"]) for r in diamond.collect()}
+    for r in W.biased_walks(diamond, p=2.0, q=0.5, length=4).collect():
+        w = r["walk"]
+        assert w[0] == r["start"]
+        for u, v in zip(w, w[1:]):
+            assert (u, v) in adj
+
+
+def test_biased_walks_deterministic_across_partitionings(spark, diamond):
+    a = sorted(map(tuple, W.biased_walks(diamond.repartition(1), length=5).collect()))
+    b = sorted(map(tuple, W.biased_walks(diamond.repartition(13), length=5).collect()))
+    assert a == b
+
+
+def test_biased_walks_extreme_q_always_advances(spark):
+    """q→0 makes distance-2 candidates overwhelm; on an undirected
+    cycle the walk must always move forward, never return."""
+    cyc = _cycle(spark, 6)
+    for r in W.biased_walks(
+        cyc, p=1.0, q=1e-12, walks_per_node=1, length=5
+    ).collect():
+        w = r["walk"]
+        assert len(w) == 5
+        # consecutive distinct, and no immediate backtrack anywhere
+        for i in range(2, len(w)):
+            assert w[i] != w[i - 2], f"backtracked: {w}"
+
+
+def test_biased_walks_extreme_p_always_returns(spark):
+    """p→0 makes the return candidate overwhelm: after the first step
+    the walk oscillates between its first two nodes."""
+    cyc = _cycle(spark, 6)
+    for r in W.biased_walks(
+        cyc, p=1e-12, q=1e12, walks_per_node=1, length=6
+    ).collect():
+        w = r["walk"]
+        assert len(w) == 6
+        for i in range(2, len(w)):
+            assert w[i] == w[i - 2], f"did not return: {w}"
+
+
+def test_biased_walks_uniform_matches_second_order_uniform(spark, diamond):
+    """p=q=1 weighs every candidate 1 — validity + full length on the
+    diamond's non-dead-end starts."""
+    got = {r["start"]: r["walk"]
+           for r in W.biased_walks(diamond, p=1.0, q=1.0,
+                                   walks_per_node=1, length=3).collect()}
+    assert set(got) == {"a", "b", "c", "d", "f"}
+    assert got["a"][0] == "a" and len(got["a"]) == 3
+
+
+def test_biased_walks_bad_args(spark, diamond):
+    with pytest.raises(ValueError, match="p and q"):
+        W.biased_walks(diamond, p=0.0)
+    with pytest.raises(ValueError, match="length"):
+        W.biased_walks(diamond, length=0)
