@@ -2321,6 +2321,22 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def td_gnn_blocks(spark, sf_dir):
+    """GraphSAGE mini-batch neighbor sampling (ops/gnn.py): fixed-fanout
+    per-hop blocks around two hot synth entities over the built KSG —
+    (seed, hop, src, dst) MFG edge lists. Hard-bound fanout,
+    determinism, frontier containment pinned in tests/test_gnn.py
+    (rows-only — hash-subsampled, iterative)."""
+    from naruhodo_spark.ops import gnn as GNN
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"].select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).where(F.col("dst") != "")
+    return GNN.sample_blocks(
+        edges, ["heidi", "victor"], [4, 2], direction="both"
+    )
+
+
 def kg_predicate_synonyms(spark, sf_dir):
     """Relation canonicalization (operators/relsyn.py — DIRT-style
     distributional predicate synonymy, Lin & Pantel 2001): predicates
@@ -2677,6 +2693,7 @@ for _n, _f in [
     ("kg_entity_split", kg_entity_split),
     ("td_walk_pairs", td_walk_pairs),
     ("td_biased_walk_pairs", td_biased_walk_pairs),
+    ("td_gnn_blocks", td_gnn_blocks),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),
