@@ -408,3 +408,42 @@ def apply_canonical_labels(triples: DataFrame, labels: DataFrame) -> DataFrame:
         .withColumn("obj_canon", F.coalesce("o_label", "obj_canon"))
         .drop("s_node", "s_label", "o_node", "o_label")
     )
+
+
+def incremental_cc(
+    prev_labels: "DataFrame | None",
+    new_edges: DataFrame,
+    force_distributed: bool = False,
+) -> DataFrame:
+    """Connected components over an INCREMENTALLY growing merge graph →
+    (node, label), identical to recomputing CC over all historical
+    edges plus ``new_edges`` (equivalence pinned in tests).
+
+    ``prev_labels`` is a previous CC output (node, label). Each old
+    component enters the new computation as its depth-1 star
+    (node → label edges): stars preserve the old connectivity exactly
+    while replacing E historical raw edges with N per-node rows, and
+    they contract in one round instead of the old component's diameter.
+    The epoch-over-epoch canonicalization shape: state carried between
+    runs is one bounded (node, label) table, never the raw edge
+    history.
+    """
+    stars = (
+        prev_labels.where(F.col("node") != F.col("label")).select(
+            F.col("node").alias("src"), F.col("label").alias("dst")
+        )
+        if prev_labels is not None
+        else None
+    )
+    edges = new_edges.select("src", "dst")
+    if stars is not None:
+        edges = edges.unionByName(stars)
+    labels = cc_labels_auto(edges, force_distributed=force_distributed)
+    if prev_labels is None:
+        return labels
+    # singleton nodes from prior epochs (label == node, no new edge)
+    # don't appear in the star edges — carry them through untouched so
+    # the output covers every node ever seen, like a full recompute over
+    # the whole history would
+    carried = prev_labels.join(labels, "node", "left_anti")
+    return labels.unionByName(carried)

@@ -2321,6 +2321,28 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def kg_incremental_cc(spark, sf_dir):
+    """Epoch-over-epoch canonicalization (operators/canon.incremental_cc):
+    the second epoch's merge edges fold into the first epoch's carried
+    (node, label) state — prior components ride as depth-1 stars, so
+    per-epoch cost is O(new edges + nodes), never the raw edge history.
+    Full-recompute equivalence pinned in tests/test_pipeline_e2e.py
+    (rows-only — iterative CC)."""
+    from naruhodo_spark.operators.canon import incremental_cc
+
+    li = _t(spark, sf_dir, "lineitem")
+    # two deterministic 'epochs' of merge edges from the SQL-visible
+    # corpus: orders→customer links split by order-key parity
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("dst"),
+        (F.col("o_orderkey") % 2).alias("epoch"),
+    )
+    state = incremental_cc(None, edges.where(F.col("epoch") == 0))
+    return incremental_cc(state, edges.where(F.col("epoch") == 1))
+
+
 def td_gnn_blocks(spark, sf_dir):
     """GraphSAGE mini-batch neighbor sampling (ops/gnn.py): fixed-fanout
     per-hop blocks around two hot synth entities over the built KSG —
@@ -2694,6 +2716,7 @@ for _n, _f in [
     ("td_walk_pairs", td_walk_pairs),
     ("td_biased_walk_pairs", td_biased_walk_pairs),
     ("td_gnn_blocks", td_gnn_blocks),
+    ("kg_incremental_cc", kg_incremental_cc),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),

@@ -862,3 +862,69 @@ def test_prepare_quality_gate_requires_dim(spark):
     w = QC.train_quality_classifier(docs, labels, dim=1 << 10, iters=1)
     with _pt.raises(ValueError, match="quality_dim"):
         prepare_corpus(docs, quality_weights=w)
+
+
+# ---------------------------------------------------------------------
+# incremental CC: epoch-over-epoch canonicalization state
+# ---------------------------------------------------------------------
+
+def test_incremental_cc_equals_full_recompute(spark):
+    import numpy as np
+    from naruhodo_spark.operators.canon import cc_labels_auto, incremental_cc
+
+    rng = np.random.default_rng(5)
+    names = [f"e{i:02d}" for i in range(40)]
+
+    def _edges(pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    epochs = []
+    for _ in range(3):
+        pairs = []
+        for _ in range(25):
+            u, v = rng.choice(40, size=2, replace=False)
+            pairs.append((names[u], names[v]))
+        epochs.append(pairs)
+
+    # incremental: fold each epoch into the carried (node, label) state
+    state = None
+    for pairs in epochs:
+        state = incremental_cc(state, _edges(pairs))
+    inc = sorted((r["node"], r["label"]) for r in state.collect())
+
+    full = sorted(
+        (r["node"], r["label"])
+        for r in cc_labels_auto(
+            _edges([p for e in epochs for p in e])
+        ).collect()
+    )
+    assert inc == full
+
+
+def test_incremental_cc_carries_untouched_singletons(spark):
+    from naruhodo_spark.operators.canon import incremental_cc
+
+    e1 = spark.createDataFrame([("a", "a"), ("b", "c")], "src string, dst string")
+    state = incremental_cc(None, e1)
+    # epoch 2 never mentions a / b / c
+    e2 = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got = dict(
+        (r["node"], r["label"]) for r in incremental_cc(state, e2).collect()
+    )
+    assert got["a"] == "a" and got["b"] == "b" and got["c"] == "b"
+    assert got["x"] == "x" and got["y"] == "x"
+
+
+def test_incremental_cc_merges_across_epochs(spark):
+    from naruhodo_spark.operators.canon import incremental_cc
+
+    e1 = spark.createDataFrame([("m", "n"), ("p", "q")], "src string, dst string")
+    state = incremental_cc(None, e1)
+    # the bridge edge merges both prior components
+    e2 = spark.createDataFrame([("n", "p")], "src string, dst string")
+    got = dict(
+        (r["node"], r["label"]) for r in incremental_cc(state, e2).collect()
+    )
+    assert len(set(got.values())) == 1
+    assert set(got) == {"m", "n", "p", "q"}
+    assert set(got.values()) == {"m"}
