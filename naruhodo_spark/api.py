@@ -361,6 +361,27 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return KEM.train_transe(self._ksg_edges(), dim=dim, iters=iters, **kw)
 
+    def train_node_embeddings(
+        self, dim: int = 16, iterations: int = 10,
+        walks_per_node: int = 2, length: int = 5, p: float = 1.0,
+        q: float = 1.0, **kw,
+    ) -> dict[str, DataFrame]:
+        """DeepWalk/node2vec embeddings over the KSG: biased walks →
+        skip-gram pairs → distributed SGNS (ops/walks + ops/w2v);
+        {"in_emb", "out_emb"} as (name, vec) DataFrames. p = q = 1 is
+        uniform DeepWalk."""
+        from naruhodo_spark.ops import w2v as W2V
+        from naruhodo_spark.ops import walks as W
+
+        edges = self._ksg_edges().where(F.col("obj") != "").select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        walks = W.biased_walks(
+            edges, p=p, q=q, walks_per_node=walks_per_node, length=length
+        )
+        pairs = W.skipgram_pairs(walks, window=2).select("center", "context")
+        return W2V.train_sgns(pairs, dim=dim, iterations=iterations, **kw)
+
     def evaluate_embeddings(
         self, model: dict[str, DataFrame], test: DataFrame, **kw
     ) -> DataFrame:

@@ -2321,6 +2321,28 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def td_node_embeddings(spark, sf_dir):
+    """DeepWalk end-to-end (ops/walks + ops/w2v): deterministic walks
+    over the SVO graph → skip-gram pairs → distributed SGNS training;
+    output is the in-vector table. Exact numpy mirror + loss-decrease +
+    clique-separation pins in tests/test_w2v.py (rows-only —
+    iterative trainer)."""
+    from naruhodo_spark.ops import w2v as W2V
+    from naruhodo_spark.ops import walks as W
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    pairs = W.skipgram_pairs(
+        W.random_walks(edges, walks_per_node=2, length=4), window=2
+    ).select("center", "context")
+    model = W2V.train_sgns(pairs, dim=8, iterations=3, lr=0.3, k_neg=2)
+    return model["in_emb"].select(
+        "name", F.round(F.element_at("vec", 1), 6).alias("v1")
+    )
+
+
 def kg_incremental_cc(spark, sf_dir):
     """Epoch-over-epoch canonicalization (operators/canon.incremental_cc):
     the second epoch's merge edges fold into the first epoch's carried
@@ -2717,6 +2739,7 @@ for _n, _f in [
     ("td_biased_walk_pairs", td_biased_walk_pairs),
     ("td_gnn_blocks", td_gnn_blocks),
     ("kg_incremental_cc", kg_incremental_cc),
+    ("td_node_embeddings", td_node_embeddings),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),
