@@ -2321,6 +2321,22 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def td_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining for retrieval training
+    (ops/contrastive.hard_negatives): k hardest same-cell non-positive
+    neighbors per embedding with the near-dup false-negative guard;
+    group = hash-derived pseudo source doc. Brute-force numpy mirror in
+    tests/test_contrastive.py (rows-only — cosine floats)."""
+    from naruhodo_spark.ops.contrastive import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "grp", F.pmod(F.xxhash64("vec_id"), F.lit(50))
+    )
+    return hard_negatives(
+        emb, k=3, exclude_threshold=0.98, group_col="grp"
+    )
+
+
 def td_node_embeddings(spark, sf_dir):
     """DeepWalk end-to-end (ops/walks + ops/w2v): deterministic walks
     over the SVO graph → skip-gram pairs → distributed SGNS training;
@@ -2740,6 +2756,7 @@ for _n, _f in [
     ("td_gnn_blocks", td_gnn_blocks),
     ("kg_incremental_cc", kg_incremental_cc),
     ("td_node_embeddings", td_node_embeddings),
+    ("td_hard_negatives", td_hard_negatives),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),

@@ -94,3 +94,84 @@ def test_negatives_distinct_per_anchor(spark, grouped):
     for r in negs:
         assert (r["anchor"], r["other"]) not in seen
         seen.add((r["anchor"], r["other"]))
+
+
+# ---------------------------------------------------------------------
+# hard negatives (DPR-style ANN mining with false-negative guards)
+# ---------------------------------------------------------------------
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label int, grp string"
+    )
+
+
+def _np_hard_negatives(rows, k, thr, grouped):
+    import numpy as np
+
+    out = {}
+    for vid, e, cell, grp in rows:
+        cands = []
+        for vid2, e2, cell2, grp2 in rows:
+            if vid2 == vid or cell2 != cell:
+                continue
+            if grouped and grp2 == grp:
+                continue
+            a, b = np.array(e), np.array(e2)
+            cos = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+            if cos >= thr:
+                continue
+            cands.append((-cos, vid2, cos))
+        cands.sort()
+        out[vid] = [(v, c) for _, v, c in cands[:k]]
+    return out
+
+
+def test_hard_negatives_matches_bruteforce(spark):
+    from naruhodo_spark.ops.contrastive import hard_negatives
+
+    rows = [
+        ("v1", [1.0, 0.0], 0, "g1"),
+        ("v2", [0.9, 0.1], 0, "g1"),   # same group as v1: excluded for v1
+        ("v3", [0.8, 0.3], 0, "g2"),
+        ("v4", [0.0, 1.0], 0, "g3"),
+        ("v5", [1.0, 0.01], 0, "g4"),  # near-dup of v1: threshold-excluded
+        ("v6", [0.5, 0.5], 1, "g5"),   # different cell: never a candidate
+        ("v7", [0.4, 0.6], 1, "g6"),
+    ]
+    got = {}
+    res = hard_negatives(
+        _emb_df(spark, rows), k=2, exclude_threshold=0.995, group_col="grp"
+    ).collect()
+    for r in res:
+        got.setdefault(r["anchor"], []).append((r["negative"], r["cosine"]))
+    for a in got:
+        got[a].sort(key=lambda t: (-t[1], t[0]))
+    want = _np_hard_negatives(rows, k=2, thr=0.995, grouped=True)
+    want = {a: v for a, v in want.items() if v}
+    assert got == want
+
+
+def test_hard_negatives_without_groups(spark):
+    from naruhodo_spark.ops.contrastive import hard_negatives
+
+    rows = [
+        ("v1", [1.0, 0.0], 0, "x"),
+        ("v2", [0.0, 1.0], 0, "x"),
+        ("v3", [0.7, 0.7], 0, "x"),
+    ]
+    res = hard_negatives(
+        _emb_df(spark, rows).drop("grp"), k=1, exclude_threshold=0.999
+    ).collect()
+    # every vector gets exactly its single hardest neighbor
+    assert {(r["anchor"], r["rank"]) for r in res} == {
+        ("v1", 1), ("v2", 1), ("v3", 1)
+    }
+
+
+def test_hard_negatives_bad_k(spark):
+    import pytest as _pt
+    from naruhodo_spark.ops.contrastive import hard_negatives
+
+    with _pt.raises(ValueError, match="k must be"):
+        hard_negatives(_emb_df(spark, [("v", [1.0], 0, "g")]), k=0)
