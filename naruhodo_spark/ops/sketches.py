@@ -227,3 +227,116 @@ def xxhash64_map(spark, keys: list) -> dict:
         .collect()
     )
     return {k: r["h"] for k, r in zip(keys, rows)}
+
+
+# -- DDSketch-style quantile sketches ----------------------------------------
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """(group_cols..., metric, bucket, count) — a mergeable
+    relative-error quantile sketch (DDSketch, Masson VLDB'19): positive
+    values land in log-spaced buckets i = ceil(log_γ(x)) with
+    γ = (1+α)/(1−α), zero and negatives in reserved buckets. Any
+    quantile read off the sketch is within relative error α of a true
+    value (pinned in tests/test_sketches.py).
+
+    Completes the epoch-panel family (HLL distinct + CMS frequency):
+    one uniform groupBy with map-side combine — shuffle volume is
+    n_groups × n_occupied_buckets (log-spaced, so ~2.3k buckets span
+    1e-9..1e9 at α=1%) — and panels fold associatively with
+    :func:`merge_quantile_sketches` (a groupBy sum), so "doc-length
+    p99 as of epoch E" is a fold over tiny rows, never a rescan, and
+    NEVER a global sort.
+    """
+    if not 0 < rel_err < 1:
+        raise ValueError(f"rel_err must be in (0,1), got {rel_err}")
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    x = F.col(value_col).cast("double")
+    # reserved buckets: NULL never counted; 0 → INT_MIN+1; negatives
+    # mirror positives below INT_MIN/2 (kept exact enough for corpus
+    # stats where negatives are rare)
+    bucket = (
+        F.when(x > 0, F.ceil(F.log(x) / F.lit(float(__import__("math").log(gamma)))))
+        .when(x == 0, F.lit(-(2**29)))  # sorts between the negative
+        # bucket range (~ -2^30 ± log-span) and the positive one (≥ -log-span)
+        .otherwise(
+            -F.ceil(F.log(-x) / F.lit(float(__import__("math").log(gamma))))
+            - F.lit(2**31 // 2)
+        )
+        .cast("long")
+    )
+    return (
+        df.where(x.isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            *group_cols,
+            F.lit(value_col).alias("metric"),
+            "bucket",
+            "count",
+        )
+    )
+
+
+def merge_quantile_sketches(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold sketch panels (e.g. per-epoch rows) into one sketch per
+    group: a plain groupBy sum — associative, commutative, re-runnable."""
+    return df.groupBy(*group_cols, "metric", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def estimate_quantiles(
+    df: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """(group_cols..., metric, q, value) — read quantiles off a
+    quantile_sketch frame. The cumulative walk is a window over the
+    BUCKET LIST of one group — bounded at the sketch's occupied-bucket
+    count (log-spaced ⇒ thousands at most), so the sort inside each
+    group is sketch-sized, never data-sized. ``rel_err`` must match the
+    sketch's. Bucket i estimates value 2γ^i/(γ+1) (DDSketch midpoint);
+    the zero bucket reads 0, negative buckets mirror."""
+    from pyspark.sql import Window
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*gcols, "metric").orderBy("bucket")
+    tot = Window.partitionBy(*gcols, "metric")
+    cum = df.withColumn("cum", F.sum("count").over(w)).withColumn(
+        "total", F.sum("count").over(tot)
+    )
+    est = (
+        F.when(F.col("bucket") == -(2**29), F.lit(0.0))
+        .when(
+            F.col("bucket") < -(2**29),
+            -F.pow(F.lit(gamma), -(F.col("bucket") + F.lit(2**31 // 2)))
+            * F.lit(2.0 * gamma / (gamma + 1.0)) / F.lit(gamma),
+        )
+        .otherwise(
+            F.pow(F.lit(gamma), F.col("bucket"))
+            * F.lit(2.0 / (gamma + 1.0))
+        )
+    )
+    outs = []
+    for q in quantiles:
+        if not 0 <= q <= 1:
+            raise ValueError(f"quantile {q} outside [0,1]")
+        rank = F.ceil(F.lit(float(q)) * F.col("total"))
+        picked = (
+            cum.where(F.col("cum") >= F.greatest(rank, F.lit(1)))
+            .groupBy(*gcols, "metric")
+            .agg(F.min_by(est, F.col("bucket")).alias("value"))
+            .select(*gcols, "metric", F.lit(float(q)).alias("q"), "value")
+        )
+        outs.append(picked)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

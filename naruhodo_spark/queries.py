@@ -2321,6 +2321,24 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def ts_length_quantiles(spark, sf_dir):
+    """Mergeable DDSketch quantile panel (ops/sketches.quantile_sketch):
+    per-source doc-length p50/p90/p99 read off log-bucket sketches —
+    never a global sort; folds across epochs like the HLL/CMS panels.
+    Relative-error bound + merge-equals-whole pinned in
+    tests/test_sketches.py (rows-only — log-boundary floats differ
+    across engines)."""
+    from naruhodo_spark.ops import sketches as SK
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("double").alias("doc_len")
+    )
+    sk = SK.quantile_sketch(docs, ["source"], "doc_len")
+    return SK.estimate_quantiles(
+        sk, [0.5, 0.9, 0.99], ["source"]
+    ).select("source", "q", F.round("value", 2).alias("value"))
+
+
 def td_hard_negatives(spark, sf_dir):
     """DPR-style hard-negative mining for retrieval training
     (ops/contrastive.hard_negatives): k hardest same-cell non-positive
@@ -2757,6 +2775,7 @@ for _n, _f in [
     ("kg_incremental_cc", kg_incremental_cc),
     ("td_node_embeddings", td_node_embeddings),
     ("td_hard_negatives", td_hard_negatives),
+    ("ts_length_quantiles", ts_length_quantiles),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),

@@ -147,3 +147,83 @@ def test_cms_null_key_distinct_from_empty_string(spark):
     assert 40 <= est[None] <= 40 + 0.001 * n + 1
     assert 3 <= est[""] <= 3 + 0.001 * n + 1  # NOT 43
     assert 7 <= est["x"] <= 7 + 0.001 * n + 1
+
+
+# ---------------------------------------------------------------------
+# DDSketch-style quantile sketches
+# ---------------------------------------------------------------------
+
+def test_quantile_sketch_relative_error_bound(spark):
+    import numpy as np
+    from naruhodo_spark.ops import sketches as SK
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate([
+        rng.lognormal(3.0, 1.5, 4000),        # heavy-tailed positives
+        rng.uniform(0.001, 2.0, 1000),
+    ])
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "x double"
+    ).withColumn("g", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("all"))
+    sk = SK.quantile_sketch(df, ["g"], "x", rel_err=0.01)
+    got = {
+        r["q"]: r["value"]
+        for r in SK.estimate_quantiles(sk, [0.5, 0.9, 0.99], ["g"],
+                                       rel_err=0.01).collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        true = float(np.quantile(vals, q))
+        assert abs(got[q] - true) / true <= 0.011 + 2.0 / len(vals), (
+            q, got[q], true
+        )
+
+
+def test_quantile_sketch_merge_equals_whole(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from naruhodo_spark.ops import sketches as SK
+
+    rng = np.random.default_rng(3)
+    vals = rng.exponential(50.0, 3000)
+    df = spark.createDataFrame(
+        [(float(v), int(i % 4)) for i, v in enumerate(vals)],
+        "x double, epoch int",
+    ).withColumn("g", F.lit("all"))
+    # per-epoch panels folded == one-shot sketch
+    panel = SK.quantile_sketch(df, ["g", "epoch"], "x").drop("epoch")
+    folded = sorted(
+        map(tuple, SK.merge_quantile_sketches(panel, ["g"]).collect())
+    )
+    whole = sorted(map(tuple, SK.quantile_sketch(df, ["g"], "x").collect()))
+    assert folded == whole
+
+
+def test_quantile_sketch_zero_negative_and_groups(spark):
+    from naruhodo_spark.ops import sketches as SK
+
+    rows = [("a", -100.0), ("a", -1.0), ("a", 0.0), ("a", 1.0), ("a", 100.0),
+            ("b", 10.0), ("b", 20.0), ("b", 30.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    sk = SK.quantile_sketch(df, ["g"], "x")
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in SK.estimate_quantiles(sk, [0.0, 0.5, 1.0], ["g"]).collect()
+    }
+    # group a: median is the zero bucket; min is ~-100 (1% rel err)
+    assert got[("a", 0.5)] == 0.0
+    assert abs(got[("a", 0.0)] + 100.0) <= 1.5
+    assert abs(got[("a", 1.0)] - 100.0) <= 1.5
+    # group b: median ~20
+    assert abs(got[("b", 0.5)] - 20.0) <= 0.5
+
+
+def test_quantile_sketch_bad_args(spark):
+    import pytest as _pt
+    from naruhodo_spark.ops import sketches as SK
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pt.raises(ValueError, match="rel_err"):
+        SK.quantile_sketch(df, [], "x", rel_err=0.0)
+    sk = SK.quantile_sketch(df.withColumn("g", df.x), ["g"], "x")
+    with _pt.raises(ValueError, match="outside"):
+        SK.estimate_quantiles(sk, [1.5], ["g"]).collect()
