@@ -177,6 +177,10 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "dd_simhash_near_dups",
         # added r04 (query-set change — not like-for-like vs r03 totals)
         "kg_motif_peers",
+        "mm_caption_pairs",
+        "ts_length_quantiles",
+        "td_hard_negatives",
+        "kg_incremental_cc",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
