@@ -125,27 +125,41 @@ def train_sgns(
     k_neg: int = 3,
     seed: str = "sgns42",
     training_rows: "DataFrame | None" = None,
+    n_shards: int = 1,
 ) -> dict:
-    """Full-batch SGNS gradient descent → {'in_emb', 'out_emb'}
-    (name, vec) DataFrames. ``pairs``: (center, context).
+    """SGNS gradient descent → {'in_emb', 'out_emb'} (name, vec)
+    DataFrames. ``pairs``: (center, context).
 
-    Per iteration, for each row with score s = σ(v_center·u_word) and
+    Per step, for each row with score s = σ(v_center·u_word) and
     g = s − label:  v_center −= lr·mean(g·u_word),
     u_word −= lr·mean(g·v_center) — simultaneous update from the same
-    iteration's model (classic full-batch GD, exactly mirrorable).
+    step's model (classic GD, exactly mirrorable).
     ``training_rows`` overrides the (center, word, label) frame (the
     mirror test injects the collected sample; production callers leave
     it None).
 
-    At 10^12-pair scale full batch is the wrong batch size — hash-shard
-    the pair frame and fold this loop per shard exactly like
-    train_transe's n_shards; the update rule is unchanged.
+    ``n_shards`` > 1 is mini-batch SGD, the 10^12-pair batch size
+    (train_transe's protocol verbatim): each iteration walks the
+    hash-disjoint row shards in order, one model update per shard —
+    n_shards updates per data pass, per-step join volume |rows|/n_shards.
+    Sharding is xxhash64 of the full row content: deterministic,
+    partition-invariant, every row in exactly one shard.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     rows = (
         training_rows
         if training_rows is not None
         else sgns_training_rows(pairs, k_neg=k_neg, seed=seed)
     ).localCheckpoint()
+    if n_shards > 1:
+        rows = rows.withColumn(
+            "shard",
+            F.pmod(
+                F.xxhash64(F.lit(seed), "center", "word", "label"),
+                F.lit(int(n_shards)),
+            ),
+        )
     in_emb = _truncate(
         init_embeddings(
             rows.select(F.col("center").alias("name")).distinct(),
@@ -158,9 +172,13 @@ def train_sgns(
             dim, seed=f"{seed}:out", normalize=False,
         )
     )
-    for _ in range(iterations):
+    steps = [
+        (i, s) for i in range(int(iterations)) for s in range(int(n_shards))
+    ]
+    for _i, shard in steps:
+        batch = rows.where(F.col("shard") == shard) if n_shards > 1 else rows
         j = (
-            rows.join(
+            batch.join(
                 in_emb.select(F.col("name").alias("center"),
                               F.col("vec").alias("cv")),
                 "center",

@@ -250,3 +250,27 @@ def test_td_transe_eval_rank_as_count_plan(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the count is map-side combinable: partial_count under the qid agg
     assert "partial_count" in p
+
+
+def test_td_hard_negatives_cell_equi_join_no_python(spark):
+    # candidates must come from the IVF cell equi-join — never a cross
+    # product — and the whole mine stays JVM-side
+    p = _plan(spark, "td_hard_negatives")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ts_length_quantiles_pruned_scan_partial_agg(spark):
+    # the sketch build reads only (source, text) and its bucket count
+    # has map-side partial aggregation before the shuffle
+    p = _plan(spark, "ts_length_quantiles")
+    sch = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "text" in sch and "doc_id" not in sch
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kg_motif_peers_pred_filter_pushed(spark):
+    # the literal-predicate steps filter before joining; no cross joins
+    p = _plan(spark, "kg_motif_peers")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -138,3 +138,65 @@ def test_k_neg_zero_is_positives_only(spark):
     assert [(r["center"], r["word"], r["label"]) for r in rows] == [("x", "y", 1.0)]
     with pytest.raises(ValueError, match="k_neg"):
         W2V.sgns_training_rows(pairs, k_neg=-1)
+
+
+def test_sgns_minibatch_matches_numpy_mirror(spark, clique_pairs):
+    """n_shards=2: the per-shard sequential updates must match a numpy
+    mirror that walks the same hash-disjoint shards in order."""
+    from pyspark.sql import functions as F
+    from naruhodo_spark.ops.kgembed import init_embeddings
+
+    rows_df = W2V.sgns_training_rows(clique_pairs, k_neg=2).localCheckpoint()
+    sharded = rows_df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.lit("sgns42"), "center", "word", "label"), F.lit(2)),
+    )
+    rows = [
+        (r["center"], r["word"], r["label"], r["shard"])
+        for r in sharded.collect()
+    ]
+    in0 = {
+        r["name"]: r["vec"]
+        for r in init_embeddings(
+            rows_df.select(F.col("center").alias("name")).distinct(),
+            DIM, seed="sgns42:in", normalize=False,
+        ).collect()
+    }
+    out0 = {
+        r["name"]: r["vec"]
+        for r in init_embeddings(
+            rows_df.select(F.col("word").alias("name")).distinct(),
+            DIM, seed="sgns42:out", normalize=False,
+        ).collect()
+    }
+
+    vin = {k: np.array(v, dtype=float) for k, v in in0.items()}
+    vout = {k: np.array(v, dtype=float) for k, v in out0.items()}
+    lr = 0.4
+    for _ in range(2):                     # iterations
+        for shard in (0, 1):               # shards in order
+            gin, gout = {}, {}
+            for c, w, label, s in rows:
+                if s != shard:
+                    continue
+                sc = 1.0 / (1.0 + math.exp(-float(vin[c] @ vout[w])))
+                g = sc - label
+                gin.setdefault(c, []).append(g * vout[w])
+                gout.setdefault(w, []).append(g * vin[c])
+            for k, gs in gin.items():
+                vin[k] = vin[k] - lr * np.mean(gs, axis=0)
+            for k, gs in gout.items():
+                vout[k] = vout[k] - lr * np.mean(gs, axis=0)
+
+    model = W2V.train_sgns(
+        clique_pairs, dim=DIM, iterations=2, lr=lr,
+        training_rows=rows_df, n_shards=2,
+    )
+    got_in = {r["name"]: r["vec"] for r in model["in_emb"].collect()}
+    for k in vin:
+        assert got_in[k] == pytest.approx(list(vin[k]), abs=1e-9)
+
+
+def test_sgns_bad_shards(spark, clique_pairs):
+    with pytest.raises(ValueError, match="n_shards"):
+        W2V.train_sgns(clique_pairs, n_shards=0)
