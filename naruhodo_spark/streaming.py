@@ -109,15 +109,31 @@ def _write_epoch_sketches(
         .drop("epoch")
     )
     if raw_e.isEmpty():
-        # the raw partition was dropped (zero-triple retry): the panel
-        # partition must go too
+        # the raw partition was dropped (zero-triple retry): both panel
+        # partitions must go too
         storage.delete_partitions(
             spark, "sketch_panel", out_dir, "epoch", [int(epoch_id)]
+        )
+        storage.delete_partitions(
+            spark, "quantile_panel", out_dir, "epoch", [int(epoch_id)]
         )
         return
     panel = SK.entity_sketch_panel(raw_e, epoch_id).localCheckpoint()
     storage.write_table(
         panel, "sketch_panel", out_dir, mode="overwrite",
+        partition_by=["epoch"],
+    )
+    # quantile panel rides the same raw partition: per-epoch DDSketch of
+    # triples-per-doc (the doc-complexity distribution), mergeable
+    # as-of any epoch without a rescan (quantile_stats_asof)
+    qpanel = SK.quantile_sketch(
+        raw_e.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("triples_per_doc")
+        ),
+        [], "triples_per_doc",
+    ).withColumn("epoch", F.lit(int(epoch_id))).localCheckpoint()
+    storage.write_table(
+        qpanel, "quantile_panel", out_dir, mode="overwrite",
         partition_by=["epoch"],
     )
 
@@ -146,6 +162,38 @@ def distinct_stats_asof(
     return SK.estimate_distinct(SK.merge_sketches(panel, ["metric"])).select(
         "metric", "n_distinct_est"
     )
+
+
+def quantile_stats_asof(
+    spark: SparkSession, out_dir: str, epoch: int,
+    quantiles: "list[float] | None" = None,
+) -> DataFrame:
+    """(metric, q, value) — triples-per-doc quantiles in the KG as-of
+    ``epoch``: a partition-pruned read of the per-epoch DDSketch panel
+    folded with a groupBy sum (ops/sketches.merge_quantile_sketches),
+    then a sketch-sized quantile walk — never a rescan, never a sort
+    over data. Same panel contract as distinct_stats_asof.
+
+    The fold is exact-by-construction only because the store guarantees
+    each doc_id lives in exactly ONE epoch (ingest dedups docs across
+    epochs): per-epoch per-doc counts are therefore whole-doc counts,
+    and unioning the epochs' distributions IS the all-time
+    distribution. A store violating that invariant would double-count
+    split docs."""
+    from naruhodo_spark.ops import sketches as SK
+
+    if not storage.table_exists(spark, "quantile_panel", out_dir):
+        raise ValueError(
+            f"no quantile_panel table at {out_dir}: the store predates "
+            "the panel (or every epoch had zero triples) — run "
+            "rebuild_sketch_panel(spark, out_dir) to backfill from "
+            "triples_raw"
+        )
+    panel = storage.read_table(spark, "quantile_panel", out_dir).where(
+        F.col("epoch") <= int(epoch)
+    ).drop("epoch")
+    merged = SK.merge_quantile_sketches(panel, [])
+    return SK.estimate_quantiles(merged, quantiles or [0.5, 0.9, 0.99])
 
 
 def rebuild_sketch_panel(spark: SparkSession, out_dir: str) -> None:
@@ -186,6 +234,30 @@ def rebuild_sketch_panel(spark: SparkSession, out_dir: str) -> None:
             )
     storage.write_table(
         panel, "sketch_panel", out_dir, mode="overwrite",
+        partition_by=["epoch"],
+    )
+    # the quantile panel backfills from the same raw record (and gets
+    # the same ghost-partition sweep)
+    qpanel = SK.quantile_sketch(
+        raw.groupBy("epoch", "doc_id").agg(
+            F.count(F.lit(1)).cast("double").alias("triples_per_doc")
+        ),
+        ["epoch"], "triples_per_doc",
+    ).select("epoch", "metric", "bucket", "count").localCheckpoint()
+    if storage.table_exists(spark, "quantile_panel", out_dir):
+        raw_epochs = {r["epoch"] for r in raw.select("epoch").distinct().collect()}
+        existing_q = {
+            r["epoch"]
+            for r in storage.read_table(spark, "quantile_panel", out_dir)
+            .select("epoch").distinct().collect()
+        }
+        stale_q = sorted(existing_q - raw_epochs)
+        if stale_q:
+            storage.delete_partitions(
+                spark, "quantile_panel", out_dir, "epoch", stale_q
+            )
+    storage.write_table(
+        qpanel, "quantile_panel", out_dir, mode="overwrite",
         partition_by=["epoch"],
     )
 

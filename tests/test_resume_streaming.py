@@ -716,3 +716,83 @@ def test_rebuild_sketch_panel_drops_ghost_epochs(spark, tmp_out):
     for m in ("subj", "obj", "doc_id"):
         exact = upto.select(m).distinct().count()
         assert abs(asof[m] - exact) <= max(1, 0.05 * exact), (m, asof[m], exact)
+
+
+def test_quantile_panel_asof_tracks_raw(spark, tmp_out):
+    """The per-epoch DDSketch quantile panel: written alongside each
+    epoch's raw partition, folded by quantile_stats_asof into
+    cumulative triples-per-doc quantiles matching exact recomputes
+    within the sketch's relative error — without rescanning raw."""
+    import numpy as np
+
+    from naruhodo_spark.streaming import quantile_stats_asof
+
+    docs = synth.synth_documents(spark, 60).persist()
+    in_dir = f"{tmp_out}/in"
+    out = f"{tmp_out}/out"
+    first = docs.where(F.xxhash64("doc_id") % 2 == 0)
+    second = docs.where(F.xxhash64("doc_id") % 2 != 0)
+
+    first.coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/ckpt")
+    second.coalesce(1).write.mode("append").parquet(in_dir)
+    incremental_ingest(spark, in_dir, out, checkpoint=f"{tmp_out}/ckpt")
+
+    raw = storage.read_table(spark, "triples_raw", out)
+    epochs = sorted(
+        r["epoch"] for r in raw.select("epoch").distinct().collect()
+    )
+    assert len(epochs) == 2
+    for e in epochs:
+        got = {
+            r["q"]: r["value"]
+            for r in quantile_stats_asof(spark, out, e).collect()
+        }
+        counts = np.array([
+            r["n"]
+            for r in raw.where(F.col("epoch") <= e)
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        ], dtype=float)
+        for q in (0.5, 0.9, 0.99):
+            true = float(np.quantile(counts, q))
+            # 1% sketch rel-err + quantile-rank granularity on a small n
+            assert abs(got[q] - true) <= max(0.02 * true, 1.5), (
+                e, q, got[q], true
+            )
+    docs.unpersist()
+
+
+def test_quantile_panel_backfill(spark, tmp_out):
+    """rebuild_sketch_panel also backfills the quantile panel on a
+    pre-panel store, and quantile_stats_asof errors clearly before."""
+    import numpy as np
+    import pytest as _pt
+
+    from naruhodo_spark.streaming import (
+        quantile_stats_asof,
+        rebuild_sketch_panel,
+    )
+
+    # store invariant: each doc_id lives in exactly ONE epoch (the
+    # ingest dedups docs across epochs) — the panel fold relies on it
+    raw = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}", f"d{i % 13}", (i % 13) % 3)
+         for i in range(120)],
+        "subj string, pred string, obj string, doc_id string, epoch int",
+    )
+    storage.write_table(
+        raw, "triples_raw", tmp_out, mode="overwrite", partition_by=["epoch"]
+    )
+    with _pt.raises(ValueError, match="rebuild_sketch_panel"):
+        quantile_stats_asof(spark, tmp_out, 1)
+    rebuild_sketch_panel(spark, tmp_out)
+    got = {
+        r["q"]: r["value"]
+        for r in quantile_stats_asof(spark, tmp_out, 2).collect()
+    }
+    counts = np.array([
+        r["n"] for r in raw.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    ], dtype=float)
+    true = float(np.quantile(counts, 0.5))
+    assert abs(got[0.5] - true) <= max(0.02 * true, 1.0)
