@@ -671,3 +671,60 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def cluster_balanced_mix(
+    docs: DataFrame,
+    doc_clusters: DataFrame,
+    cluster_col: str = "cluster",
+    target_share: "dict | None" = None,
+    max_weight: float = 8.0,
+    seed: str = "cmix42",
+) -> DataFrame:
+    """Cluster-balanced corpus mixing — the embedding-domain variant of
+    :func:`mix_corpus` (DoReMi-lite: cluster docs by content, then
+    re-weight so no latent domain dominates pretraining).
+
+    ``doc_clusters``: (doc_id, cluster) — e.g. k-means cells over doc
+    embeddings (ops/similarity.kmeans_fit + assign_cells). Weights are
+    derived, not guessed: with no ``target_share``, every cluster gets
+    equal mass — w_c = mean_cluster_size / n_c, capped at ``max_weight``
+    so a tiny noise cluster cannot be upsampled without bound (the cap
+    is an audit point, not a silent clamp: capped clusters still appear,
+    just under-weighted vs the ideal). ``target_share`` overrides with
+    explicit {cluster: share} fractions (need not sum to 1; they are
+    normalized).
+
+    Driver traffic is ONE k-row aggregate (cluster histograms are
+    model-sized); the mix itself is mix_corpus's map-only floor+frac
+    explode — no shuffle beyond the docs ⋈ clusters equi-join on
+    doc_id, no RNG, resume-stable.
+    """
+    clustered = docs.join(
+        doc_clusters.select(
+            F.col(doc_clusters.columns[0]).alias("doc_id"),
+            F.col(cluster_col).cast("string").alias("_cmix_cluster"),
+        ),
+        "doc_id",
+    )
+    hist = {
+        r["_cmix_cluster"]: r["n"]
+        for r in clustered.groupBy("_cmix_cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not hist:
+        return clustered.withColumn("epoch", F.lit(0))
+    total = sum(hist.values())
+    if target_share:
+        z = sum(float(v) for v in target_share.values())
+        shares = {str(c): float(v) / z for c, v in target_share.items()}
+    else:
+        shares = {c: 1.0 / len(hist) for c in hist}
+    weights = {
+        c: min(max_weight, shares.get(c, 0.0) * total / n)
+        for c, n in hist.items()
+    }
+    return mix_corpus(
+        clustered, weights, strat_col="_cmix_cluster", seed=seed
+    ).drop("_cmix_cluster")

@@ -2321,6 +2321,28 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def td_domain_mix(spark, sf_dir):
+    """Embedding-domain balanced mixing (DoReMi-lite,
+    ops/textstats.cluster_balanced_mix): k-means cells over the real
+    embeddings become latent domains; per-domain weights equalize mass
+    via the shared deterministic floor+frac mix. Mass-equalization,
+    cap, and share-override pinned in tests/test_mix_semantic.py
+    (rows-only — k-means floats)."""
+    from naruhodo_spark.ops import similarity as SIM_
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = SIM_.assign_cells(emb, SIM_.kmeans_fit(emb, k=4, iters=3)).select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("cell").alias("cluster"),
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return TS.cluster_balanced_mix(docs, cells).select(
+        "doc_id", "epoch"
+    )
+
+
 def ts_length_quantiles(spark, sf_dir):
     """Mergeable DDSketch quantile panel (ops/sketches.quantile_sketch):
     per-source doc-length p50/p90/p99 read off log-bucket sketches —
@@ -2776,6 +2798,7 @@ for _n, _f in [
     ("td_node_embeddings", td_node_embeddings),
     ("td_hard_negatives", td_hard_negatives),
     ("ts_length_quantiles", ts_length_quantiles),
+    ("td_domain_mix", td_domain_mix),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),

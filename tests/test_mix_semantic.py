@@ -190,3 +190,72 @@ def test_semantic_dedup_handles_negative_hash_ids(spark):
     assert got[-5] == (-7, 3, False)
     assert got[3] == (-7, 3, False)
     assert got[9] == (9, 1, True)
+
+
+# ---------------------------------------------------------------------
+# cluster-balanced mixing (embedding-domain re-weighting)
+# ---------------------------------------------------------------------
+
+def test_cluster_balanced_mix_equalizes_masses(spark):
+    """Skewed planted clusters come out near-equal: each cluster's
+    output mass ≈ mean input cluster size (floor+frac determinism makes
+    the expectation exact up to hash-bucket granularity)."""
+    rows = (
+        [(f"a{i}", "A") for i in range(400)]
+        + [(f"b{i}", "B") for i in range(100)]
+        + [(f"c{i}", "C") for i in range(25)]
+    )
+    docs = spark.createDataFrame(
+        [(d, f"text {d}") for d, _ in rows], "doc_id string, text string"
+    )
+    clusters = spark.createDataFrame(rows, "doc_id string, cluster string")
+    out = TS.cluster_balanced_mix(docs, clusters)
+    got = {
+        r["c"]: r["n"]
+        for r in out.join(clusters, "doc_id")
+        .groupBy(F.col("cluster").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    mean = (400 + 100 + 25) / 3
+    for c in ("A", "B", "C"):
+        assert abs(got[c] - mean) <= 0.2 * mean, (c, got[c], mean)
+    # deterministic: same input, same output
+    again = TS.cluster_balanced_mix(docs, clusters)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_cluster_balanced_mix_cap_and_target_share(spark):
+    rows = [(f"a{i}", "A") for i in range(200)] + [("tiny0", "T")]
+    docs = spark.createDataFrame(
+        [(d, "x") for d, _ in rows], "doc_id string, text string"
+    )
+    clusters = spark.createDataFrame(rows, "doc_id string, cluster string")
+    # equal-share ideal weight for T would be ~100x — the cap bounds it
+    out = TS.cluster_balanced_mix(docs, clusters, max_weight=3.0)
+    n_t = out.where(F.col("doc_id") == "tiny0").count()
+    assert n_t <= 3
+    # explicit shares: everything to A
+    out2 = TS.cluster_balanced_mix(
+        docs, clusters, target_share={"A": 1.0, "T": 0.0}
+    )
+    assert out2.where(F.col("doc_id") == "tiny0").count() == 0
+    assert out2.count() > 0
+
+
+def test_cluster_balanced_mix_end_to_end_kmeans(spark):
+    """The composition surface: k-means cells over the real embeddings
+    → balanced mix of the real documents (vec_id ≡ doc_id in the
+    testdata contract)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cents = SIM.kmeans_fit(emb, k=4, iters=3)
+    cells = SIM.assign_cells(emb, cents).select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("cell").alias("cluster"),
+    )
+    out = TS.cluster_balanced_mix(
+        docs.withColumn("doc_id", F.col("doc_id").cast("string")), cells
+    )
+    assert out.count() > 0
+    assert "epoch" in out.columns
