@@ -240,6 +240,16 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), seeds, damping, iterations
         )
 
+    def betweenness(self, n_sources: int = 16, max_dist: int = 6) -> DataFrame:
+        """(node, betweenness) — sampled Brandes betweenness over the
+        KSG (operators/graphstats.betweenness_sampled): the bridge
+        detector, exact when n_sources covers the graph."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.betweenness_sampled(
+            self._ksg_edges(), n_sources=n_sources, max_dist=max_dist
+        )
+
     def summary(self) -> DataFrame:
         """(stat, value) one-stop graph report: node/edge/predicate
         counts, total weight, and degree percentiles — two aggregation

@@ -562,3 +562,161 @@ def personalized_pagerank(
             prev_ck.unpersist()
         prev_ck = ranks = nxt
     return ranks
+
+
+def betweenness_sampled(
+    ksg_edges: DataFrame,
+    n_sources: int = 16,
+    max_dist: int = 6,
+    direction: str = "both",
+    seed: str = "bc42",
+) -> DataFrame:
+    """Sampled Brandes betweenness centrality → (node, betweenness):
+    the classic bridge-detector (Brandes 2001), estimated from a
+    deterministic hash-picked source sample (Brandes & Pich 2007) —
+    exact when ``n_sources`` ≥ the node count, an unbiased
+    n/|sample|-scaled estimate otherwise.
+
+    Two frontier phases, both keyed (source, node) like
+    landmark_distances (composite keys keep overlapping frontiers
+    uniform — node alone would be a hot key):
+
+    - FORWARD (≤ max_dist rounds): BFS accumulating σ (shortest-path
+      counts, one groupBy sum per round) and the shortest-path DAG
+      edges (pred at depth d−1 → node first reached at depth d);
+    - BACKWARD (≤ max_dist rounds, deepest level first): dependency
+      accumulation δ(v) += (σ_v/σ_w)·(1+δ(w)) over DAG edges into the
+      level being retired — one equi-join + one groupBy per level.
+
+    Driver traffic: the source sample (n_sources rows) and one depth
+    scalar; every other structure stays distributed. localCheckpoint
+    per round truncates the iterative lineage.
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    if n_sources < 1:
+        raise ValueError(f"n_sources must be >= 1, got {n_sources}")
+    spark = ksg_edges.sparkSession
+    hops = _edge_pairs(ksg_edges).select("src", "dst")
+    if direction == "in":
+        hops = hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        hops = hops.unionByName(
+            hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    hops = hops.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    nodes = (
+        hops.select(F.col("src").alias("node"))
+        .unionByName(hops.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "node string, betweenness double")
+    # deterministic sample: k smallest content hashes (bounded top-k —
+    # TakeOrderedAndProject, never a full sort materialization)
+    k = min(int(n_sources), n_nodes)
+    sources = [
+        r["node"]
+        for r in nodes.orderBy(
+            F.xxhash64(F.lit(seed), "node"), F.col("node")
+        ).limit(k).collect()
+    ]
+    scale = n_nodes / float(k)
+
+    visited = spark.createDataFrame(
+        [(s, s, 0, 1.0) for s in sources],
+        "source string, node string, dist int, sigma double",
+    ).localCheckpoint()
+    frontier = visited
+    dag = None  # (source, pred, node, depth)
+    max_depth = 0
+    for depth in range(1, max_dist + 1):
+        cand = (
+            hops.join(
+                frontier.select(
+                    "source", F.col("node").alias("src"),
+                    F.col("sigma").alias("sigma_pred"),
+                ),
+                "src",
+            )
+            .select(
+                "source", F.col("src").alias("pred"),
+                F.col("dst").alias("node"), "sigma_pred",
+            )
+            # only edges into nodes NOT yet visited (first reached now)
+            .join(
+                visited.select("source", "node"),
+                ["source", "node"], "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if cand.isEmpty():
+            break
+        max_depth = depth
+        new_nodes = cand.groupBy("source", "node").agg(
+            F.sum("sigma_pred").alias("sigma")
+        ).select("source", "node", F.lit(depth).alias("dist"), "sigma")
+        dag_d = cand.select(
+            "source", "pred", "node", F.lit(depth).alias("depth")
+        )
+        dag = dag_d if dag is None else dag.unionByName(dag_d)
+        visited = visited.unionByName(new_nodes).localCheckpoint()
+        frontier = new_nodes
+
+    # backward dependency accumulation, deepest level first
+    delta = visited.select("source", "node", F.lit(0.0).alias("delta"))
+    if dag is not None:
+        dag = dag.localCheckpoint()
+        sig = visited.select("source", "node", "sigma")
+        for depth in range(max_depth, 0, -1):
+            contribs = (
+                dag.where(F.col("depth") == depth)
+                .join(
+                    delta.select(
+                        "source", "node", F.col("delta").alias("delta_w")
+                    ),
+                    ["source", "node"],
+                )
+                .join(
+                    sig.select(
+                        "source", "node", F.col("sigma").alias("sigma_w")
+                    ),
+                    ["source", "node"],
+                )
+                .join(
+                    sig.select(
+                        "source", F.col("node").alias("pred"),
+                        F.col("sigma").alias("sigma_v"),
+                    ),
+                    ["source", "pred"],
+                )
+                .groupBy("source", F.col("pred").alias("node"))
+                .agg(
+                    F.sum(
+                        (F.col("sigma_v") / F.col("sigma_w"))
+                        * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("d_add")
+                )
+            )
+            delta = (
+                delta.join(contribs, ["source", "node"], "left")
+                .select(
+                    "source", "node",
+                    (F.col("delta") + F.coalesce("d_add", F.lit(0.0))
+                     ).alias("delta"),
+                )
+                .localCheckpoint()
+            )
+    bc = (
+        delta.where(F.col("source") != F.col("node"))
+        .groupBy("node")
+        .agg((F.sum("delta") * F.lit(scale)).alias("betweenness"))
+    )
+    # nodes never reached (or with zero dependency) still appear, at 0
+    return (
+        nodes.join(bc, "node", "left")
+        .select("node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    )

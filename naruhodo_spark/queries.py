@@ -2399,6 +2399,24 @@ def td_node_embeddings(spark, sf_dir):
     )
 
 
+def kg_betweenness(spark, sf_dir):
+    """Sampled Brandes betweenness over the built KSG
+    (operators/graphstats.betweenness_sampled): bridge entities by
+    dependency accumulation over hash-picked sources; exact textbook
+    mirror at full sources in tests/test_graphstats.py (rows-only —
+    iterative)."""
+    from naruhodo_spark.operators import graphstats as O_gs
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    return (
+        O_gs.betweenness_sampled(edges, n_sources=12, max_dist=5)
+        .where(F.col("betweenness") > 0)
+        .select("node", F.round("betweenness", 4).alias("betweenness"))
+        .orderBy(F.col("betweenness").desc(), F.col("node"))
+        .limit(100)
+    )
+
+
 def kg_incremental_cc(spark, sf_dir):
     """Epoch-over-epoch canonicalization (operators/canon.incremental_cc):
     the second epoch's merge edges fold into the first epoch's carried
@@ -2795,6 +2813,7 @@ for _n, _f in [
     ("td_biased_walk_pairs", td_biased_walk_pairs),
     ("td_gnn_blocks", td_gnn_blocks),
     ("kg_incremental_cc", kg_incremental_cc),
+    ("kg_betweenness", kg_betweenness),
     ("td_node_embeddings", td_node_embeddings),
     ("td_hard_negatives", td_hard_negatives),
     ("ts_length_quantiles", ts_length_quantiles),

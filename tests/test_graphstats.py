@@ -481,3 +481,100 @@ def test_personalized_pagerank_concentrates_on_seed_side(spark):
 def test_personalized_pagerank_requires_seeds(spark):
     with pytest.raises(ValueError, match="seed"):
         G.personalized_pagerank(_edges_df(spark, [("a", "r", "b", 1)]), [])
+
+
+# ---------------------------------------------------------------------
+# sampled Brandes betweenness
+# ---------------------------------------------------------------------
+
+def _python_brandes(pairs, sources, undirected=True):
+    """Textbook Brandes from the given sources (unnormalized,
+    directed-accumulation — each ordered (s,t) pair counted)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj[u].add(v)
+        if undirected:
+            adj[v].add(u)
+    nodes = set(adj) | {w for vs in adj.values() for w in vs}
+    bc = {v: 0.0 for v in nodes}
+    for s in sources:
+        if s not in nodes:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_matches_python(spark):
+    rng = np.random.default_rng(13)
+    names = [f"n{i}" for i in range(12)]
+    pairs = set()
+    while len(pairs) < 20:
+        u, v = rng.choice(12, size=2, replace=False)
+        pairs.add((names[u], names[v]))
+    triples = [(u, "rel", v, 1) for u, v in pairs]
+    df = _edges_df(spark, triples)
+    # n_sources >= n: exact (scale = 1)
+    got = {r["node"]: r["betweenness"]
+           for r in G.betweenness_sampled(df, n_sources=50, max_dist=12).collect()}
+    nodes = {u for u, v in pairs} | {v for u, v in pairs}
+    want = _python_brandes(list(pairs), sorted(nodes))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_betweenness_bridge_dominates(spark):
+    # two cliques joined by one bridge node: the bridge has the
+    # highest betweenness by construction
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    triples = []
+    for grp in (a, b):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                triples.append((grp[i], "rel", grp[j], 1))
+    triples += [(a[0], "rel", "bridge", 1), ("bridge", "rel", b[0], 1)]
+    got = {r["node"]: r["betweenness"]
+           for r in G.betweenness_sampled(
+               _edges_df(spark, triples), n_sources=100, max_dist=8
+           ).collect()}
+    assert got["bridge"] == max(got.values())
+
+
+def test_betweenness_sampled_estimate_and_determinism(spark):
+    rng = np.random.default_rng(4)
+    names = [f"n{i}" for i in range(20)]
+    triples = [
+        (names[u], "rel", names[v], 1)
+        for u, v in {tuple(rng.choice(20, size=2, replace=False)) for _ in range(40)}
+    ]
+    df = _edges_df(spark, triples)
+    e1 = sorted(map(tuple, G.betweenness_sampled(df.repartition(1), n_sources=5).collect()))
+    e2 = sorted(map(tuple, G.betweenness_sampled(df.repartition(9), n_sources=5).collect()))
+    assert e1 == e2
+    with pytest.raises(ValueError, match="n_sources"):
+        G.betweenness_sampled(df, n_sources=0)
