@@ -556,3 +556,72 @@ def pq_topk(
             ),
         )
     )
+
+
+def bitext_pairs(
+    embeddings: DataFrame,
+    lang_col: str = "lang",
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    cell_col: str = "label",
+) -> DataFrame:
+    """(vec_a, lang_a, vec_b, lang_b, cosine, margin) — mined parallel
+    pairs across languages by MARGIN scoring (Artetxe & Schwenk 2019,
+    the CCMatrix/LASER recipe): a pair qualifies when its cosine stands
+    out against both endpoints' neighborhoods,
+    margin = cos(x,y) / (½·(avgtop_k(x) + avgtop_k(y))), computed over
+    cross-language candidates only. Plain cosine thresholds over-mine
+    hubs (vectors close to everything); the margin is the published
+    fix and falls out of two bounded windows here.
+
+    Scale shape: candidates from the IVF cell equi-join (Σ_cell n²,
+    never all-pairs, same as topk_ivf/hard_negatives); avgtop_k is a
+    rank window per vector over its cell-bounded cross-language
+    candidate list; one output row per unordered pair (lang_a < lang_b
+    lexicographically).
+    """
+    if k < 1:
+        raise ValueError(f"bitext_pairs: k must be >= 1, got {k}")
+    l = _normed(embeddings, "vec_a", "emb_a", "na", extra=[cell_col, lang_col])
+    l = l.withColumnRenamed(cell_col, "cell").withColumnRenamed(lang_col, "lang_a")
+    r = _normed(embeddings, "vec_b", "emb_b", "nb", extra=[cell_col, lang_col])
+    r = r.withColumnRenamed(cell_col, "cell_r").withColumnRenamed(lang_col, "lang_b")
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6
+    )
+    # DIRECTED cross-language candidates (x → every other-language y in
+    # x's cell): both orientations present, so one avgtop_k window keyed
+    # by (vec_a) covers every vector's neighborhood
+    cand = (
+        l.join(r, F.col("cell") == F.col("cell_r"))
+        .where(F.col("lang_a") != F.col("lang_b"))
+        .select("vec_a", "lang_a", "vec_b", "lang_b", cos.alias("cosine"))
+        .localCheckpoint(eager=False)
+    )
+    w = W.partitionBy("vec_a").orderBy(F.desc("cosine"), F.asc("vec_b"))
+    topk_avg = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .groupBy("vec_a")
+        .agg(F.avg("cosine").alias("avg_topk"))
+    )
+    scored = (
+        cand.where(F.col("lang_a") < F.col("lang_b"))  # one row per pair
+        .join(topk_avg.withColumnRenamed("vec_a", "vec_a_key")
+              .withColumnRenamed("avg_topk", "m_a"),
+              F.col("vec_a") == F.col("vec_a_key"))
+        .join(topk_avg.withColumnRenamed("vec_a", "vec_b_key")
+              .withColumnRenamed("avg_topk", "m_b"),
+              F.col("vec_b") == F.col("vec_b_key"))
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine")
+                / (F.lit(0.5) * (F.col("m_a") + F.col("m_b"))),
+                6,
+            ),
+        )
+        .where(F.col("margin") >= margin_threshold)
+        .select("vec_a", "lang_a", "vec_b", "lang_b", "cosine", "margin")
+    )
+    return scored

@@ -2321,6 +2321,19 @@ def td_biased_walk_pairs(spark, sf_dir):
     return W.skipgram_pairs(walks, window=2)
 
 
+def td_bitext_pairs(spark, sf_dir):
+    """CCMatrix-style bitext mining (ops/similarity.bitext_pairs):
+    margin-scored cross-language pairs over the embeddings table with
+    hash-derived pseudo languages; brute-force numpy mirror of the
+    margin criterion in tests/test_bitext.py (rows-only — cosine
+    floats)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "lang",
+        F.when(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0, "en").otherwise("fr"),
+    )
+    return SIM.bitext_pairs(emb, k=4, margin_threshold=1.03)
+
+
 def td_domain_mix(spark, sf_dir):
     """Embedding-domain balanced mixing (DoReMi-lite,
     ops/textstats.cluster_balanced_mix): k-means cells over the real
@@ -2818,6 +2831,7 @@ for _n, _f in [
     ("td_hard_negatives", td_hard_negatives),
     ("ts_length_quantiles", ts_length_quantiles),
     ("td_domain_mix", td_domain_mix),
+    ("td_bitext_pairs", td_bitext_pairs),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
     ("kg_triangle_stats", kg_triangle_stats),
