@@ -80,6 +80,14 @@ def main():
     )
     print(f"ppr_5_rounds: reached={n_ppr} wall={time.time() - t0:.1f}s")
 
+    t0 = time.time()
+    n_bc = (
+        GS.betweenness_sampled(ksg, n_sources=8, max_dist=4)
+        .where(F.col("betweenness") > 0)
+        .count()
+    )
+    print(f"betweenness_8src_d4: nonzero={n_bc} wall={time.time() - t0:.1f}s")
+
     from naruhodo_spark.ops import walks as W
 
     # the walk trainer phases run on a quarter subgraph (their cost is
