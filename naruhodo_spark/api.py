@@ -250,6 +250,21 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), n_sources=n_sources, max_dist=max_dist
         )
 
+    def shortest_path(
+        self, src: str, dst: str, max_dist: int = 6,
+        direction: str = "both",
+    ) -> "list[str]":
+        """One shortest src→dst node path over the KSG ([] if none
+        within max_dist) — the networkx shortest_path analog
+        (operators/graphstats.shortest_path). For many-pair workloads
+        use distances()/approx_distance."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.shortest_path(
+            self._ksg_edges(), src, dst, max_dist=max_dist,
+            direction=direction,
+        )
+
     def summary(self) -> DataFrame:
         """(stat, value) one-stop graph report: node/edge/predicate
         counts, total weight, and degree percentiles — two aggregation

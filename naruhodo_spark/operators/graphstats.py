@@ -720,3 +720,70 @@ def betweenness_sampled(
         nodes.join(bc, "node", "left")
         .select("node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
     )
+
+
+def shortest_path(
+    ksg_edges: DataFrame,
+    src: str,
+    dst: str,
+    max_dist: int = 6,
+    direction: str = "both",
+) -> "list[str]":
+    """One shortest path src→dst as a node list ([] if none within
+    ``max_dist``) — the networkx ``shortest_path(G, a, b)`` analog for
+    a graph that doesn't fit one machine.
+
+    Forward BFS with parent pointers (min parent per node for
+    determinism), stopping the moment ``dst`` is labeled; the
+    reconstruction then walks ≤ max_dist parent lookups against the
+    checkpointed visited table — path-length-many bounded driver
+    round-trips, never a collect of the visited set (which at 10^12
+    scale is the whole reachable component). For many-pair workloads
+    use landmark_distances/approx_distance instead: per-pair exact BFS
+    is inherently a per-query scan."""
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
+    spark = ksg_edges.sparkSession
+    hops = _edge_pairs(ksg_edges).select("src", "dst")
+    if direction == "in":
+        hops = hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        hops = hops.unionByName(
+            hops.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    hops = hops.distinct().localCheckpoint()
+    if src == dst:
+        return [src]
+
+    visited = spark.createDataFrame(
+        [(src, 0, None)], "node string, dist int, parent string"
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    found = False
+    for depth in range(1, max_dist + 1):
+        nxt = (
+            hops.join(frontier.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("parent"))
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"), "parent")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        if nxt.where(F.col("node") == dst).count() > 0:
+            found = True
+            break
+        frontier = nxt.select("node")
+    if not found:
+        return []
+    path = [dst]
+    cur = dst
+    for _ in range(max_dist):
+        row = visited.where(F.col("node") == cur).select("parent").head()
+        if row is None or row["parent"] is None:
+            break
+        cur = row["parent"]
+        path.append(cur)
+    return list(reversed(path))

@@ -578,3 +578,41 @@ def test_betweenness_sampled_estimate_and_determinism(spark):
     assert e1 == e2
     with pytest.raises(ValueError, match="n_sources"):
         G.betweenness_sampled(df, n_sources=0)
+
+
+# ---------------------------------------------------------------------
+# shortest path extraction
+# ---------------------------------------------------------------------
+
+def test_shortest_path_matches_networkx(spark):
+    import networkx as nx
+
+    rng = np.random.default_rng(17)
+    names = [f"n{i}" for i in range(15)]
+    pairs = {tuple(rng.choice(15, size=2, replace=False)) for _ in range(30)}
+    triples = [(names[u], "rel", names[v], 1) for u, v in pairs]
+    df = _edges_df(spark, triples)
+    g = nx.Graph()
+    g.add_edges_from((names[u], names[v]) for u, v in pairs)
+    adj = {frozenset((names[u], names[v])) for u, v in pairs}
+    for a, b in [("n0", "n7"), ("n3", "n12"), ("n1", "n14")]:
+        got = G.shortest_path(df, a, b, max_dist=10)
+        if not nx.has_path(g, a, b):
+            assert got == []
+            continue
+        want_len = nx.shortest_path_length(g, a, b)
+        assert len(got) == want_len + 1, (a, b, got)
+        assert got[0] == a and got[-1] == b
+        for u, v in zip(got, got[1:]):
+            assert frozenset((u, v)) in adj
+
+
+def test_shortest_path_edge_cases(spark):
+    df = _edges_df(spark, [("a", "r", "b", 1), ("b", "r", "c", 1)])
+    assert G.shortest_path(df, "a", "a") == ["a"]
+    assert G.shortest_path(df, "a", "c") == ["a", "b", "c"]
+    # out-direction only: c is reachable from a, a is NOT from c
+    assert G.shortest_path(df, "c", "a", direction="out") == []
+    assert G.shortest_path(df, "a", "zzz") == []
+    # max_dist too small → no path reported
+    assert G.shortest_path(df, "a", "c", max_dist=1) == []
