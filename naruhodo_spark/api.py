@@ -265,6 +265,24 @@ class parser:  # noqa: N801 — name mirrors the reference API
             direction=direction,
         )
 
+    def predicate_signatures(self, min_support: int = 3) -> DataFrame:
+        """(pred, dom_type, dom_conf, range_type, range_conf, support)
+        — statistical domain/range typing per predicate
+        (operators/schema_induct.py)."""
+        from naruhodo_spark.operators import schema_induct as SI
+
+        return SI.predicate_signatures(
+            self.build()["triples"], min_support=min_support
+        )
+
+    def type_violations(self, min_conf: float = 0.8) -> DataFrame:
+        """Triples whose typed argument contradicts a confident
+        predicate signature — the mis-extraction review queue
+        (operators/schema_induct.type_violations)."""
+        from naruhodo_spark.operators import schema_induct as SI
+
+        return SI.type_violations(self.build()["triples"], min_conf=min_conf)
+
     def summary(self) -> DataFrame:
         """(stat, value) one-stop graph report: node/edge/predicate
         counts, total weight, and degree percentiles — two aggregation

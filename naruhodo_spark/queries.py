@@ -2412,6 +2412,19 @@ def td_node_embeddings(spark, sf_dir):
     )
 
 
+def kg_predicate_signatures(spark, sf_dir):
+    """Statistical schema induction over the built KG
+    (operators/schema_induct.predicate_signatures): majority
+    domain/range entity type per predicate with confidence — two
+    uniform groupBys + a max(struct) argmax, no rank window. Exact
+    python mirror in tests/test_schema_induct.py (rows-only)."""
+    from naruhodo_spark.operators import schema_induct as SI
+
+    return SI.predicate_signatures(
+        build_kg(_synth(spark), prof=_en())["triples"]
+    ).orderBy("pred")
+
+
 def kg_betweenness(spark, sf_dir):
     """Sampled Brandes betweenness over the built KSG
     (operators/graphstats.betweenness_sampled): bridge entities by
@@ -2827,6 +2840,7 @@ for _n, _f in [
     ("td_gnn_blocks", td_gnn_blocks),
     ("kg_incremental_cc", kg_incremental_cc),
     ("kg_betweenness", kg_betweenness),
+    ("kg_predicate_signatures", kg_predicate_signatures),
     ("td_node_embeddings", td_node_embeddings),
     ("td_hard_negatives", td_hard_negatives),
     ("ts_length_quantiles", ts_length_quantiles),
