@@ -94,3 +94,94 @@ def verbalize_triples(
         F.size("facts").alias("n_facts"),
         F.least(F.size("facts"), F.lit(int(max_facts))).alias("n_facts_kept"),
     )
+
+
+def qa_pairs(
+    ksg_edges: DataFrame,
+    max_distractors: int = 0,
+    seed: str = "qa42",
+) -> DataFrame:
+    """(question, answer, subj, pred, obj, direction) — template QA
+    training rows from KG triples (the KELM-adjacent SFT shape; KGQA
+    datasets like WebQSP/SimpleQuestions are exactly single-triple
+    questions). Two directions per objectful triple:
+
+    - forward:  "What does <subj> <pred>?"       → <obj>
+    - backward: "What <pred> <obj>?"             → <subj>
+      (passive edges render "What is <pred> by <obj>?" forward and
+      "What does <subj> ... ?" accordingly; negated triples are
+      SKIPPED — "what does X not eat" invites hallucinated answers)
+
+    Deterministic, pure Catalyst string templates — one map-only pass,
+    no shuffle; downstream corpus ops (dedup/mix/pack) consume the
+    question/answer columns unchanged.
+
+    ``max_distractors`` > 0 appends hash-picked wrong answers from the
+    same predicate's object vocabulary (multiple-choice form) — one
+    bounded groupBy per predicate + a broadcastable join; a predicate
+    with fewer distinct objects than requested yields fewer
+    distractors (never a duplicate of the answer).
+    """
+    base = ksg_edges.where(
+        F.col("obj").isNotNull() & (F.col("obj") != "")
+        & ~F.col("negative")
+    )
+    fwd_q = F.when(
+        F.col("passive"),
+        F.concat(F.lit("What is "), F.col("pred"), F.lit(" by "),
+                 F.col("obj"), F.lit("?")),
+    ).otherwise(
+        F.concat(F.lit("What does "), F.col("subj"), F.lit(" "),
+                 F.col("pred"), F.lit("?"))
+    )
+    fwd_a = F.when(F.col("passive"), F.col("subj")).otherwise(F.col("obj"))
+    bwd_q = F.when(
+        F.col("passive"),
+        F.concat(F.lit("What does "), F.col("subj"), F.lit(" "),
+                 F.col("pred"), F.lit("?")),
+    ).otherwise(
+        F.concat(F.lit("What "), F.col("pred"), F.lit(" "),
+                 F.col("obj"), F.lit("?"))
+    )
+    bwd_a = F.when(F.col("passive"), F.col("obj")).otherwise(F.col("subj"))
+    out = base.select(
+        fwd_q.alias("question"), fwd_a.alias("answer"),
+        "subj", "pred", "obj", F.lit("forward").alias("direction"),
+    ).unionByName(
+        base.select(
+            bwd_q.alias("question"), bwd_a.alias("answer"),
+            "subj", "pred", "obj", F.lit("backward").alias("direction"),
+        )
+    )
+    if max_distractors <= 0:
+        return out
+    # distractors: per predicate, hash-rank the distinct objects and
+    # take the first max_distractors+1 (so at least max_distractors
+    # remain after dropping the true answer) — bounded per-pred lists
+    vocab = (
+        base.select("pred", "obj").distinct()
+        .withColumn("hrank", F.xxhash64(F.lit(seed), "pred", "obj"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("pred").orderBy("hrank", "obj")
+    picked = (
+        vocab.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_distractors + 1)
+        .groupBy("pred")
+        .agg(F.sort_array(F.collect_list("obj")).alias("cand"))
+    )
+    return (
+        out.join(F.broadcast(picked), "pred", "left")
+        .withColumn(
+            "distractors",
+            F.slice(
+                F.filter(
+                    F.coalesce("cand", F.array().cast("array<string>")),
+                    lambda c: c != F.col("answer"),
+                ),
+                1, max_distractors,
+            ),
+        )
+        .drop("cand")
+    )

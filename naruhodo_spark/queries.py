@@ -2412,6 +2412,18 @@ def td_node_embeddings(spark, sf_dir):
     )
 
 
+def td_qa_pairs(spark, sf_dir):
+    """KGQA training rows (ops/verbalize.qa_pairs): template
+    forward/backward questions per objectful non-negated triple with
+    hash-picked same-predicate distractors — exact template pins,
+    distractor properties and a roundtrip answerability check in
+    tests/test_verbalize.py (rows-only — map-only templates)."""
+    from naruhodo_spark.ops.verbalize import qa_pairs
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    return qa_pairs(edges, max_distractors=3)
+
+
 def kg_predicate_signatures(spark, sf_dir):
     """Statistical schema induction over the built KG
     (operators/schema_induct.predicate_signatures): majority
@@ -2841,6 +2853,7 @@ for _n, _f in [
     ("kg_incremental_cc", kg_incremental_cc),
     ("kg_betweenness", kg_betweenness),
     ("kg_predicate_signatures", kg_predicate_signatures),
+    ("td_qa_pairs", td_qa_pairs),
     ("td_node_embeddings", td_node_embeddings),
     ("td_hard_negatives", td_hard_negatives),
     ("ts_length_quantiles", ts_length_quantiles),

@@ -101,3 +101,77 @@ def test_roundtrip_reextraction_recall(spark):
              for r in kg2["ksg_edges"].collect()}
     recall = len(orig & re_ex) / max(len(orig), 1)
     assert recall >= 0.6, recall
+
+
+# ---------------------------------------------------------------------
+# QA-pair generation
+# ---------------------------------------------------------------------
+
+def _qa_edges(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, weight long,"
+        " negative boolean, passive boolean",
+    )
+
+
+def test_qa_pairs_templates_exact(spark):
+    from naruhodo_spark.ops.verbalize import qa_pairs
+
+    edges = _qa_edges(spark, [
+        ("alice", "eats", "apples", 1, False, False),
+        ("bob", "seen", "carol", 1, False, True),     # passive
+        ("dave", "eats", "meat", 1, True, False),     # negated: skipped
+        ("eve", "runs", "", 1, False, False),         # objectless: skipped
+    ])
+    got = {
+        (r["question"], r["answer"], r["direction"])
+        for r in qa_pairs(edges).collect()
+    }
+    assert got == {
+        ("What does alice eats?", "apples", "forward"),
+        ("What eats apples?", "alice", "backward"),
+        ("What is seen by carol?", "bob", "forward"),
+        ("What does bob seen?", "carol", "backward"),
+    }
+
+
+def test_qa_pairs_distractors(spark):
+    from naruhodo_spark.ops.verbalize import qa_pairs
+
+    edges = _qa_edges(spark, [
+        ("a", "eats", f"food{i}", 1, False, False) for i in range(6)
+    ])
+    rows = qa_pairs(edges, max_distractors=3).collect()
+    assert len(rows) == 12  # 6 triples × 2 directions
+    for r in rows:
+        ds = r["distractors"]
+        assert len(ds) <= 3
+        assert r["answer"] not in ds
+        assert len(set(ds)) == len(ds)
+        if r["direction"] == "forward":
+            assert all(d.startswith("food") for d in ds)
+    # determinism across partitionings
+    a = sorted(map(tuple, qa_pairs(edges.repartition(1), max_distractors=2).collect()))
+    b = sorted(map(tuple, qa_pairs(edges.repartition(7), max_distractors=2).collect()))
+    assert a == b
+
+
+def test_qa_pairs_roundtrip_answerable(spark):
+    """Over the built synth KG: every forward answer is the triple's
+    object (or subject when passive) by construction — spot-check the
+    join-back identity on real extractor output."""
+    from naruhodo_spark import synth
+    from naruhodo_spark.ops.verbalize import qa_pairs
+    from naruhodo_spark.pipeline import build_kg
+
+    edges = build_kg(synth.synth_documents(spark, 60))["ksg_edges"]
+    qa = qa_pairs(edges)
+    n = qa.count()
+    assert n > 0
+    bad = qa.where(
+        (F.col("direction") == "forward")
+        & (F.col("answer") != F.col("obj"))
+        & (F.col("answer") != F.col("subj"))
+    ).count()
+    assert bad == 0
