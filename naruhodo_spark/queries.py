@@ -496,14 +496,35 @@ def agg_rollup_hourly(spark, sf_dir):
     )
 
 
+# agg_rollup_hourly: oracle DEMOTED r04 (driver-green r01–r03; rotation
+# policy — see the rotation note above the rows-only marker). Registered
+# rows-only at the end of this module; pytest coverage unchanged. Its
+# slot goes to kg_event_graph — first driver oracle for the structured-
+# event → KG edge adapter (sources.events_to_triples).
+
+
+def kg_event_graph(spark, sf_dir):
+    """Structured-event → KG edges (sources.events_to_triples): the
+    behavioral interaction graph (user)-[event_type]->(item from the
+    props JSON) with weight = interaction count, consumable by the
+    whole graph stack. Pure Catalyst (get_json_object + one uniform
+    groupBy); the DuckDB mirror is the identical SQL aggregation."""
+    from naruhodo_spark.sources import events_to_triples
+
+    return events_to_triples(_t(spark, sf_dir, "events"))
+
+
 _register(
-    "agg_rollup_hourly",
-    agg_rollup_hourly,
+    "kg_event_graph",
+    kg_event_graph,
     """
-    SELECT event_type, hour, count(*) AS n, round(avg(value), 4) AS avg_value
-    FROM (SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, value
-          FROM events)
-    GROUP BY ROLLUP (event_type, hour)
+    SELECT 'user:' || user_id AS subj, event_type AS pred,
+           'item:' || json_extract_string(props, '$.k') AS obj,
+           count(*)::BIGINT AS weight,
+           false AS negative, false AS passive
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2, 3
     """,
 )
 
@@ -2945,5 +2966,6 @@ for _n, _f in [
     ("joins_semi_anti", joins_semi_anti),
     ("setop_users", setop_users),
     ("pivot_qty_by_status", pivot_qty_by_status),
+    ("agg_rollup_hourly", agg_rollup_hourly),
 ]:
     _register(_n, _f)

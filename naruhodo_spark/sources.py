@@ -140,3 +140,38 @@ def read_documents_text(
     )
     out = flat.select("doc_id", "text") if to_spans else flat
     return _finish(out, to_spans, id_is_string=True)
+
+
+def events_to_triples(
+    events: DataFrame,
+    subj_col: str = "user_id",
+    pred_col: str = "event_type",
+    obj_expr: "str | None" = "get_json_object(props, '$.k')",
+    prefix: str = "user:",
+    obj_prefix: str = "item:",
+) -> DataFrame:
+    """Structured-event → KG edge adapter: lift an interaction-log
+    table into (subj, pred, obj, weight, negative, passive) KSG edge
+    rows, so the whole graph stack (canonicalize / PageRank /
+    communities / TransE / motif / export) runs over behavioral graphs
+    exactly as it does over text-extracted ones.
+
+    (actor)-[event_type]->(object) with weight = interaction count —
+    the standard bipartite interaction-graph construction.
+    ``obj_expr`` is any SQL expression over the event row (default:
+    the ``k`` key of the JSON props column); NULL objects are dropped.
+    One uniform groupBy; JSON extraction is Catalyst-native
+    (get_json_object), no Python.
+    """
+    obj = F.expr(obj_expr) if obj_expr else F.lit(None)
+    rows = events.select(
+        F.concat(F.lit(prefix), F.col(subj_col).cast("string")).alias("subj"),
+        F.col(pred_col).cast("string").alias("pred"),
+        F.concat(F.lit(obj_prefix), obj.cast("string")).alias("obj"),
+    ).where(F.col("obj").isNotNull())
+    return rows.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    ).select(
+        "subj", "pred", "obj", "weight",
+        F.lit(False).alias("negative"), F.lit(False).alias("passive"),
+    )

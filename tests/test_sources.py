@@ -122,3 +122,31 @@ def test_corpus_report_vs_duckdb(spark):
         assert float(r["mean_tokens"]) == pytest.approx(float(m["mean_tokens"]), abs=0.01)
         assert float(r["pct_dup_text"]) == pytest.approx(float(m["pct_dup"]), abs=1e-6)
         assert m["min_t"] <= r["p50_tokens"] <= r["p95_tokens"] <= m["max_t"]
+
+
+def test_events_to_triples_adapter(spark):
+    """Structured-event → KG edges: weights count interactions, NULL
+    objects drop, output is ksg_edges-shaped (graph stack consumable)."""
+    from naruhodo_spark.sources import events_to_triples
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 7}'),
+            (1, "click", '{"k": 7}'),
+            (1, "view", '{"k": 9}'),
+            (2, "click", '{"x": 1}'),   # no k: dropped
+        ],
+        "user_id int, event_type string, props string",
+    )
+    got = {(r["subj"], r["pred"], r["obj"]): r["weight"]
+           for r in events_to_triples(ev).collect()}
+    assert got == {
+        ("user:1", "click", "item:7"): 2,
+        ("user:1", "view", "item:9"): 1,
+    }
+    # edges feed the graph stack unchanged
+    from naruhodo_spark.operators import graphstats as GS
+
+    deg = {r["node"]: r["out_degree"]
+           for r in GS.degree_stats(events_to_triples(ev)).collect()}
+    assert deg["user:1"] == 2
