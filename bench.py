@@ -181,6 +181,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "ts_length_quantiles",
         "td_hard_negatives",
         "kg_incremental_cc",
+        "kg_event_graph",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
