@@ -528,8 +528,21 @@ def personalized_pagerank(
     )
     if nodes.count() == 0:
         return spark.createDataFrame([], "node string, rank double")
+    # teleport only to seeds that EXIST in the graph, renormalized over
+    # the matches: a typo'd seed must not silently leak restart mass
+    # (half-lost mass skews comparisons across seed sets; all seeds
+    # unknown would return all-zero ranks with no error)
+    matched = [
+        r["node"]
+        for r in nodes.where(F.col("node").isin(list(set(seeds)))).collect()
+    ]
+    if not matched:
+        raise ValueError(
+            f"personalized_pagerank: none of the {len(set(seeds))} seeds "
+            "exist as graph nodes — check canonicalized node names"
+        )
     tele = F.when(
-        F.col("node").isin(list(seeds)), F.lit(1.0 / len(set(seeds)))
+        F.col("node").isin(matched), F.lit(1.0 / len(matched))
     ).otherwise(F.lit(0.0))
 
     ranks = nodes.select("node", tele.alias("rank"))

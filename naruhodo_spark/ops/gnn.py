@@ -77,8 +77,14 @@ def sample_blocks(
 
     out = None
     for h, fanout in enumerate(fanouts, start=1):
+        # the builder's hash pre-filter keeps an EXPECTED ~cap neighbors
+        # — called at cap=fanout it would thin nodes with degree just
+        # above fanout to ~deg/2 (and occasionally to zero). A 4×
+        # headroom cap makes the pre-filter a no-op for deg ≤ 4·fanout
+        # and leaves ~4·fanout candidates otherwise; the dense-index
+        # bound below is the exact fanout.
         adj = (
-            _capped_adjacency(edges, max(fanout, 1), f"{seed}:h{h}")
+            _capped_adjacency(edges, max(4 * fanout, 1), f"{seed}:h{h}")
             .where(F.col("idx") < fanout)
             .select("src", "dst")
         )

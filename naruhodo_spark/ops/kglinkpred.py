@@ -71,7 +71,13 @@ def _queries(
     one ranking query per (test triple, side). qvec is the side's
     query point (tail: h+r, head: t−r); true_dist is the true entity's
     |e − qvec|² under the SAME formula the candidate scan uses.
-    Missing embeddings leave qvec/true_dist NULL (row kept)."""
+    Missing embeddings leave qvec/true_dist NULL (row kept).
+
+    The test frame is deduplicated on (subj, pred, obj) first: the qid
+    is a content hash, so a dirty eval set with repeated rows would
+    collapse duplicates onto one qid and SUM their better-counts —
+    doubling every duplicate's rank. A ranking query set is a set."""
+    test = test.select("subj", "pred", "obj").distinct()
     j = (
         test.select("subj", "pred", "obj")
         .join(
@@ -309,7 +315,15 @@ def rank_candidates(
         "side",
         F.when(
             F.col("true_dist").isNotNull(),
-            F.lit(1) + F.col("n_better") - F.col("n_known_better"),
+            # clamp at 1: n_better (blas path: GEMM-expanded distance)
+            # and n_known_better (elementwise form) can disagree by one
+            # on ulp-level ties, and a 0 rank would 1/rank-divide by
+            # zero downstream; the clamp bounds the tie skew at the
+            # definitionally-correct floor
+            F.greatest(
+                F.lit(1),
+                F.lit(1) + F.col("n_better") - F.col("n_known_better"),
+            ),
         )
         .cast("long")
         .alias("rank"),

@@ -621,7 +621,15 @@ def bitext_pairs(
                 6,
             ),
         )
-        .where(F.col("margin") >= margin_threshold)
+        # the ratio margin assumes POSITIVE neighborhood similarities:
+        # a negative/near-zero denominator flips the sign or explodes
+        # (cos −0.3 over avg −0.2 would "pass" at 1.5) — gate both the
+        # pair similarity and the denominator before thresholding
+        .where(
+            (F.col("cosine") > 0)
+            & (F.col("m_a") + F.col("m_b") > 0)
+            & (F.col("margin") >= margin_threshold)
+        )
         .select("vec_a", "lang_a", "vec_b", "lang_b", "cosine", "margin")
     )
     return scored

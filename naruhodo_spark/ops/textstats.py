@@ -693,7 +693,10 @@ def cluster_balanced_mix(
     is an audit point, not a silent clamp: capped clusters still appear,
     just under-weighted vs the ideal). ``target_share`` overrides with
     explicit {cluster: share} fractions (need not sum to 1; they are
-    normalized).
+    normalized over the DICT's entries) — a cluster ABSENT from the
+    dict gets share 0 and is dropped entirely, deliberately: an
+    explicit share map is a whitelist, and the dropped clusters are
+    observable by diffing output doc_ids against the input.
 
     Driver traffic is ONE k-row aggregate (cluster histograms are
     model-sized); the mix itself is mix_corpus's map-only floor+frac
@@ -714,7 +717,7 @@ def cluster_balanced_mix(
         .collect()
     }
     if not hist:
-        return clustered.withColumn("epoch", F.lit(0))
+        return clustered.drop("_cmix_cluster").withColumn("epoch", F.lit(0))
     total = sum(hist.values())
     if target_share:
         z = sum(float(v) for v in target_share.values())

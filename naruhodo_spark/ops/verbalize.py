@@ -147,32 +147,49 @@ def qa_pairs(
     out = base.select(
         fwd_q.alias("question"), fwd_a.alias("answer"),
         "subj", "pred", "obj", F.lit("forward").alias("direction"),
+        "passive",
     ).unionByName(
         base.select(
             bwd_q.alias("question"), bwd_a.alias("answer"),
             "subj", "pred", "obj", F.lit("backward").alias("direction"),
+            "passive",
         )
     )
     if max_distractors <= 0:
-        return out
-    # distractors: per predicate, hash-rank the distinct objects and
-    # take the first max_distractors+1 (so at least max_distractors
-    # remain after dropping the true answer) — bounded per-pred lists
+        return out.drop("passive")
+    # distractors come from the ANSWER-SIDE vocabulary — a backward (or
+    # passive-forward) question's answer is a SUBJECT, so its wrong
+    # options must be subjects too, or the multiple-choice row is
+    # trivially gameable (the one non-object option is the answer).
+    # Per (pred, side): hash-rank the distinct values and take the
+    # first max_distractors+1 (≥ max_distractors survive dropping the
+    # true answer) — bounded per-key lists, broadcast-sized
+    ans_side = F.when(
+        (F.col("direction") == "forward") == F.col("passive"),
+        F.lit("subj"),
+    ).otherwise(F.lit("obj"))
     vocab = (
-        base.select("pred", "obj").distinct()
-        .withColumn("hrank", F.xxhash64(F.lit(seed), "pred", "obj"))
+        base.select("pred", F.col("obj").alias("val"),
+                    F.lit("obj").alias("side"))
+        .unionByName(
+            base.select("pred", F.col("subj").alias("val"),
+                        F.lit("subj").alias("side"))
+        )
+        .distinct()
+        .withColumn("hrank", F.xxhash64(F.lit(seed), "pred", "side", "val"))
     )
     from pyspark.sql import Window as _W
 
-    w = _W.partitionBy("pred").orderBy("hrank", "obj")
+    w = _W.partitionBy("pred", "side").orderBy("hrank", "val")
     picked = (
         vocab.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= max_distractors + 1)
-        .groupBy("pred")
-        .agg(F.sort_array(F.collect_list("obj")).alias("cand"))
+        .groupBy("pred", "side")
+        .agg(F.sort_array(F.collect_list("val")).alias("cand"))
     )
     return (
-        out.join(F.broadcast(picked), "pred", "left")
+        out.withColumn("side", ans_side)
+        .join(F.broadcast(picked), ["pred", "side"], "left")
         .withColumn(
             "distractors",
             F.slice(
@@ -183,5 +200,5 @@ def qa_pairs(
                 1, max_distractors,
             ),
         )
-        .drop("cand")
+        .drop("cand", "side", "passive")
     )

@@ -106,7 +106,12 @@ def sgns_training_rows(
             F.lit(nb),
         ),
     )
-    pick = F.xxhash64(F.lit(seed), "cand", "center", "context", "neg_i")
+    # pair_uid participates in the pick: without it, duplicate pairs
+    # whose draws land in the same bucket would select the identical
+    # negative, defeating the per-occurrence draw
+    pick = F.xxhash64(
+        F.lit(seed), "cand", "center", "context", "pair_uid", "neg_i"
+    )
     negs = (
         draws.join(vocab_b, "bucket")
         .groupBy("center", "context", "pair_uid", "neg_i")
@@ -243,9 +248,13 @@ def sgns_loss(rows: DataFrame, in_emb: DataFrame, out_emb: DataFrame) -> float:
         )
         .withColumn("s", _dot(F.col("cv"), F.col("wv")))
     )
-    # numerically safe: log σ(s) = −log(1+e^−s); clamp the exponent
+    # numerically safe: log σ(s) = −log(1+e^−s), with the exponent
+    # clamped to ±30 (beyond that the term is exact to 1e-13 anyway and
+    # an unclamped e^709 overflows to inf — uselessly — exactly when a
+    # diverging run most needs a finite loss readout)
+    s_c = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), F.col("s")))
     nll = F.when(
-        F.col("label") > 0.5, F.log(F.lit(1.0) + F.exp(-F.col("s")))
-    ).otherwise(F.log(F.lit(1.0) + F.exp(F.col("s"))))
+        F.col("label") > 0.5, F.log(F.lit(1.0) + F.exp(-s_c))
+    ).otherwise(F.log(F.lit(1.0) + F.exp(s_c)))
     out = j.agg(F.sum(nll).alias("loss")).head()[0]
     return float(out or 0.0)

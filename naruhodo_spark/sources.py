@@ -168,7 +168,14 @@ def events_to_triples(
         F.concat(F.lit(prefix), F.col(subj_col).cast("string")).alias("subj"),
         F.col(pred_col).cast("string").alias("pred"),
         F.concat(F.lit(obj_prefix), obj.cast("string")).alias("obj"),
-    ).where(F.col("obj").isNotNull())
+    ).where(
+        # a NULL in ANY slot drops the event: a NULL-subject edge would
+        # silently vanish from equi-joined analytics (pagerank
+        # transitions) while still counting as a phantom node elsewhere
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    )
     return rows.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).cast("long").alias("weight")
     ).select(

@@ -37,7 +37,10 @@ def _np_bitext(rows, k, thr):
         if x[3] > y[3]:
             x, y = y, x
         c = cos(x[1], y[1])
-        m = round(c / (0.5 * (avg[x[0]] + avg[y[0]])), 6)
+        den = avg[x[0]] + avg[y[0]]
+        if c <= 0 or den <= 0:   # mirror the operator's sign gates
+            continue
+        m = round(c / (0.5 * den), 6)
         if m >= thr:
             out.append((x[0], x[3], y[0], y[3], c, m))
     return sorted(out)
@@ -95,3 +98,15 @@ def test_bitext_same_lang_and_cells_excluded(spark):
     assert SIM.bitext_pairs(_emb_df(spark, rows), k=2).count() == 0
     with pytest.raises(ValueError, match="k must be"):
         SIM.bitext_pairs(_emb_df(spark, rows), k=0)
+
+
+def test_bitext_negative_similarity_never_mined(spark):
+    """Anti-aligned cross-language vectors have negative cosine AND
+    negative neighborhoods — the ratio would 'pass' (−/− > 1) without
+    the sign gates."""
+    rows = [
+        ("en0", [1.0, 0.0], 0, "en"),
+        ("fr0", [-1.0, -0.05], 0, "fr"),
+    ]
+    assert SIM.bitext_pairs(_emb_df(spark, rows), k=1,
+                            margin_threshold=1.05).count() == 0

@@ -150,7 +150,13 @@ def test_qa_pairs_distractors(spark):
         assert r["answer"] not in ds
         assert len(set(ds)) == len(ds)
         if r["direction"] == "forward":
+            # answer-side vocabulary: objects for forward questions
             assert all(d.startswith("food") for d in ds)
+        else:
+            # backward answers are subjects; the only subject is the
+            # answer itself, so no type-coherent distractor exists —
+            # empty beats an object-typed giveaway list
+            assert ds == []
     # determinism across partitionings
     a = sorted(map(tuple, qa_pairs(edges.repartition(1), max_distractors=2).collect()))
     b = sorted(map(tuple, qa_pairs(edges.repartition(7), max_distractors=2).collect()))
