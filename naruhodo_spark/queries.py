@@ -524,6 +524,7 @@ _register(
            false AS negative, false AS passive
     FROM events
     WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND user_id IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
