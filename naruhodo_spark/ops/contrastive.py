@@ -158,7 +158,7 @@ def hard_negatives(
     candidate lists. embeddings: (vec_id, embedding, cell_col[,
     group_col]).
     """
-    from naruhodo_spark.ops.similarity import _normed
+    from naruhodo_spark.ops.similarity import _dot, _normed
 
     if k < 1:
         raise ValueError(f"hard_negatives: k must be >= 1, got {k}")
@@ -175,11 +175,12 @@ def hard_negatives(
         pairs = pairs.where(
             ~F.col(f"l_{group_col}").eqNullSafe(F.col(f"r_{group_col}"))
         )
+    # _dot casts both sides to double BEFORE multiplying (module
+    # convention): a float32 product accumulated in single precision can
+    # diverge from the float64 mirror near the 4-dp rounding or the
+    # exclude_threshold boundary (ADVICE r04)
     cos = F.round(
-        F.aggregate(
-            F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
-            F.lit(0.0), lambda s, x: s + x,
-        ) / (F.col("na") * F.col("nb")),
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")),
         4,
     )
     scored = (

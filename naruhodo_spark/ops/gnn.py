@@ -14,7 +14,11 @@ neighbor subsample is the shared hash-capped adjacency — xxhash64
 content hashes, no RNG — with a HARD fanout bound applied on the capped
 list's dense index (idx < fanout), so every (node, hop) samples the
 identical neighbor set on any cluster size, any partitioning, any
-resume. A fresh hash seed per hop decorrelates the hops.
+resume. The index is ORDERED by xxhash64(hop_seed, src, dst)
+(hash_index=True), so the ``idx < fanout`` prefix is a uniform sample
+and a fresh hash seed per hop decorrelates the hops — a dst-ordered
+index would deterministically keep the lexicographically-smallest
+neighbors at every hop (ADVICE r04).
 
 Plan shape at 10^9 nodes:
 
@@ -82,9 +86,12 @@ def sample_blocks(
         # above fanout to ~deg/2 (and occasionally to zero). A 4×
         # headroom cap makes the pre-filter a no-op for deg ≤ 4·fanout
         # and leaves ~4·fanout candidates otherwise; the dense-index
-        # bound below is the exact fanout.
+        # bound below is the exact fanout, and hash_index orders the
+        # index by the hop-seeded hash so the prefix IS the sample.
         adj = (
-            _capped_adjacency(edges, max(4 * fanout, 1), f"{seed}:h{h}")
+            _capped_adjacency(
+                edges, max(4 * fanout, 1), f"{seed}:h{h}", hash_index=True
+            )
             .where(F.col("idx") < fanout)
             .select("src", "dst")
         )

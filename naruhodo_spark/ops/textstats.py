@@ -698,17 +698,30 @@ def cluster_balanced_mix(
     explicit share map is a whitelist, and the dropped clusters are
     observable by diffing output doc_ids against the input.
 
+    Documents WITHOUT a cluster assignment (doc_id absent from
+    ``doc_clusters``, or a NULL cluster) are NOT dropped (ADVICE r04 —
+    the repo's no-silent-drops policy): the join is a LEFT join and
+    unclustered docs ride as their own stratum at weight 1.0
+    (pass-through — neither up- nor down-weighted, since they carry no
+    balance signal), in both the equal-mass and the ``target_share``
+    mode. Callers who want them out filter explicitly.
+
     Driver traffic is ONE k-row aggregate (cluster histograms are
     model-sized); the mix itself is mix_corpus's map-only floor+frac
     explode — no shuffle beyond the docs ⋈ clusters equi-join on
     doc_id, no RNG, resume-stable.
     """
+    unclustered = "\x1funclustered"  # \x1f-reserved: cannot collide with
+    # a real cluster value under the repo's separator discipline
     clustered = docs.join(
         doc_clusters.select(
             F.col(doc_clusters.columns[0]).alias("doc_id"),
             F.col(cluster_col).cast("string").alias("_cmix_cluster"),
         ),
         "doc_id",
+        "left",
+    ).withColumn(
+        "_cmix_cluster", F.coalesce("_cmix_cluster", F.lit(unclustered))
     )
     hist = {
         r["_cmix_cluster"]: r["n"]
@@ -716,6 +729,8 @@ def cluster_balanced_mix(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    hist.pop(unclustered, None)  # pass-through stratum: excluded from
+    # the balance arithmetic, rides at mix_corpus's default_weight 1.0
     if not hist:
         return clustered.drop("_cmix_cluster").withColumn("epoch", F.lit(0))
     total = sum(hist.values())

@@ -122,6 +122,12 @@ def qa_pairs(
     with fewer distinct objects than requested yields fewer
     distractors (never a duplicate of the answer).
     """
+    # same column-presence guard as verbalize_triples (ADVICE r04: the
+    # two ops share the ksg_edges input contract, so edge frames without
+    # the optional flag columns must verbalize, not AnalysisException)
+    for flag in ("negative", "passive"):
+        if flag not in ksg_edges.columns:
+            ksg_edges = ksg_edges.withColumn(flag, F.lit(False))
     base = ksg_edges.where(
         F.col("obj").isNotNull() & (F.col("obj") != "")
         & ~F.col("negative")

@@ -44,11 +44,21 @@ CHECKPOINT_EVERY = 5
 
 
 def _capped_adjacency(
-    edges: DataFrame, neighbor_cap: int, seed: str
+    edges: DataFrame, neighbor_cap: int, seed: str, hash_index: bool = False
 ) -> DataFrame:
     """(src, idx, dst, n_nbrs): hash-subsampled neighbor lists with a
     dense 0-based index and the post-cap list size. Distinct edges only
-    (parallel edges would bias the uniform pick)."""
+    (parallel edges would bias the uniform pick).
+
+    ``hash_index=False`` (the walk callers) orders the dense index by
+    dst — harmless there because the step rule hashes INTO the index, so
+    index order never biases the pick. ``hash_index=True`` orders it by
+    xxhash64(seed, src, dst) (dst as the collision tiebreak): callers
+    that take a PREFIX of the index (ops/gnn.sample_blocks' ``idx <
+    fanout``) get a uniform, seed-decorrelated sample instead of the
+    lexicographically-smallest neighbors (ADVICE r04: for deg ≤ 4·fanout
+    the hash pre-filter is a no-op, so a dst-ordered prefix is
+    name-biased and identical across hops)."""
     adj = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adj = adj.join(deg, "src")
@@ -58,7 +68,12 @@ def _capped_adjacency(
         (F.col("deg") <= neighbor_cap)
         | (F.pmod(F.xxhash64(F.lit(seed), "src", "dst"), ratio) == 0)
     )
-    w = Window.partitionBy("src").orderBy("dst")
+    if hash_index:
+        w = Window.partitionBy("src").orderBy(
+            F.xxhash64(F.lit(seed), "src", "dst"), "dst"
+        )
+    else:
+        w = Window.partitionBy("src").orderBy("dst")
     idx = kept.select(
         "src",
         (F.row_number().over(w) - 1).alias("idx"),

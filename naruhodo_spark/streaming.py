@@ -138,6 +138,39 @@ def _write_epoch_sketches(
     )
 
 
+def _assert_panel_epochs(
+    spark: SparkSession, out_dir: str, panel: str, epoch: int
+) -> None:
+    """Raise when ``panel`` is missing epochs ≤ ``epoch`` that the
+    exactly-once ``triples_raw`` record has (ADVICE r04: a store created
+    before a panel existed and then upgraded has panel rows only for
+    post-upgrade epochs, so an as-of fold over earlier epochs would
+    silently aggregate a PARTIAL epoch range). Both distinct-epoch
+    scans are partition-column reads — O(epochs) rows, bounded."""
+    if not storage.table_exists(spark, "triples_raw", out_dir):
+        return  # no raw record to audit against (legacy store): fold as-is
+    want = {
+        r["epoch"]
+        for r in storage.read_table(spark, "triples_raw", out_dir)
+        .where(F.col("epoch") <= int(epoch))
+        .select("epoch").distinct().collect()
+    }
+    have = {
+        r["epoch"]
+        for r in storage.read_table(spark, panel, out_dir)
+        .where(F.col("epoch") <= int(epoch))
+        .select("epoch").distinct().collect()
+    }
+    missing = sorted(want - have)
+    if missing:
+        raise ValueError(
+            f"{panel} at {out_dir} is missing epochs {missing} that "
+            "triples_raw has (store predates the panel or a partial "
+            "restore dropped them) — run rebuild_sketch_panel(spark, "
+            "out_dir) to backfill before as-of queries"
+        )
+
+
 def distinct_stats_asof(
     spark: SparkSession, out_dir: str, epoch: int
 ) -> DataFrame:
@@ -156,6 +189,7 @@ def distinct_stats_asof(
             "rebuild_sketch_panel(spark, out_dir) to backfill from "
             "triples_raw"
         )
+    _assert_panel_epochs(spark, out_dir, "sketch_panel", epoch)
     panel = storage.read_table(spark, "sketch_panel", out_dir).where(
         F.col("epoch") <= int(epoch)
     )
@@ -189,6 +223,7 @@ def quantile_stats_asof(
             "rebuild_sketch_panel(spark, out_dir) to backfill from "
             "triples_raw"
         )
+    _assert_panel_epochs(spark, out_dir, "quantile_panel", epoch)
     panel = storage.read_table(spark, "quantile_panel", out_dir).where(
         F.col("epoch") <= int(epoch)
     ).drop("epoch")

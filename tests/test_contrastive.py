@@ -169,6 +169,34 @@ def test_hard_negatives_without_groups(spark):
     }
 
 
+def test_hard_negatives_float32_matches_float64_mirror(spark):
+    """ADVICE r04: the dot product must cast to double BEFORE
+    multiplying (similarity._dot convention) — float32 inputs whose
+    products accumulate in single precision can cross the 4-dp rounding
+    or exclude_threshold boundary away from the float64 mirror."""
+    import numpy as np
+
+    from naruhodo_spark.ops.contrastive import hard_negatives
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"v{i}", [float(np.float32(x)) for x in rng.randn(16)], i % 2, "x")
+        for i in range(24)
+    ]
+    f32 = spark.createDataFrame(
+        rows, "vec_id string, embedding array<float>, label int, grp string"
+    ).drop("grp")
+    got = {
+        (r["anchor"], r["negative"]): r["cosine"]
+        for r in hard_negatives(f32, k=3, exclude_threshold=0.98).collect()
+    }
+    want = _np_hard_negatives(
+        [(v, e, c, g) for v, e, c, g in rows], k=3, thr=0.98, grouped=False
+    )
+    flat = {(a, v): c for a, lst in want.items() for v, c in lst}
+    assert got == flat
+
+
 def test_hard_negatives_bad_k(spark):
     import pytest as _pt
     from naruhodo_spark.ops.contrastive import hard_negatives

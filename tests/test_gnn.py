@@ -81,6 +81,38 @@ def test_block_node_sets(spark, star_chain):
     assert ns["h0"] == sorted(ns["h0"])
 
 
+def test_fanout_prefix_is_hash_ordered_not_lexicographic(spark):
+    """ADVICE r04: with deg <= 4*fanout the hash pre-filter is a no-op,
+    so a dst-ordered dense index made `idx < fanout` keep the
+    lexicographically-smallest neighbors at EVERY hop. The fix orders
+    the index by xxhash64(hop_seed, src, dst): the kept set must (a)
+    differ from the lexicographic prefix for at least one seed, and
+    (b) differ across hop seeds (decorrelation)."""
+    from naruhodo_spark.ops.walks import _capped_adjacency
+
+    e = _edges(spark, [("hub", f"n{i:02d}") for i in range(20)])
+
+    def kept(seed):
+        return frozenset(
+            r["dst"]
+            for r in _capped_adjacency(e, 4 * 5, seed, hash_index=True)
+            .where("idx < 5").collect()
+        )
+
+    lex = frozenset(f"n{i:02d}" for i in range(5))
+    samples = {s: kept(s) for s in ("sage42:h1", "sage42:h2", "sage42:h3")}
+    # every sample is a valid 5-subset
+    for s, ks in samples.items():
+        assert len(ks) == 5 and all(k.startswith("n") for k in ks), (s, ks)
+    # not the name-biased prefix, and not all identical across hop seeds
+    assert any(ks != lex for ks in samples.values())
+    assert len(set(samples.values())) > 1
+    # index stays dense and set-complete regardless of ordering
+    rows = _capped_adjacency(e, 64, "x", hash_index=True).collect()
+    assert sorted(r["idx"] for r in rows) == list(range(20))
+    assert {r["dst"] for r in rows} == {f"n{i:02d}" for i in range(20)}
+
+
 def test_bad_args(spark, star_chain):
     with pytest.raises(ValueError, match="seed"):
         G.sample_blocks(star_chain, [], [2])

@@ -243,6 +243,42 @@ def test_cluster_balanced_mix_cap_and_target_share(spark):
     assert out2.count() > 0
 
 
+def test_cluster_balanced_mix_unclustered_pass_through(spark):
+    """ADVICE r04: docs absent from doc_clusters (or NULL cluster) must
+    NOT silently vanish — they ride as a pass-through stratum at weight
+    1.0 (exactly one copy each), in both modes, and the clustered
+    arithmetic is unchanged by their presence."""
+    rows = [(f"a{i}", "A") for i in range(40)] + [(f"b{i}", "B") for i in range(10)]
+    docs = spark.createDataFrame(
+        [(d, "x") for d, _ in rows] + [(f"u{i}", "x") for i in range(7)],
+        "doc_id string, text string",
+    )
+    clusters = spark.createDataFrame(rows, "doc_id string, cluster string")
+    out = TS.cluster_balanced_mix(docs, clusters)
+    un = out.where(F.col("doc_id").startswith("u"))
+    # every unclustered doc exactly once, epoch 0
+    assert sorted(r["doc_id"] for r in un.collect()) == [f"u{i}" for i in range(7)]
+    assert {r["epoch"] for r in un.collect()} == {0}
+    # clustered masses identical to the run WITHOUT the unclustered docs
+    base = TS.cluster_balanced_mix(
+        docs.where(~F.col("doc_id").startswith("u")), clusters
+    )
+    key = lambda df: sorted(
+        map(tuple, df.where(~F.col("doc_id").startswith("u")).collect())
+    )
+    assert key(out) == key(base)
+    # target_share mode: whitelist drops cluster B, keeps pass-through
+    out2 = TS.cluster_balanced_mix(docs, clusters, target_share={"A": 1.0})
+    assert out2.where(F.col("doc_id").startswith("b")).count() == 0
+    assert out2.where(F.col("doc_id").startswith("u")).count() == 7
+    # NULL cluster value routes to pass-through too
+    withnull = spark.createDataFrame(
+        rows + [("u0", None)], "doc_id string, cluster string"
+    )
+    out3 = TS.cluster_balanced_mix(docs, withnull)
+    assert out3.where(F.col("doc_id") == "u0").count() == 1
+
+
 def test_cluster_balanced_mix_end_to_end_kmeans(spark):
     """The composition surface: k-means cells over the real embeddings
     → balanced mix of the real documents (vec_id ≡ doc_id in the

@@ -796,3 +796,39 @@ def test_quantile_panel_backfill(spark, tmp_out):
     ], dtype=float)
     true = float(np.quantile(counts, 0.5))
     assert abs(got[0.5] - true) <= max(0.02 * true, 1.0)
+
+
+def test_asof_raises_on_partial_panel(spark, tmp_out):
+    """ADVICE r04: a store upgraded AFTER some epochs were ingested has
+    panel rows only for post-upgrade epochs — as-of folds over earlier
+    epochs must raise the rebuild hint, not silently aggregate a
+    partial epoch range. (Only the table-entirely-absent case raised
+    before.)"""
+    import pytest as _pt
+
+    from naruhodo_spark.streaming import (
+        distinct_stats_asof,
+        quantile_stats_asof,
+        rebuild_sketch_panel,
+    )
+
+    raw = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}", f"d{i % 9}", (i % 9) % 3)
+         for i in range(90)],
+        "subj string, pred string, obj string, doc_id string, epoch int",
+    )
+    storage.write_table(
+        raw, "triples_raw", tmp_out, mode="overwrite", partition_by=["epoch"]
+    )
+    rebuild_sketch_panel(spark, tmp_out)
+    # simulate the pre-upgrade store: epoch 0's panel partitions missing
+    storage.delete_partitions(spark, "quantile_panel", tmp_out, "epoch", [0])
+    storage.delete_partitions(spark, "sketch_panel", tmp_out, "epoch", [0])
+    with _pt.raises(ValueError, match=r"missing epochs \[0\]"):
+        quantile_stats_asof(spark, tmp_out, 2)
+    with _pt.raises(ValueError, match=r"missing epochs \[0\]"):
+        distinct_stats_asof(spark, tmp_out, 2)
+    # backfill repairs both; as-of runs again
+    rebuild_sketch_panel(spark, tmp_out)
+    assert quantile_stats_asof(spark, tmp_out, 2).count() > 0
+    assert distinct_stats_asof(spark, tmp_out, 2).count() == 4

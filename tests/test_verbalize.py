@@ -136,6 +136,29 @@ def test_qa_pairs_templates_exact(spark):
     }
 
 
+def test_qa_pairs_without_flag_columns(spark):
+    """ADVICE r04: qa_pairs must share verbalize_triples' input
+    contract — an edge frame WITHOUT the optional negative/passive
+    columns verbalizes as all-false flags, not AnalysisException."""
+    from naruhodo_spark.ops.verbalize import qa_pairs
+
+    bare = spark.createDataFrame(
+        [("alice", "eats", "apples", 1), ("bob", "likes", "tea", 1)],
+        "subj string, pred string, obj string, weight long",
+    )
+    flagged = _qa_edges(spark, [
+        ("alice", "eats", "apples", 1, False, False),
+        ("bob", "likes", "tea", 1, False, False),
+    ])
+    got = sorted(map(tuple, qa_pairs(bare).collect()))
+    want = sorted(map(tuple, qa_pairs(flagged).collect()))
+    assert got == want and len(got) == 4
+    # distractor path too (it references passive post-union)
+    got_d = sorted(map(tuple, qa_pairs(bare, max_distractors=1).collect()))
+    want_d = sorted(map(tuple, qa_pairs(flagged, max_distractors=1).collect()))
+    assert got_d == want_d
+
+
 def test_qa_pairs_distractors(spark):
     from naruhodo_spark.ops.verbalize import qa_pairs
 
