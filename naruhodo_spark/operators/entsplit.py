@@ -106,6 +106,13 @@ def _context_pairs(
     edges (entity, hub, member) for oversized buckets (see BUCKET_CAP).
     Same two-tier shape as ops/dedup.minhash_lsh_pairs, with the entity
     riding every key."""
+    # tok fans out to four consumers (signatures, set sizes, both sides
+    # of the exact-Jaccard intersection join) — deliberately NOT
+    # checkpointed: mention_contexts ends in a groupBy, so Catalyst
+    # already shares its shuffle output across the consumers
+    # (ReusedExchange); an r05 experiment that checkpointed here AND at
+    # the band table measured ~1 s SLOWER at sf0.1 (two materializations
+    # of state the exchange reuse was providing for free)
     tok = mentions.select(
         "entity", "mention", F.explode("ctx").alias("token")
     )
@@ -218,16 +225,35 @@ def context_clusters(
         mentions, n_hashes, n_bands, threshold, bucket_cap
     )
 
-    # CC node id: md5(entity) SEP md5(mention). The r03 shape was the
-    # raw 'entity\x1fmention' concat recovered with split_part — wrong
-    # whenever an entity or mention itself contains \x1f (norm_text
-    # collapses Java \s, which does NOT include U+001F — ADVICE r03),
-    # silently mislabeling clusters. Hex digests cannot contain the
-    # separator, so the composite is injective; (entity, mention) is
-    # recovered by an equi-join against the distinct mention frame
-    # instead of string surgery.
-    def _node_id(ent, men):
-        return F.concat_ws(SEP, F.md5(ent), F.md5(men))
+    # CC node id: hex(xxhash64(entity)) SEP hex(xxhash64(mention)). The
+    # r03 shape was the raw 'entity\x1fmention' concat recovered with
+    # split_part — wrong whenever an entity or mention itself contains
+    # \x1f (norm_text collapses Java \s, which does NOT include U+001F —
+    # ADVICE r03), silently mislabeling clusters. Hex digests cannot
+    # contain the separator, so the composite is injective as long as
+    # the component hashes are collision-free over the observed values;
+    # r04 used md5 (128-bit, unconditional) and paid ~2 s at sf0.1 for
+    # it (VERDICT r04 #4) — r05 uses ≤16-char xxhash64 hex keys with an
+    # upfront count-vs-countDistinct guard per component (the
+    # connected_components discipline, canon.py) that falls back to md5
+    # on a raw collision, so correctness never rides on 2⁻⁶⁴.
+    # (entity, mention) is recovered by an equi-join against the
+    # distinct mention frame instead of string surgery.
+    ids_base = mentions.select("entity", "mention").distinct().localCheckpoint(
+        eager=False
+    )
+    chk = ids_base.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(F.xxhash64("entity"), F.xxhash64("mention")),
+    ).first()
+    if chk[0] != chk[1]:
+        def _node_id(ent, men):  # 64-bit collision observed: 128-bit ids
+            return F.concat_ws(SEP, F.md5(ent), F.md5(men))
+    else:
+        def _node_id(ent, men):
+            return F.concat_ws(
+                SEP, F.hex(F.xxhash64(ent)), F.hex(F.xxhash64(men))
+            )
 
     edges = pairs.select(
         _node_id(F.col("entity"), F.col("mention_a")).alias("src"),
@@ -239,7 +265,7 @@ def context_clusters(
         )
     )
     labels = cc_labels_auto(edges)  # (node, label), entity-local
-    ids = mentions.select("entity", "mention").distinct().select(
+    ids = ids_base.select(
         "entity",
         "mention",
         _node_id(F.col("entity"), F.col("mention")).alias("node"),

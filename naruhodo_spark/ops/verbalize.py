@@ -182,7 +182,13 @@ def qa_pairs(
                         F.lit("subj").alias("side"))
         )
         .distinct()
-        .withColumn("hrank", F.xxhash64(F.lit(seed), "pred", "side", "val"))
+        # md5 (not xxhash64) so the pick renders identically in DuckDB —
+        # the whole surface is driver-oracled incl. distractors (r05);
+        # \x1f separator = the repo's reserved injective-concat byte
+        .withColumn(
+            "hrank",
+            F.md5(F.concat_ws("\x1f", F.lit(seed), "pred", "side", "val")),
+        )
     )
     from pyspark.sql import Window as _W
 

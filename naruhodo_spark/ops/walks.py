@@ -43,6 +43,24 @@ NEIGHBOR_CAP = 128
 CHECKPOINT_EVERY = 5
 
 
+def _walk_id_base(starts: DataFrame):
+    """Injective per-start walk-id prefix, as cheap as safely possible
+    (VERDICT r04 #4): hex(xxhash64(node)) — ≤16-char join keys instead
+    of the r04 md5 hex (32 chars, ~2.6× slower to compute and shuffle on
+    the repo's measured Hamming-join trade). Hex digests cannot contain
+    the \\x1f separator, so (prefix, replica) stays injective PROVIDED
+    the 64-bit hash is collision-free over the start nodes — checked
+    upfront with one count-vs-countDistinct aggregate (the
+    connected_components discipline, canon.py); a collision falls back
+    to the 128-bit md5 prefix, so correctness never rides on 2⁻⁶⁴."""
+    chk = starts.agg(
+        F.count(F.lit(1)), F.count_distinct(F.xxhash64("src"))
+    ).first()
+    if chk[0] != chk[1]:
+        return F.md5(F.col("cur"))
+    return F.hex(F.xxhash64(F.col("cur")))
+
+
 def _capped_adjacency(
     edges: DataFrame, neighbor_cap: int, seed: str, hash_index: bool = False
 ) -> DataFrame:
@@ -110,11 +128,12 @@ def random_walks(
         ).alias("r"),
         F.col("src").alias("cur"),
     ).select(
-        # injective walk id: md5 hex cannot contain the \x1f separator,
-        # so a node name containing \x1f (or anything else) cannot
-        # collide two (start, replica) walks (ADVICE r03 — the relsyn
-        # arg_key discipline)
-        F.concat_ws("\x1f", F.md5("cur"), "r").alias("walk_id"),
+        # injective walk id: a hex digest cannot contain the \x1f
+        # separator, so a node name containing \x1f (or anything else)
+        # cannot collide two (start, replica) walks (ADVICE r03 — the
+        # relsyn arg_key discipline); _walk_id_base guards the 64-bit
+        # hash and falls back to md5 on collision
+        F.concat_ws("\x1f", _walk_id_base(starts), "r").alias("walk_id"),
         F.col("cur").alias("start"),
         "cur",
         F.array("cur").alias("walk"),
@@ -242,7 +261,7 @@ def biased_walks(
         F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("r"),
         F.col("src").alias("cur"),
     ).select(
-        F.concat_ws("\x1f", F.md5("cur"), "r").alias("walk_id"),
+        F.concat_ws("\x1f", _walk_id_base(starts), "r").alias("walk_id"),
         F.col("cur").alias("start"),
         F.lit(None).cast("string").alias("prev"),
         "cur",

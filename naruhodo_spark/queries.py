@@ -978,11 +978,11 @@ def svo_baseline_triples(spark, sf_dir):
     )
 
 
-_register(
-    "svo_baseline_triples",
-    svo_baseline_triples,
-    r"""
-    WITH toks AS (
+# the SVO derivation as a reusable CTE block: the r05 first-time oracles
+# (predicate signatures, QA pairs, KELM corpus, triangles) all consume
+# SVO triples, so one SQL source of truth keeps the mirrors honest
+_SVO_CTE = r"""
+    toks AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
              generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1)
@@ -990,14 +990,20 @@ _register(
       FROM documents),
     p AS (SELECT doc_id, min(pos) AS pred_pos FROM toks
           WHERE tok IN ('scan', 'merge', 'join', 'filter', 'sort')
-            AND pos >= 2 GROUP BY doc_id)
-    SELECT t.doc_id AS doc_id,
-           max(CASE WHEN t.pos = 1 THEN t.tok END)              AS subj,
-           max(CASE WHEN t.pos = p.pred_pos THEN t.tok END)     AS pred,
-           max(CASE WHEN t.pos = p.pred_pos + 1 THEN t.tok END) AS obj
-    FROM toks t JOIN p USING (doc_id)
-    GROUP BY t.doc_id
-    """,
+            AND pos >= 2 GROUP BY doc_id),
+    svo AS (
+      SELECT t.doc_id AS doc_id,
+             max(CASE WHEN t.pos = 1 THEN t.tok END)              AS subj,
+             max(CASE WHEN t.pos = p.pred_pos THEN t.tok END)     AS pred,
+             max(CASE WHEN t.pos = p.pred_pos + 1 THEN t.tok END) AS obj
+      FROM toks t JOIN p USING (doc_id)
+      GROUP BY t.doc_id)
+"""
+
+_register(
+    "svo_baseline_triples",
+    svo_baseline_triples,
+    f"WITH {_SVO_CTE} SELECT doc_id, subj, pred, obj FROM svo",
 )
 
 
@@ -1127,48 +1133,10 @@ _register(
     """,
 )
 
-_register(
-    "ts_redact",
-    lambda spark, sf: TS.redact_pii(_t(spark, sf, "documents")),
-    r"""
-    WITH s1 AS (
-      SELECT doc_id, text AS t0,
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-      FROM documents),
-    s2 AS (
-      SELECT *, regexp_replace(t1, 'https?://[^ \t\r\n]+', '<URL>', 'g') AS t2
-      FROM s1)
-    SELECT doc_id,
-           regexp_replace(t2, '[0-9]{9,}', '<NUM>', 'g') AS text_redacted,
-           len(regexp_extract_all(t0,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(t1, 'https?://[^ \t\r\n]+')) AS n_urls,
-           len(regexp_extract_all(t2, '[0-9]{9,}')) AS n_nums
-    FROM s2
-    """,
-)
-
-_register(
-    "ts_repetition",
-    lambda spark, sf: TS.repetition_scores(_t(spark, sf, "documents")),
-    rf"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
-    idx AS (
-      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-      FROM toks WHERE len(t) >= 2),
-    g AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram FROM idx),
-    per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
-    agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top,
-                   sum(c) - count(*) AS dups
-            FROM per GROUP BY 1)
-    SELECT d.doc_id,
-           coalesce(round(top / total, 4), 0.0) AS top_bigram_frac,
-           coalesce(round(dups / total, 4), 0.0) AS dup_bigram_frac
-    FROM documents d LEFT JOIN agg USING (doc_id)
-    """,
-)
+# ts_redact, ts_repetition: oracles DEMOTED r05 (driver-green r01–r04;
+# rotation policy — see the rotation note above the rows-only marker).
+# Registered rows-only at the end of this module; pytest coverage
+# (test_pipeline_e2e PII/repetition checks) unchanged.
 
 _register(
     "ts_hash_split",
@@ -1204,39 +1172,10 @@ _register(
     """,
 )
 
-_register(
-    "ts_vocabulary",
-    lambda spark, sf: TS.vocabulary(_t(spark, sf, "documents")),
-    rf"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, token FROM (
-        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
-        FROM documents)
-      WHERE token <> ''),
-    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
-    SELECT token, count(*) AS df,
-           round(ln((nd + 1.0) / (count(*) + 1)), 6) AS idf
-    FROM tok, n GROUP BY token, nd HAVING count(*) >= 2
-    """,
-)
-
-_register(
-    "ts_chunk_windows",
-    lambda spark, sf: TS.chunk_windows(_t(spark, sf, "documents")),
-    rf"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents),
-    st AS (
-      SELECT doc_id, t,
-             unnest(generate_series(1, greatest(len(t) - 8, 1), 56)) AS s
-      FROM toks)
-    SELECT doc_id,
-           (s - 1) // 56 AS chunk_idx,
-           array_to_string(list_slice(t, s, s + 63), ' ') AS chunk_text,
-           least(64, len(t) - s + 1) AS n_tokens
-    FROM st
-    """,
-)
+# ts_vocabulary, ts_chunk_windows: oracles DEMOTED r05 (driver-green
+# r01–r04; rotation policy — see the rotation note above the rows-only
+# marker). Registered rows-only at the end of this module; pytest
+# coverage unchanged.
 
 def dd_exact_duplicates(spark, sf):
     """Exact dedup over the corpus plus a deterministic doctored replica
@@ -1250,20 +1189,11 @@ def dd_exact_duplicates(spark, sf):
     return D.exact_duplicates(d.unionByName(dup))
 
 
-_register(
-    "dd_exact_duplicates",
-    dd_exact_duplicates,
-    rf"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, text FROM documents
-      WHERE doc_id % 50 = 0)
-    SELECT md5({_NORM_SQL}) AS fingerprint,
-           min(doc_id) AS keep_doc_id, count(*) AS group_size
-    FROM corpus GROUP BY 1 HAVING count(*) > 1
-    """,
-)
+# dd_exact_duplicates: oracle DEMOTED r05 (driver-green r01–r04;
+# rotation policy — see the rotation note above the rows-only marker).
+# Registered rows-only at the end of this module; the exact-dup
+# semantics stay driver-covered transitively (dd_near_dup_groups'
+# tier-1 is the same fingerprint groupBy) and in pytest.
 
 _register(
     "dd_ngram_jaccard_pairs",
@@ -1787,6 +1717,16 @@ _register(
 #        to the DuckDB views), ts_corpus_report (percentile_approx has
 #        no exact DuckDB twin), td_dsir_scores (float-sum ordering is
 #        hash-unstable across engines).
+#   r05: ts_redact, ts_repetition, ts_vocabulary, ts_chunk_windows,
+#        dd_exact_duplicates (all green r01-r04) -> five first-time
+#        oracles for never-driver-verified operators (VERDICT r04 #3):
+#        kg_triangle_stats (already SVO-fed, now mirrored in SQL),
+#        kg_predicate_signatures / td_qa_pairs / td_kelm_corpus
+#        (re-pointed from the synth KG to SQL-visible inputs — the
+#        operator under test is identical, the synth-KG composition
+#        stays covered by pytest), kg_path_rules (re-pointed to a
+#        TPC-H-derived edge set with an organic composition). qa_pairs'
+#        distractor rank switched xxhash64 -> md5 to be engine-portable.
 # =====================================================================
 
 _register(
@@ -1902,12 +1842,311 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------
+# r05 first-time oracles (rotation wave 2 — VERDICT r04 #3): operators
+# that had only pytest mirrors get driver-visible proof. Inputs are
+# SQL-visible by construction (SVO triples over documents; TPC-H keys).
+# ---------------------------------------------------------------------
+
+def kg_triangle_stats(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graphstats.triangle_counts — Suri & Vassilvitskii 2011
+    degree-ordered orientation, wedge fan-out capped at O(m^1.5)
+    regardless of hot-node degree) over the SVO triple graph.
+    Brute-force python mirror in tests/test_graphstats.py; first-time
+    driver oracle r05 (the same orientation in SQL)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select("subj", "pred", "obj", F.lit(1.0).alias("weight"))
+    return GS.triangle_counts(edges)
+
+
+_register(
+    "kg_triangle_stats",
+    kg_triangle_stats,
+    f"""
+    WITH {_SVO_CTE},
+    edges AS (SELECT subj AS src, obj AS dst FROM svo
+              WHERE subj IS NOT NULL AND obj IS NOT NULL),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, count(*) AS degree FROM (
+              SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY node),
+    keyed AS (SELECT u.a, u.b, da.degree AS deg_a, db.degree AS deg_b
+              FROM und u JOIN deg da ON u.a = da.node
+                         JOIN deg db ON u.b = db.node),
+    ori AS (SELECT CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND a < b)
+                        THEN a ELSE b END AS lo,
+                   CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND a < b)
+                        THEN b ELSE a END AS hi
+            FROM keyed),
+    wedges AS (SELECT w1.lo, w1.hi AS u, w2.hi AS v
+               FROM ori w1 JOIN ori w2 ON w1.lo = w2.lo WHERE w1.hi < w2.hi),
+    closed AS (SELECT lo, u, v FROM wedges
+               JOIN und ON wedges.u = und.a AND wedges.v = und.b),
+    pn AS (SELECT node, count(*) AS triangles FROM (
+             SELECT lo AS node FROM closed
+             UNION ALL SELECT u FROM closed
+             UNION ALL SELECT v FROM closed)
+           GROUP BY node)
+    SELECT d.node AS node,
+           coalesce(pn.triangles, 0) AS triangles,
+           d.degree AS degree,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * coalesce(pn.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 4)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN pn ON d.node = pn.node
+    """,
+)
+
+
+def kg_predicate_signatures(spark, sf_dir):
+    """Statistical schema induction (operators/schema_induct.
+    predicate_signatures — SDType-style majority domain/range type per
+    predicate, two uniform groupBys + max(struct) argmax). Driver-oracle
+    input r05: SVO triples with DERIVED entity types (length mod 4 — 0
+    exercises the untyped-excluded-from-vote path) so the arithmetic is
+    SQL-checkable; the build_kg composition stays pinned in
+    tests/test_schema_induct.py."""
+    from naruhodo_spark.operators import schema_induct as SI
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    typed = svo.select(
+        "subj", "pred", "obj",
+        (F.length("subj") % 4).cast("int").alias("subj_ne"),
+        (F.length("obj") % 4).cast("int").alias("obj_ne"),
+    )
+    return SI.predicate_signatures(typed)
+
+
+_register(
+    "kg_predicate_signatures",
+    kg_predicate_signatures,
+    f"""
+    WITH {_SVO_CTE},
+    typed AS (SELECT pred,
+                     CAST(length(subj) % 4 AS INTEGER) AS subj_ne,
+                     CAST(length(obj) % 4 AS INTEGER) AS obj_ne
+              FROM svo WHERE obj IS NOT NULL AND obj <> ''),
+    sup AS (SELECT pred, count(*) AS support FROM typed GROUP BY pred),
+    dh AS (SELECT pred, subj_ne AS etype, count(*) AS n FROM typed
+           WHERE subj_ne > 0 GROUP BY pred, subj_ne),
+    dt AS (SELECT pred, sum(n) AS n_typed FROM dh GROUP BY pred),
+    db AS (SELECT pred, etype, n, row_number() OVER (
+             PARTITION BY pred ORDER BY n DESC, etype DESC) AS rk FROM dh),
+    dom AS (SELECT db.pred, db.etype AS dom_type,
+                   round(db.n / dt.n_typed, 4) AS dom_conf
+            FROM db JOIN dt USING (pred) WHERE rk = 1 AND dt.n_typed >= 3),
+    rh AS (SELECT pred, obj_ne AS etype, count(*) AS n FROM typed
+           WHERE obj_ne > 0 GROUP BY pred, obj_ne),
+    rt AS (SELECT pred, sum(n) AS n_typed FROM rh GROUP BY pred),
+    rb AS (SELECT pred, etype, n, row_number() OVER (
+             PARTITION BY pred ORDER BY n DESC, etype DESC) AS rk FROM rh),
+    rng AS (SELECT rb.pred, rb.etype AS range_type,
+                   round(rb.n / rt.n_typed, 4) AS range_conf
+            FROM rb JOIN rt USING (pred) WHERE rk = 1 AND rt.n_typed >= 3)
+    SELECT s.pred AS pred, dom_type, dom_conf, range_type, range_conf,
+           s.support AS support
+    FROM sup s LEFT JOIN dom USING (pred) LEFT JOIN rng USING (pred)
+    """,
+)
+
+
+def td_qa_pairs(spark, sf_dir):
+    """KGQA training rows (ops/verbalize.qa_pairs): template
+    forward/backward questions per objectful triple with md5-picked
+    same-predicate answer-side distractors. Driver-oracled end-to-end
+    r05 (incl. the distractor pick) over SVO triples; distractors are
+    '|'-joined so the compared column is a scalar string. The built-KG
+    composition stays pinned in tests/test_verbalize.py."""
+    from naruhodo_spark.ops.verbalize import qa_pairs
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    out = qa_pairs(svo.select("subj", "pred", "obj"), max_distractors=3)
+    return out.withColumn("distractors", F.array_join("distractors", "|"))
+
+
+_register(
+    "td_qa_pairs",
+    td_qa_pairs,
+    f"""
+    WITH {_SVO_CTE},
+    base AS (SELECT subj, pred, obj FROM svo
+             WHERE obj IS NOT NULL AND obj <> ''),
+    qa AS (
+      SELECT 'What does ' || subj || ' ' || pred || '?' AS question,
+             obj AS answer, subj, pred, obj,
+             'forward' AS direction, 'obj' AS side
+      FROM base
+      UNION ALL
+      SELECT 'What ' || pred || ' ' || obj || '?' AS question,
+             subj AS answer, subj, pred, obj,
+             'backward' AS direction, 'subj' AS side
+      FROM base),
+    vocab AS (
+      SELECT DISTINCT pred, obj AS val, 'obj' AS side FROM base
+      UNION
+      SELECT DISTINCT pred, subj AS val, 'subj' AS side FROM base),
+    vh AS (SELECT pred, side, val,
+                  md5('qa42' || chr(31) || pred || chr(31) || side
+                      || chr(31) || val) AS hrank
+           FROM vocab),
+    picked AS (
+      SELECT pred, side, list(val ORDER BY val) AS cand
+      FROM (SELECT pred, side, val, row_number() OVER (
+              PARTITION BY pred, side ORDER BY hrank, val) AS rk FROM vh)
+      WHERE rk <= 4 GROUP BY pred, side)
+    SELECT question, answer, subj, pred, obj, direction,
+           array_to_string(
+             list_slice(list_filter(coalesce(cand, []),
+                                    x -> x <> answer), 1, 3), '|')
+             AS distractors
+    FROM qa LEFT JOIN picked USING (pred, side)
+    """,
+)
+
+
+def td_kelm_corpus(spark, sf_dir):
+    """KG→text verbalization (ops/verbalize.verbalize_triples — KELM,
+    Agarwal 2021): one deterministic training document per subject
+    entity, sorted template clauses, hub cap with n_facts audit.
+    Driver-oracled r05 over SVO triples (objectless facts exercised via
+    NULL-obj docs coalesced to ''); the built-KG roundtrip (recall ≥
+    0.6) stays pinned in tests/test_verbalize.py."""
+    from naruhodo_spark.ops import verbalize as VB
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.select(
+        "subj", "pred", F.coalesce("obj", F.lit("")).alias("obj")
+    )
+    return VB.verbalize_triples(edges)
+
+
+_register(
+    "td_kelm_corpus",
+    td_kelm_corpus,
+    f"""
+    WITH {_SVO_CTE},
+    facts AS (
+      SELECT subj, pred, coalesce(obj, '') AS obj,
+             CASE WHEN coalesce(obj, '') <> ''
+                  THEN subj || ' ' || pred || ' ' || coalesce(obj, '')
+                  ELSE subj || ' ' || pred END AS clause
+      FROM svo),
+    numbered AS (
+      SELECT subj, pred, obj, clause,
+             row_number() OVER (PARTITION BY subj
+                                ORDER BY pred, obj, clause) AS rk,
+             count(*) OVER (PARTITION BY subj) AS n_facts
+      FROM facts)
+    SELECT 'kg:' || subj AS doc_id,
+           string_agg(clause, '. ' ORDER BY pred, obj, clause) || '.' AS text,
+           CAST(any_value(n_facts) AS INTEGER) AS n_facts,
+           CAST(least(any_value(n_facts), 50) AS INTEGER) AS n_facts_kept
+    FROM numbered WHERE rk <= 50 GROUP BY subj
+    """,
+)
+
+
+def kg_path_rules(spark, sf_dir):
+    """AMIE-style path-rule mining (operators/rules.mine_path_rules —
+    Galárraga 2013 horn rules r1∘r2⇒r3 with hub-capped pivots).
+    Driver-oracle input r05: the TPC-H geography graph
+    (customer→nation→region, suppliers as unconfirmed body mass), whose
+    organic composition in_nation ∘ in_region ⇒ in_region has a known
+    confidence (customers / (customers + suppliers)); the planted-rule
+    exhaustive python mirror stays in tests/test_rules.py."""
+    from naruhodo_spark.operators.rules import mine_path_rules
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def _e(df, a, pred, b, pa, pb):
+        return df.select(
+            F.concat(F.lit(pa), F.col(a).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(pb), F.col(b).cast("string")).alias("obj"),
+        )
+
+    edges = (
+        _e(c, "c_custkey", "in_nation", "c_nationkey", "c:", "n:")
+        .unionByName(_e(s, "s_suppkey", "in_nation", "s_nationkey", "s:", "n:"))
+        .unionByName(_e(n, "n_nationkey", "in_region", "n_regionkey", "n:", "r:"))
+        .unionByName(
+            _e(
+                c.join(n, c["c_nationkey"] == n["n_nationkey"]),
+                "c_custkey", "in_region", "n_regionkey", "c:", "r:",
+            )
+        )
+    )
+    out = mine_path_rules(edges, min_support=3, min_confidence=0.2)
+    return out.withColumn("confidence", F.round("confidence", 4))
+
+
+_register(
+    "kg_path_rules",
+    kg_path_rules,
+    """
+    WITH e AS (
+      SELECT DISTINCT subj, pred, obj FROM (
+        SELECT 'c:' || c_custkey::VARCHAR AS subj, 'in_nation' AS pred,
+               'n:' || c_nationkey::VARCHAR AS obj FROM customer
+        UNION ALL
+        SELECT 's:' || s_suppkey::VARCHAR, 'in_nation',
+               'n:' || s_nationkey::VARCHAR FROM supplier
+        UNION ALL
+        SELECT 'n:' || n_nationkey::VARCHAR, 'in_region',
+               'r:' || n_regionkey::VARCHAR FROM nation
+        UNION ALL
+        SELECT 'c:' || c.c_custkey::VARCHAR, 'in_region',
+               'r:' || n.n_regionkey::VARCHAR
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+      WHERE obj <> ''),
+    ins AS (SELECT obj AS node, count(*) AS ind FROM e GROUP BY obj),
+    outs AS (SELECT subj AS node, count(*) AS outd FROM e GROUP BY subj),
+    hot AS (SELECT node FROM ins JOIN outs USING (node)
+            WHERE ind * outd > 10000),
+    body AS (
+      SELECT DISTINCT l.pred AS r1, r.pred AS r2, l.subj AS x, r.obj AS z
+      FROM e l JOIN e r ON l.obj = r.subj
+      WHERE l.obj NOT IN (SELECT node FROM hot) AND l.subj <> r.obj),
+    nb AS (SELECT r1, r2, count(*) AS n_body FROM body GROUP BY r1, r2),
+    sup AS (SELECT b.r1, b.r2, h.pred AS r3, count(*) AS support
+            FROM body b JOIN e h ON b.x = h.subj AND b.z = h.obj
+            GROUP BY b.r1, b.r2, h.pred HAVING count(*) >= 3)
+    SELECT s.r1 AS r1, s.r2 AS r2, s.r3 AS r3, s.support AS support,
+           nb.n_body AS n_body,
+           round(s.support / nb.n_body, 4) AS confidence
+    FROM sup s JOIN nb USING (r1, r2)
+    WHERE s.support / nb.n_body >= 0.2
+    """,
+)
+
+
 # ---- rows-only registrations start here: everything below has no SQL
 # oracle (pandas-UDF chunker stages, engine-specific sketches, iterative
 # algorithms), so it sits AFTER all 50 oracled queries — the driver's
 # correctness window covers the first 50 registered entries and must not
 # spend slots on rows-only checks (r01 lesson: 6 oracled queries fell
 # outside the window).
+# r05 demotions re-registered rows-only (pytest mirrors unchanged):
+_register("ts_redact", lambda spark, sf: TS.redact_pii(_t(spark, sf, "documents")))
+_register(
+    "ts_repetition",
+    lambda spark, sf: TS.repetition_scores(_t(spark, sf, "documents")),
+)
+_register("ts_vocabulary", lambda spark, sf: TS.vocabulary(_t(spark, sf, "documents")))
+_register(
+    "ts_chunk_windows",
+    lambda spark, sf: TS.chunk_windows(_t(spark, sf, "documents")),
+)
+_register("dd_exact_duplicates", dd_exact_duplicates)
 _register(
     "sim_topk_ivf_trained",
     lambda spark, sf: SIM.topk_ivf_trained(_t(spark, sf, "embeddings")),
@@ -2434,24 +2673,23 @@ def td_node_embeddings(spark, sf_dir):
     )
 
 
-def td_qa_pairs(spark, sf_dir):
-    """KGQA training rows (ops/verbalize.qa_pairs): template
-    forward/backward questions per objectful non-negated triple with
-    hash-picked same-predicate distractors — exact template pins,
-    distractor properties and a roundtrip answerability check in
-    tests/test_verbalize.py (rows-only — map-only templates)."""
+def td_qa_pairs_kg(spark, sf_dir):
+    """The built-KG composition twin of the oracled ``td_qa_pairs``
+    (r05 rotation): qa_pairs over real extractor edges with
+    negation/passivity flags — exact template pins, distractor
+    properties and a roundtrip answerability check in
+    tests/test_verbalize.py (rows-only — synth corpus input)."""
     from naruhodo_spark.ops.verbalize import qa_pairs
 
     edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
     return qa_pairs(edges, max_distractors=3)
 
 
-def kg_predicate_signatures(spark, sf_dir):
-    """Statistical schema induction over the built KG
-    (operators/schema_induct.predicate_signatures): majority
-    domain/range entity type per predicate with confidence — two
-    uniform groupBys + a max(struct) argmax, no rank window. Exact
-    python mirror in tests/test_schema_induct.py (rows-only)."""
+def kg_predicate_signatures_kg(spark, sf_dir):
+    """The built-KG composition twin of the oracled
+    ``kg_predicate_signatures`` (r05 rotation): schema induction over
+    real extractor triples with gazetteer entity types. Exact python
+    mirror in tests/test_schema_induct.py (rows-only — synth input)."""
     from naruhodo_spark.operators import schema_induct as SI
 
     return SI.predicate_signatures(
@@ -2545,20 +2783,8 @@ def td_contrastive_pairs(spark, sf_dir):
     return CT.contrastive_pairs(groups, k_neg=2)
 
 
-def kg_triangle_stats(spark, sf_dir):
-    """Per-node triangle counts + local clustering coefficient
-    (operators/graphstats.triangle_counts — Suri & Vassilvitskii 2011
-    degree-ordered orientation, wedge fan-out capped at O(m^1.5)
-    regardless of hot-node degree) over the SVO triple graph.
-    Brute-force python mirror pinned in tests/test_graphstats.py
-    (rows-only)."""
-    from naruhodo_spark.operators import graphstats as GS
-
-    svo = svo_baseline_triples(spark, sf_dir)
-    edges = svo.where(
-        F.col("subj").isNotNull() & F.col("obj").isNotNull()
-    ).select("subj", "pred", "obj", F.lit(1.0).alias("weight"))
-    return GS.triangle_counts(edges)
+# kg_triangle_stats: promoted to a first-time driver oracle r05 — the
+# definition + SQL mirror now live in the oracled block above.
 
 
 def ts_corpus_report(spark, sf_dir):
@@ -2762,15 +2988,13 @@ def td_transe_eval(spark, sf_dir):
     return ranks.orderBy("subj", "pred", "obj", "side")
 
 
-def td_kelm_corpus(spark, sf_dir):
-    """KG→text verbalization (ops/verbalize.py — KELM, Agarwal 2021):
-    the synth KSG rendered into one deterministic training document per
-    entity (template clauses honoring negation/passivity/objectless
-    flags, sorted facts, hub cap with n_facts audit). Output is
-    documents-shaped so every corpus op consumes it; the roundtrip
-    property (re-extraction recovers >= 0.6 of plain triples) is pinned
-    in tests/test_verbalize.py (rows-only — string building over
-    collect_list is not portably SQL-mirrored)."""
+def td_kelm_corpus_kg(spark, sf_dir):
+    """The built-KG composition twin of the oracled ``td_kelm_corpus``
+    (r05 rotation): the synth KSG rendered into one deterministic
+    training document per entity, honoring the negation/passivity
+    flags only the real extractor emits. The roundtrip property
+    (re-extraction recovers >= 0.6 of plain triples) is pinned in
+    tests/test_verbalize.py (rows-only — synth corpus input)."""
     from naruhodo_spark.ops import verbalize as VB
 
     edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
@@ -2820,15 +3044,16 @@ for _n, _f in [
     ("td_quality_classifier", td_quality_classifier),
     ("td_transe_embeddings", td_transe_embeddings),
     ("td_transe_eval", td_transe_eval),
-    ("td_kelm_corpus", td_kelm_corpus),
+    ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),
     (
         # AMIE-style path-rule mining (operators/rules.py) over the
         # synth KG augmented with a planted parent∘parent⇒grandparent
         # family (organic compositions are sparse at synth scale);
         # exact-support/confidence + python-mirror pins in
-        # tests/test_rules.py (rows-only)
-        "kg_path_rules",
+        # tests/test_rules.py. The built-KG twin of the TPC-H-fed
+        # oracled kg_path_rules (r05 rotation; rows-only).
+        "kg_path_rules_kg",
         lambda spark, sf_dir: __import__(
             "naruhodo_spark.operators.rules", fromlist=["mine_path_rules"]
         ).mine_path_rules(
@@ -2874,8 +3099,8 @@ for _n, _f in [
     ("td_gnn_blocks", td_gnn_blocks),
     ("kg_incremental_cc", kg_incremental_cc),
     ("kg_betweenness", kg_betweenness),
-    ("kg_predicate_signatures", kg_predicate_signatures),
-    ("td_qa_pairs", td_qa_pairs),
+    ("kg_predicate_signatures_kg", kg_predicate_signatures_kg),
+    ("td_qa_pairs_kg", td_qa_pairs_kg),
     ("td_node_embeddings", td_node_embeddings),
     ("td_hard_negatives", td_hard_negatives),
     ("ts_length_quantiles", ts_length_quantiles),
@@ -2883,7 +3108,6 @@ for _n, _f in [
     ("td_bitext_pairs", td_bitext_pairs),
     ("kg_predicate_synonyms", kg_predicate_synonyms),
     ("td_contrastive_pairs", td_contrastive_pairs),
-    ("kg_triangle_stats", kg_triangle_stats),
     ("ts_corpus_report", ts_corpus_report),
     ("sim_pq_topk", sim_pq_topk),
     (
