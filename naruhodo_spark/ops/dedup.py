@@ -261,7 +261,11 @@ def near_dup_groups(
     near-dup pairs then merge transitively via connected components
     (size-gated: driver union-find for small edge sets, distributed star
     contraction beyond DRIVER_CC_THRESHOLD — operators/canon.py)."""
-    from naruhodo_spark.operators.canon import cc_labels_auto, pad_numeric_id
+    from naruhodo_spark.operators.canon import (
+        cc_labels_auto,
+        pad_signed_id,
+        unpad_signed_id,
+    )
 
     fp = docs.select("doc_id", F.md5(norm_text(F.col("text"))).alias("fp"))
     rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id"))
@@ -272,13 +276,19 @@ def near_dup_groups(
     pairs = minhash_lsh_pairs(
         reps, n_hashes=n_hashes, n_bands=n_bands, k=k, threshold=threshold
     )
-    pad = pad_numeric_id
+    # signed pad: doc_ids are numeric by contract but often
+    # hash-derived (xxhash64 is negative half the time — the composed
+    # kg2td drill's corpus ids); pad_numeric_id's '-' would sort before
+    # '0' AND the final bigint cast throws on the padded string. Same
+    # fix as similarity.embedding_near_dups. Non-negative ids decode
+    # identically, so the dd_near_dup_groups oracle is unchanged.
+    pad = pad_signed_id
     edges = memb.select(pad("doc_id").alias("src"), pad("rep_id").alias("dst")).unionByName(
         pairs.select(pad("doc_a").alias("src"), pad("doc_b").alias("dst"))
     )
     return cc_labels_auto(edges).select(
-        F.col("node").cast("bigint").alias("doc_id"),
-        F.col("label").cast("bigint").alias("group_id"),
+        unpad_signed_id("node").alias("doc_id"),
+        unpad_signed_id("label").alias("group_id"),
     )
 
 

@@ -127,8 +127,15 @@ def source_quota(
     return (
         docs.join(counts, strat_col)
         .where(
+            # long arithmetic throughout: cap·10000 overflows int32 for
+            # any cap > 214,748 under ANSI mode (found by the composed
+            # kg2td drill with a 10M no-op cap), and b·_n can overflow
+            # for >200B-doc sources
             (F.col("_n") <= cap)
-            | (b * F.col("_n") < F.lit(cap) * F.lit(10000))
+            | (
+                b.cast("long") * F.col("_n")
+                < F.lit(int(cap)).cast("long") * F.lit(10000)
+            )
         )
         .drop("_n")
     )

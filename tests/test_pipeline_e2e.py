@@ -427,6 +427,31 @@ def test_near_dup_groups_tiered(spark):
     assert naive == groups
 
 
+def test_near_dup_groups_negative_doc_ids(spark):
+    """Regression: hash-derived doc_ids (xxhash64 — negative half the
+    time) broke near_dup_groups' CC node encoding (pad_numeric_id's '-'
+    sorts before '0' and the final bigint cast threw CAST_INVALID_INPUT
+    on '0-…' strings; found by the composed kg2td drill). Negative ids
+    must label correctly and group reps must be the NUMERIC min."""
+    from naruhodo_spark.ops.dedup import near_dup_groups
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    rows = [
+        (-9_000_000_000_000_000_000, base),
+        (-5, base),
+        (7, base),
+        (3, "unrelated words about catalyst plans and arrow batches here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r["doc_id"]: r["group_id"] for r in near_dup_groups(docs).collect()}
+    assert groups == {
+        -9_000_000_000_000_000_000: -9_000_000_000_000_000_000,
+        -5: -9_000_000_000_000_000_000,
+        7: -9_000_000_000_000_000_000,
+        3: 3,
+    }
+
+
 def test_inclusive_merge_block_cap(spark):
     """Hot blocking keys (web-scale: every name starting with "the")
     make the pair join quadratic within the block; max_block excludes

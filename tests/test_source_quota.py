@@ -71,6 +71,16 @@ def test_source_quota_properties(spark):
     assert again == {r["doc_id"] for r in out.select("doc_id").collect()}
 
 
+def test_source_quota_large_cap_no_overflow(spark):
+    """Regression: cap·10000 as int32 literals overflows under ANSI for
+    any cap > 214,748 (ARITHMETIC_OVERFLOW at plan execution, found by
+    the composed kg2td drill with a 10M no-op cap). A huge cap must be
+    a clean no-op."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    assert TS.source_quota(docs, cap=10_000_000).count() == n
+
+
 def test_top_terms_duckdb_mirror(spark):
     """TF-IDF keyword extraction vs an exact DuckDB mirror on the real
     corpus (same normalization, same smoothed IDF, same tie-break)."""
