@@ -189,6 +189,49 @@ JA_HIRA_CONTENT += [
     "わかった", "わかる", "できた", "できる", "もらった", "もらう",
     "くれた", "くれる", "あげた", "あげる",
 ]
+# r05 lexicon growth (VERDICT r04 next-round #5): more particle-initial
+# everyday nouns — same prefix-free discipline as the r03 block above
+# (no entry is a prefix of another, so greedy longest-match is
+# order-safe).
+JA_HIRA_CONTENT += [
+    # に-initial
+    "にんじん", "にっき",
+    # は-initial
+    "はちみつ", "はんこ", "はしご", "はなみ",
+    # が-initial
+    "がっこう", "がいこく",
+    # で-initial
+    "でぐち",
+    # と-initial
+    "とびら", "とうふ", "となり", "とんぼ",
+    # へ / の / も / や / から-initial
+    "へいわ", "のはら", "もみじ", "もぐら", "やかん", "やおや",
+    "からあげ",
+]
+
+# STRONG hiragana nouns (r05, VERDICT r04 next-round #5 class-2 fix):
+# the subset of the content lexicon that can ALSO be recognized at the
+# rule-2 position (start of a hiragana run directly after a
+# kanji/katakana word) — splitting compounds like 生たまご → 生|たまご
+# and テレビでんわ → テレビ|でんわ instead of attaching the noun as
+# okurigana. Membership criteria (both required):
+#   1. length ≥ 3 — short entries (がけ, へや, こと) are too easy to
+#      find inside genuine okurigana/inflection runs;
+#   2. the word is a concrete noun that never occurs as an inflection
+#      suffix sequence — which is why the hiragana VERBS (わかった…)
+#      and the light verbs/nominalizers (する, した, こと, もの) are
+#      excluded: した after 渡 IS the okurigana of 渡した, and a rule-2
+#      content match there would re-break every such verb.
+JA_HIRA_STRONG = [
+    "にわとり", "におい", "にもつ", "にんぎょう", "にんじん", "にっき",
+    "はなし", "はさみ", "はがき", "はたけ", "はなび", "はちみつ",
+    "はんこ", "はしご", "はなみ", "がまん", "がっこう", "がいこく",
+    "でんわ", "できごと", "でぐち", "ともだち", "とけい", "とかげ",
+    "とびら", "とうふ", "となり", "とんぼ", "へいわ", "のみもの",
+    "のこぎり", "のはら", "からす", "からだ", "からあげ", "くだもの",
+    "たまご", "さかな", "やさい", "おかね", "おんがく", "もみじ",
+    "もぐら", "やかん", "やおや",
+]
 
 
 def ja_profile() -> dict:
@@ -222,6 +265,7 @@ def ja_profile() -> dict:
         "stop_mains": set(JA_STOP_MAINS),
         "copulas": set(JA_COPULAS),
         "hira_content": set(JA_HIRA_CONTENT) | set(JA_PRON),
+        "hira_content_strong": set(JA_HIRA_STRONG),
         "sentence_re": r"[。！？!?]+",
         "verb_suffixes": ("する", "した", "れた", "れる", "った", "う", "く",
                           "ぐ", "す", "つ", "ぬ", "ぶ", "む", "る", "た", "だ"),

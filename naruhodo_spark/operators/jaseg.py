@@ -17,12 +17,19 @@ Rules (deliberately simple, each anchored to a fixture test):
 1. A kanji / katakana / ASCII run starts a content token; a class
    transition (kanji→katakana, etc.) closes it.
 2. Hiragana directly after kanji/katakana attaches as okurigana
-   (読 + んだ → 読んだ) UNLESS the hiragana run STARTS with a function
-   word (particle or copula) by longest match — then the content token
-   closes and the function word becomes its own token (彼女 + は →
-   彼女 | は;  寺 + だ → 寺 | だ). Function words are only recognized
-   at the start of a hiragana run, never inside one, which is what
-   keeps the だ of 読んだ attached.
+   (読 + んだ → 読んだ) UNLESS the hiragana run STARTS with (checked
+   in this order, longest match each):
+   a. a STRONG content noun (profile ``hira_content_strong`` — r05,
+      curated ≥3-char nouns that never occur as inflection material):
+      the compound splits (生 + たまご → 生 | たまご;
+      テレビ + でんわ → テレビ | でんわ). The general content lexicon
+      is NOT checked here — した after 渡 is the okurigana of 渡した,
+      and a plain content match would re-break every such verb;
+   b. a function word (particle or copula) — then the content token
+      closes and the function word becomes its own token (彼女 + は →
+      彼女 | は;  寺 + だ → 寺 | だ).
+   Function words are only recognized at the start of a hiragana run,
+   never inside one, which is what keeps the だ of 読んだ attached.
 3. At a clean boundary, hiragana longest-matches content words first
    (ここ, する, した …), then function words (で, から …), else it
    accumulates as a hiragana content token.
@@ -30,18 +37,17 @@ Rules (deliberately simple, each anchored to a fixture test):
    sentence terminators 。！？ are already consumed upstream by
    split_sentences).
 
-Known limits (documented, not silent — narrowed in r03 by growing the
-hira-content lexicon in lang.py with the frequent particle-prefixed
-words, にわとり-class, each pinned by tests/test_ja_golden.py):
+Known limits (documented, not silent — narrowed in r03 and again in
+r05 by growing the lexicons in lang.py, each pinned by
+tests/test_ja_golden.py):
 
-- hiragana-only content words OUTSIDE the lexicon that begin with a
-  particle string still mis-split at a clean boundary (the lexicon is
-  the fix; rule 3 prefers content words by longest match);
-- a hiragana content word directly ABUTTING a preceding kanji/katakana
-  word with no intervening particle attaches as okurigana (rule 2
-  checks function words only — preferring content there would re-break
-  okurigana like 渡した → 渡|した); natural text separates noun
-  phrases with particles, so this arises mainly in compounds;
+- hiragana content words OUTSIDE the lexicons still mis-handle at
+  their position's rule: at a clean boundary a particle-prefixed one
+  mis-splits (に|わとり-class, fixed per word by JA_HIRA_CONTENT);
+  directly after a kanji/katakana word a non-STRONG one attaches as
+  okurigana (生たまご-class, fixed per word by JA_HIRA_STRONG — the
+  r05 rule-2a check; before r05 this was unfixable by lexicon growth
+  at all). Both residuals are single-lexicon-row fixes;
 - compound verbs with internal particles are out of scope.
 
 Pre-segmented input (any whitespace present) bypasses segmentation
@@ -79,17 +85,21 @@ def _char_class(ch: str) -> str:
     return "other"  # punctuation / symbols / whitespace → boundary
 
 
-def _lexicons(prof: dict) -> tuple[list[str], list[str]]:
-    """(content words, function words), each sorted longest-first for
-    greedy longest-match. Tiny lists (≈30 entries) — per-call
-    construction is noise next to the chunker itself."""
+def _lexicons(prof: dict) -> tuple[list[str], list[str], list[str]]:
+    """(content words, function words, strong content words), each
+    sorted longest-first for greedy longest-match. Tiny lists (≈100
+    entries) — per-call construction is noise next to the chunker
+    itself."""
     content = sorted(prof.get("hira_content", ()), key=len, reverse=True)
     func = sorted(
         set(prof.get("particles", ())) | set(prof.get("copulas", ())),
         key=len,
         reverse=True,
     )
-    return content, func
+    strong = sorted(
+        prof.get("hira_content_strong", ()), key=len, reverse=True
+    )
+    return content, func, strong
 
 
 def _match(text: str, i: int, words: list[str]) -> str:
@@ -103,7 +113,7 @@ def segment_ja(text: str, prof: dict) -> list[str]:
     """Segment an UNSEGMENTED Japanese sentence into bunsetsu-ish tokens
     consumable by chunk_sentence_ja. Deterministic; pure function of
     (text, profile)."""
-    content_lex, func_lex = _lexicons(prof)
+    content_lex, func_lex, strong_lex = _lexicons(prof)
     tokens: list[str] = []
     cur = ""  # open content token
     i, n = 0, len(text)
@@ -135,8 +145,10 @@ def segment_ja(text: str, prof: dict) -> list[str]:
         if cls == "hira":
             if prev_cls != "hira":
                 # start of a hiragana run after kanji/katakana/ascii:
-                # function word here closes the content token (rule 2)
-                m = _match(text, i, func_lex)
+                # a STRONG content noun (rule 2a, r05 — never
+                # inflection material by curation) or a function word
+                # (rule 2b) closes the content token
+                m = _match(text, i, strong_lex) or _match(text, i, func_lex)
                 if m:
                     flush()
                     tokens.append(m)

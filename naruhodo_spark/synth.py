@@ -229,7 +229,18 @@ JA_LOCATIONS = ["東京", "京都", "大阪", "学校", "公園", "駅"]
 # planted antecedents are assertable directly
 JA_HIRA_NOUN_ARGS = ["にわとり", "はなし", "ともだち", "へや", "でんわ",
                      "のみもの", "くだもの", "たまご", "さかな", "はさみ",
-                     "とけい"]
+                     "とけい",
+                     # r05 lexicon growth (VERDICT r04 #5) — the new
+                     # particle-initial entries that don't end in a
+                     # verb-suffix character
+                     "にんじん", "はんこ", "はしご", "とびら", "となり",
+                     "でぐち", "へいわ", "のはら", "もみじ", "やかん"]
+# (kanji prefix, STRONG hiragana noun) compounds for the M6 template —
+# the r05 rule-2a class: the noun abuts the kanji with NO intervening
+# particle and must split instead of attaching as okurigana
+JA_KANJI_STRONG_COMPOUNDS = [("生", "たまご"), ("腕", "とけい"),
+                             ("女", "ともだち"), ("夏", "やさい"),
+                             ("朝", "でんわ"), ("昔", "はなし")]
 
 
 def ja_golden_multi_corpus(
@@ -249,6 +260,12 @@ def ja_golden_multi_corpus(
           the class-discrimination case the r04 JA NE gazetteer enables
       M5  [O を S が V]  [それ は C だ]
           それ must SKIP the nearer PERSON S and resolve to O
+      M6  [S が 生たまご-compound を V]  [彼 は O2 を V2]   (r05: the
+          kanji-abutting STRONG noun splits off its kanji prefix —
+          jaseg rule 2a — and carries the を case)
+      M7  [HiraS が O を V]  [O2 を V2]   (r05: a new-lexicon
+          particle-initial noun opens the DOCUMENT — the clean-boundary
+          class — and is the carryover subject for sentence 2)
 
     Raw text has no whitespace; sentences end with 。 so the engine's
     sentence splitter + raw segmenter run for real."""
@@ -259,7 +276,7 @@ def ja_golden_multi_corpus(
 
     out: list[tuple[str, list[list[str]]]] = []
     for i in range(n_docs):
-        t = i % 6
+        t = i % 8
         s = pick(JA_SUBJECTS)
         o, o2, o3 = pick(JA_OBJECTS), pick(JA_HIRA_NOUN_ARGS), pick(JA_OBJECTS)
         v, v2, v3 = pick(JA_VERBS), pick(JA_VERBS), pick(JA_VERBS)
@@ -277,9 +294,18 @@ def ja_golden_multi_corpus(
             sents = [[s, "が", o, "を", v],
                      [o2, "が", pick(JA_VERBS_PASS)],
                      ["彼", "は", o3, "を", v3]]
-        else:
+        elif t == 5:
             sents = [[o, "を", s, "が", v],
                      ["それ", "は", pick(JA_COP_NOUNS), "だ"]]
+        elif t == 6:
+            kp, strong = JA_KANJI_STRONG_COMPOUNDS[
+                int(rng.randint(len(JA_KANJI_STRONG_COMPOUNDS)))
+            ]
+            sents = [[s, "が", kp, strong, "を", v],
+                     ["彼", "は", o3, "を", v3]]
+        else:
+            hs = pick(JA_HIRA_NOUN_ARGS)
+            sents = [[hs, "が", o, "を", v], [o2, "を", v2]]
         raw = "".join("".join(toks) + "。" for toks in sents)
         out.append((raw, sents))
     return out

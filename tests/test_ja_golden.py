@@ -95,7 +95,7 @@ def test_raw_equals_presegmented_through_engine(spark):
 
 import naruhodo_spark.schemas as S
 
-N_MULTI = 36
+N_MULTI = 48  # r05: 8 templates (M6/M7 exercise the new lexicon classes)
 
 
 def test_gold_multi_segmentations_exact():
@@ -108,6 +108,10 @@ def test_gold_multi_segmentations_exact():
         assert len(raws) == len(sents)
         for rs, gold in zip(raws, sents):
             assert segment_ja(rs, PROF) == gold, rs
+    # r05 corpus-size gate (VERDICT r04 #5): ≥200 authored gold
+    # sentences across the single-sentence and multi-sentence corpora
+    n_multi_sents = sum(len(sents) for _, sents in corpus)
+    assert 120 + n_multi_sents >= 200, n_multi_sents
 
 
 def _expected_multi_triples() -> Counter:
@@ -190,9 +194,9 @@ def test_pronoun_classes_discriminate(spark):
             (r["subj"], r["pred"], r["obj"])
         )
     corpus = synth.ja_golden_multi_corpus(N_MULTI)
-    checked_m4 = checked_m5 = 0
+    checked_m4 = checked_m5 = checked_m6 = checked_m7 = 0
     for i, (_raw, sents) in enumerate(corpus):
-        doc, t = f"jam-{i:04d}", i % 6
+        doc, t = f"jam-{i:04d}", i % 8
         got = by_doc.get(doc, set())
         if t == 4:
             s, (o3, v3) = sents[0][0], (sents[2][2], sents[2][4])
@@ -211,4 +215,19 @@ def test_pronoun_classes_discriminate(spark):
             # inherits sentence 1's subject
             s, (o2, v2) = sents[0][0], (sents[1][0], sents[1][2])
             assert (s, v2, o2) in got, (doc, got)
+        elif t == 6:
+            # r05 rule 2a: the kanji-abutting STRONG noun split off its
+            # prefix and carried the を case into the object slot
+            s, strong, v = sents[0][0], sents[0][3], sents[0][5]
+            assert (s, v, strong) in got, (doc, got)
+            checked_m6 += 1
+        elif t == 7:
+            # r05 clean-boundary class: a new-lexicon particle-initial
+            # noun opens the document AND is the carryover subject
+            hs, (o, v) = sents[0][0], (sents[0][2], sents[0][4])
+            (o2, v2) = (sents[1][0], sents[1][2])
+            assert (hs, v, o) in got, (doc, got)
+            assert (hs, v2, o2) in got, (doc, got)
+            checked_m7 += 1
     assert checked_m4 >= 5 and checked_m5 >= 5
+    assert checked_m6 >= 5 and checked_m7 >= 5

@@ -30,6 +30,23 @@ SEG_CASES = [
     # CJK comma is a boundary and is dropped
     ("太郎は、本を読んだ", ["太郎", "は", "本", "を", "読んだ"]),
     ("", []),
+    # r05 rule 2a (strong content nouns split off an abutting
+    # kanji/katakana word instead of attaching as okurigana)…
+    ("太郎は生たまごを食べた",
+     ["太郎", "は", "生", "たまご", "を", "食べた"]),
+    ("花子がテレビでんわを買った",
+     ["花子", "が", "テレビ", "でんわ", "を", "買った"]),
+    ("女ともだちが来た", ["女", "ともだち", "が", "来た"]),
+    # …WITHOUT re-breaking genuine okurigana: した after 渡 is an
+    # inflection, not the noun はなし mid-word, and strong nouns that
+    # merely APPEAR inside an okurigana run stay attached
+    ("本を渡した", ["本", "を", "渡した"]),
+    ("夏にがまんした", ["夏", "に", "がまん", "した"]),
+    # r05 clean-boundary lexicon growth: new particle-initial nouns
+    ("にんじんをとなりのやおやで買った",
+     ["にんじん", "を", "となり", "の", "やおや", "で", "買った"]),
+    ("がっこうのでぐちではんこを見た",
+     ["がっこう", "の", "でぐち", "で", "はんこ", "を", "見た"]),
 ]
 
 
