@@ -1195,28 +1195,12 @@ def dd_exact_duplicates(spark, sf):
 # semantics stay driver-covered transitively (dd_near_dup_groups'
 # tier-1 is the same fingerprint groupBy) and in pytest.
 
-_register(
-    "dd_ngram_jaccard_pairs",
-    lambda spark, sf: D.ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), threshold=0.2
-    ),
-    _SHINGLES_SQL
-    + """
-    , sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
-    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b, n_inter,
-           round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 4) >= 0.2
-    """,
-)
+# dd_ngram_jaccard_pairs: oracle DEMOTED r05 (driver-green r01–r04;
+# rotation policy) — its n-gram-Jaccard semantics stay driver-covered
+# by the minhash/LSH family (same shingle CTE, exact-Jaccard confirm in
+# dd_minhash_lsh_pairs) and in pytest. Slot freed for the first-time
+# kg_entity_pmi_linked oracle (O19 alias broadcast join). Registered
+# rows-only at the end of this module.
 
 
 # --- shared SQL fragments for the minhash/LSH/near-dup oracle family:
@@ -1338,6 +1322,93 @@ _register(
     JOIN ec c2 ON c2.entity = p.e2
     """,
 )
+
+
+def kg_entity_pmi_linked(spark, sf):
+    """O19's broadcast alias/entity-linking join driver-verified
+    end-to-end for the first time (r05 rotation wave 2): the REAL
+    operators/link.link_entities — duplicate-alias dedup (min
+    canonical_id, max etype), two broadcast left joins, coalesce to the
+    lowercase surface — runs over the SQL-visible token-mention frame,
+    then entity_cooccurrence computes PMI over the CANONICAL ids
+    (triple_mentions keys on subj_canon when present). The alias
+    dictionary is derived deterministically from the corpus itself —
+    every token of length ≥6 aliases to 'ent:'+its 4-char prefix, so
+    prefix-sharing tokens genuinely MERGE — and each alias carries a
+    doctored duplicate row ('zzz:'-prefixed canonical) so the dedup-min
+    path is exercised under the oracle, not just in pytest. The built-KG
+    composition twin stays rows-only (kg_entity_pmi_linked_kg)."""
+    from naruhodo_spark.operators.cooccur import entity_cooccurrence
+    from naruhodo_spark.operators.link import link_entities
+
+    d = _t(spark, sf, "documents")
+    ents = d.select(
+        "doc_id",
+        F.explode(F.split(TS.norm_text(F.col("text")), " ")).alias("tok"),
+    ).where(F.length("tok") >= 5)
+    trip = ents.select(
+        "doc_id",
+        F.lit(0).alias("sent_id"),
+        F.col("tok").alias("subj"),
+        F.lit(0).alias("subj_ne"),
+        F.lit("").alias("obj"),
+        F.lit(0).alias("obj_ne"),
+    )
+    base = ents.select("tok").where(F.length("tok") >= 6).distinct()
+    aliases = base.select(
+        F.col("tok").alias("alias"),
+        F.concat(F.lit("ent:"), F.substring("tok", 1, 4)).alias("canonical_id"),
+        ((F.length("tok") % 3) + 1).cast("int").alias("etype"),
+    ).unionByName(
+        base.select(
+            F.col("tok").alias("alias"),
+            F.concat(F.lit("zzz:"), F.col("tok")).alias("canonical_id"),
+            F.lit(0).alias("etype"),
+        )
+    )
+    out = entity_cooccurrence(
+        link_entities(trip, aliases), max_entities_per_doc=40, min_pair_docs=2
+    )
+    return out.withColumn("pmi", F.round("pmi", 6))
+
+
+_register(
+    "kg_entity_pmi_linked",
+    kg_entity_pmi_linked,
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+             ) AS tok
+      FROM documents),
+    ents AS (SELECT doc_id, tok FROM toks WHERE len(tok) >= 5),
+    -- link_entities' alias dedup: the doctored 'zzz:' duplicate always
+    -- loses min(canonical_id) to 'ent:…', so the dedup result IS the
+    -- 'ent:' derivation
+    al AS (
+      SELECT DISTINCT tok AS alias, 'ent:' || substr(tok, 1, 4) AS canonical_id
+      FROM toks WHERE len(tok) >= 6),
+    linked AS (
+      SELECT e.doc_id, coalesce(a.canonical_id, e.tok) AS entity
+      FROM ents e LEFT JOIN al a ON e.tok = a.alias),
+    m0 AS (SELECT DISTINCT doc_id, entity FROM linked),
+    kept AS (SELECT doc_id FROM m0 GROUP BY doc_id HAVING count(*) <= 40),
+    m AS (SELECT m0.doc_id, m0.entity FROM m0 JOIN kept USING (doc_id)),
+    n AS (SELECT count(DISTINCT doc_id) AS n_total FROM m),
+    pair AS (
+      SELECT a.entity AS e1, b.entity AS e2, count(*) AS n_docs
+      FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.entity < b.entity
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    ec AS (SELECT entity, count(*) AS n_ent FROM m GROUP BY entity)
+    SELECT p.e1, p.e2, p.n_docs,
+           round(ln(CAST(p.n_docs AS DOUBLE) * n.n_total
+                    / (c1.n_ent * c2.n_ent)), 6) AS pmi
+    FROM pair p, n
+    JOIN ec c1 ON c1.entity = p.e1
+    JOIN ec c2 ON c2.entity = p.e2
+    """,
+)
+
 
 def _minhash_lsh_oracle() -> str:
     """Full LSH plan in DuckDB: affine minhash signatures → band hashes
@@ -1727,6 +1798,11 @@ _register(
 #        stays covered by pytest), kg_path_rules (re-pointed to a
 #        TPC-H-derived edge set with an organic composition). qa_pairs'
 #        distractor rank switched xxhash64 -> md5 to be engine-portable.
+#        Sixth swap, late r05: dd_ngram_jaccard_pairs (green r01-r04,
+#        semantics covered by the minhash family's shared shingle CTE +
+#        exact-Jaccard confirm) -> kg_entity_pmi_linked, the first
+#        driver oracle to execute O19's link_entities broadcast-alias
+#        join itself (dedup-min included).
 # =====================================================================
 
 _register(
@@ -2147,6 +2223,12 @@ _register(
     lambda spark, sf: TS.chunk_windows(_t(spark, sf, "documents")),
 )
 _register("dd_exact_duplicates", dd_exact_duplicates)
+_register(
+    "dd_ngram_jaccard_pairs",
+    lambda spark, sf: D.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.2
+    ),
+)
 _register(
     "sim_topk_ivf_trained",
     lambda spark, sf: SIM.topk_ivf_trained(_t(spark, sf, "embeddings")),
@@ -3139,11 +3221,12 @@ for _n, _f in [
         ),
     ),
     (
-        # implicit related_to edges over LINKED synth triples — the real
-        # KG path (the driver-oracled kg_entity_pmi covers the operator's
-        # arithmetic over the SQL-visible corpus); python-reference-pinned
-        # in tests/test_cooccur.py
-        "kg_entity_pmi_linked",
+        # implicit related_to edges over LINKED synth triples — the
+        # built-KG composition twin of the oracled kg_entity_pmi_linked
+        # (r05 rotation; the oracle drives the same link_entities join
+        # over the SQL-visible corpus); python-reference-pinned in
+        # tests/test_cooccur.py
+        "kg_entity_pmi_linked_kg",
         lambda spark, sf_dir: __import__(
             "naruhodo_spark.operators.cooccur", fromlist=["entity_cooccurrence"]
         ).entity_cooccurrence(
