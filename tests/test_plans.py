@@ -274,3 +274,16 @@ def test_kg_motif_peers_pred_filter_pushed(spark):
     # the literal-predicate steps filter before joining; no cross joins
     p = _plan(spark, "kg_motif_peers")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_kg_entity_pmi_linked_alias_join_broadcasts(spark):
+    # O19's link_entities must compile to broadcast hash joins for BOTH
+    # alias lookups (subj + obj side) — an alias dictionary is
+    # model-sized by construction, so a shuffled SortMergeJoin here
+    # would be the 100 TB scale bug the operator exists to avoid. The
+    # pair stage stays JVM-side (in-array pair generation, no Python).
+    p = _plan(spark, "kg_entity_pmi_linked")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
