@@ -768,17 +768,102 @@ def dedup_earliest_event(spark, sf_dir):
     )
 
 
-_register(
-    "dedup_earliest_event",
-    dedup_earliest_event,
+# dedup_earliest_event: oracle DEMOTED r05 (driver-green r01–r04; rotation
+# policy — see the rotation note above the rows-only marker; the dd_*
+# dedup family keeps four driver oracles). Registered rows-only at the
+# end of this module; its slot goes to kg_ntriples_lines — first driver
+# oracle for the RDF N-Triples interchange surface (naruhodo_spark/rdf.py).
+
+
+def _sqllit(s: str) -> str:
+    """A DuckDB string literal for ``s`` — control characters via
+    chr(n) concatenation (portable across dialects that don't
+    backslash-escape), quotes doubled."""
+    parts, buf = [], ""
+    for ch in s:
+        if ord(ch) < 32:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    if not parts:
+        return "''"
+    return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"
+
+
+def _sql_replace_chain(expr: str, pairs) -> str:
+    for raw, esc in pairs:
+        expr = f"replace({expr}, {_sqllit(raw)}, {_sqllit(esc)})"
+    return expr
+
+
+_NT_BASE = "http://example.org/kg/"
+# literal tail exercising every ECHAR the encoder emits (quote,
+# backslash, LF, TAB) plus a %-sequence the IRI side must NOT touch
+_NT_TAIL = '" over\\\npct %20 tab\tend'
+
+
+def kg_ntriples_lines(spark, sf_dir):
+    """RDF N-Triples export (naruhodo_spark/rdf.py) driver-oracled on
+    SQL-visible data: nation⋈region membership as IRI triples plus a
+    constructed literal triple whose object spans the whole ECHAR
+    codeset — the DuckDB mirror regenerates the exact replace chains
+    from the same IRI_CODES/LIT_CODES tables, so encoder drift fails
+    the driver, not just pytest. Map-only after one broadcast join."""
+    from naruhodo_spark import rdf
+
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    iri_edges = j.select(
+        F.col("n_name").alias("subj"),
+        F.lit("part_of").alias("pred"),
+        F.col("r_name").alias("obj"),
+    )
+    lit_edges = j.select(
+        F.col("n_name").alias("subj"),
+        F.lit("note").alias("pred"),
+        F.concat(F.lit('note "'), F.col("n_name"), F.lit(_NT_TAIL)).alias("obj"),
+    )
+    return rdf.format_ntriples(iri_edges, base=_NT_BASE).unionByName(
+        rdf.format_ntriples(lit_edges, base=_NT_BASE, obj_is_literal=True)
+    )
+
+
+def _nt_oracle() -> str:
+    from naruhodo_spark import rdf
+
+    def iri(expr):
+        return (
+            f"'<{_NT_BASE}' || {_sql_replace_chain(expr, rdf.IRI_CODES)} || '>'"
+        )
+
+    def lit(expr):
+        return f"'\"' || {_sql_replace_chain(expr, rdf.LIT_CODES)} || '\"'"
+
+    return f"""
+    WITH j AS (SELECT n_name, r_name
+               FROM nation JOIN region ON n_regionkey = r_regionkey),
+         e AS (
+           SELECT n_name AS subj, 'part_of' AS pred, r_name AS obj,
+                  false AS is_lit
+           FROM j
+           UNION ALL
+           SELECT n_name, 'note',
+                  'note "' || n_name || {_sqllit(_NT_TAIL)}, true
+           FROM j)
+    SELECT {iri('subj')} || ' ' || {iri('pred')} || ' '
+           || (CASE WHEN is_lit THEN {lit('obj')} ELSE {iri('obj')} END)
+           || ' .' AS line
+    FROM e
     """
-    SELECT user_id, event_type, event_id AS first_event_id FROM (
-      SELECT user_id, event_type, event_id,
-             row_number() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts, event_id) AS rn
-      FROM events) WHERE rn = 1
-    """,
-)
+
+
+_register("kg_ntriples_lines", kg_ntriples_lines, _nt_oracle())
 
 
 def stopword_filter_tokens(spark, sf_dir):
@@ -3118,7 +3203,31 @@ def kg_inverse_predicates(spark, sf_dir):
     )
 
 
+def kg_rdf_roundtrip(spark, sf_dir):
+    """N-Triples write→read invariant, driver-executed: the synth KSG
+    formatted as N-Triples (naruhodo_spark/rdf.py), parsed back, and
+    base-stripped — returns the recovered (subj, pred, obj, obj_kind,
+    malformed) frame. Invariants visible in the rows: malformed is all
+    false and the recovered edge set equals the input (exact roundtrip
+    pinned in tests/test_rdf.py)."""
+    from naruhodo_spark import rdf
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"].select(
+        "subj", "pred", "obj"
+    )
+    lines = rdf.format_ntriples(edges, base=_NT_BASE)
+    parsed = rdf.parse_ntriples(lines)
+    return parsed.select(
+        rdf.strip_base(F.col("subj"), _NT_BASE).alias("subj"),
+        rdf.strip_base(F.col("pred"), _NT_BASE).alias("pred"),
+        rdf.strip_base(F.col("obj"), _NT_BASE).alias("obj"),
+        "obj_kind",
+        "malformed",
+    )
+
+
 for _n, _f in [
+    ("kg_rdf_roundtrip", kg_rdf_roundtrip),
     ("kg_distinct_sketches", kg_distinct_sketches),
     ("mm_media_near_dups", mm_media_near_dups),
     ("dd_simhash_near_dups", dd_simhash_near_dups),
@@ -3275,5 +3384,8 @@ for _n, _f in [
     ("setop_users", setop_users),
     ("pivot_qty_by_status", pivot_qty_by_status),
     ("agg_rollup_hourly", agg_rollup_hourly),
+    # --- r05 second rotation wave (same policy): demoted after ≥3
+    # driver-green rounds; pytest + plan-pin coverage unchanged
+    ("dedup_earliest_event", dedup_earliest_event),
 ]:
     _register(_n, _f)
