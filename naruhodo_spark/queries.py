@@ -883,18 +883,122 @@ def stopword_filter_tokens(spark, sf_dir):
     )
 
 
-_register(
-    "stopword_filter_tokens",
-    stopword_filter_tokens,
-    r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
-      FROM documents)
-    SELECT doc_id, count(*) AS n_content_tokens
-    FROM toks WHERE tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
-    GROUP BY doc_id
-    """,
-)
+# stopword_filter_tokens: oracle DEMOTED r05 (driver-green r01–r04;
+# rotation policy — see the rotation note above the rows-only marker;
+# the stopword-ratio semantics stay driver-covered inside ts_quality's
+# oracle). Registered rows-only at the end of this module; its slot
+# goes to kg_hearst_hypernyms — first driver oracle for the Hearst
+# taxonomy extractor (operators/hearst.py).
+
+# Hearst corpus template, shared verbatim by the Spark builder and the
+# DuckDB mirror: one doc per nation, four sentences exercising all four
+# patterns, every token derived from SQL-visible nation/region names.
+_HEARST_SENTS = [
+    ("nations such as ", "{n}", ", ", "{n}", "_east and ", "{n}", "_west prosper"),
+    ("such regions as ", "{r}", " endure"),
+    ("{n}", "_north, ", "{n}", "_south and other nations trade"),
+    ("continents including ", "{r}", " and ", "{r}", "_rim flourish"),
+]
+
+
+def _hearst_docs(spark, sf_dir):
+    """The deterministic Hearst corpus: one doc per nation, built from
+    SQL-visible nation⋈region names via _HEARST_SENTS (broadcast join +
+    map-only concat)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    parts = []
+    for si, sent in enumerate(_HEARST_SENTS):
+        if si:
+            parts.append(F.lit(". "))
+        for piece in sent:
+            if piece == "{n}":
+                parts.append(F.col("n_name"))
+            elif piece == "{r}":
+                parts.append(F.col("r_name"))
+            else:
+                parts.append(F.lit(piece))
+    parts.append(F.lit("."))
+    return j.select(
+        F.col("n_nationkey").alias("doc_id"), F.concat(*parts).alias("text")
+    )
+
+
+def kg_hearst_hypernyms(spark, sf_dir):
+    """Hearst-pattern taxonomy extraction (operators/hearst.py)
+    driver-oracled on SQL-visible data: a deterministic corpus built
+    from nation⋈region names (all four patterns exercised, coordinated
+    lists included), extracted by the REAL operator on the Spark side
+    and by the identical RE2/Java-subset regexes interpolated verbatim
+    from hearst.PATTERNS on the DuckDB side — pattern drift fails the
+    driver. Map-only after one broadcast join."""
+    from naruhodo_spark.operators import hearst
+
+    return hearst.extract_hypernyms(_hearst_docs(spark, sf_dir))
+
+
+def _hearst_oracle() -> str:
+    from naruhodo_spark.operators import hearst
+
+    sql_sents = []
+    for sent in _HEARST_SENTS:
+        sql_sents.append(
+            " || ".join(
+                "n_name" if p == "{n}" else "r_name" if p == "{r}" else f"'{p}'"
+                for p in sent
+            )
+        )
+    text = " || '. ' || ".join(sql_sents) + " || '.'"
+    pat_selects = []
+    for pid, rx, hg, lg in hearst.PATTERNS:
+        pat_selects.append(
+            f"""
+      SELECT doc_id, '{pid}' AS pattern, u[1] AS hypernym, u[2] AS hypo_list
+      FROM sents, unnest(list_zip(
+            regexp_extract_all(sent, $${rx}$$, {hg}),
+            regexp_extract_all(sent, $${rx}$$, {lg}))) AS t(u)"""
+        )
+    union = "\n      UNION ALL".join(pat_selects)
+    return f"""
+    WITH docs AS (
+      SELECT n_nationkey AS doc_id, {text} AS text
+      FROM nation JOIN region ON n_regionkey = r_regionkey),
+    sents AS (
+      SELECT doc_id, unnest(string_split_regex(text, '[.!?]')) AS sent
+      FROM docs),
+    m AS ({union}),
+    exploded AS (
+      SELECT doc_id,
+             unnest(string_split_regex(hypo_list, $${hearst._SPLIT}$$))
+               AS hyponym,
+             'is_a' AS pred, hypernym, pattern
+      FROM m)
+    SELECT * FROM exploded WHERE hyponym <> '' AND hypernym <> ''
+    """
+
+
+_register("kg_hearst_hypernyms", kg_hearst_hypernyms, _hearst_oracle())
+
+
+def kg_taxonomy_edges(spark, sf_dir):
+    """Aggregated taxonomy candidates (hearst.taxonomy_edges — ONE
+    uniform map-side-combinable groupBy over the oracled extraction),
+    on the same constructed nation⋈region corpus: driver-executes the
+    evidence-counting path; per-pattern goldens in tests/test_hearst.py.
+    Rows-only (the patterns array cell breaks the driver's row
+    canonicalizer), with the array rendered as a sorted joined string."""
+    from naruhodo_spark.operators import hearst
+
+    docs = _hearst_docs(spark, sf_dir)
+    return hearst.taxonomy_edges(docs, min_count=2).select(
+        "hyponym",
+        "pred",
+        "hypernym",
+        "n_mentions",
+        "n_docs",
+        F.array_join("patterns", ",").alias("patterns"),
+    )
 
 
 # =====================================================================
@@ -3387,5 +3491,7 @@ for _n, _f in [
     # --- r05 second rotation wave (same policy): demoted after ≥3
     # driver-green rounds; pytest + plan-pin coverage unchanged
     ("dedup_earliest_event", dedup_earliest_event),
+    ("stopword_filter_tokens", stopword_filter_tokens),
+    ("kg_taxonomy_edges", kg_taxonomy_edges),
 ]:
     _register(_n, _f)
