@@ -740,16 +740,62 @@ def distinct_count_stats(spark, sf_dir):
     )
 
 
+# distinct_count_stats: oracle DEMOTED r05 (driver-green r01–r04;
+# rotation policy — see the rotation note above the rows-only marker;
+# countDistinct stays driver-oracled inside q3/q5/ts_* aggregates).
+# Registered rows-only at the end of this module; its slot goes to
+# er_blocked_matches — first driver oracle for the entity-resolution
+# blocking + edit-distance matcher (operators/er.py).
+
+
+def er_blocked_matches(spark, sf_dir):
+    """Entity resolution (operators/er.py) driver-oracled end-to-end on
+    SQL-visible data: part names, exact-collapsed to distinct
+    normalized names, blocked on the last token, matched at Levenshtein
+    ≤ 3 — both engines run the identical tiered plan (DuckDB's
+    levenshtein is the same unit-cost edit distance as Spark's). The
+    pair cost is O(vocab²/blocks) by construction, never O(records²)."""
+    from naruhodo_spark.operators import er
+
+    matches, _audit = er.blocked_matches(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name", max_distance=3
+    )
+    return matches
+
+
 _register(
-    "distinct_count_stats",
-    distinct_count_stats,
-    """
-    SELECT count(DISTINCT l_orderkey) AS n_orders,
-           count(DISTINCT l_partkey)  AS n_parts,
-           count(DISTINCT l_suppkey)  AS n_supps
-    FROM lineitem
+    "er_blocked_matches",
+    er_blocked_matches,
+    r"""
+    WITH reps AS (
+      SELECT regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g') AS name,
+             count(*) AS n_records
+      FROM part GROUP BY 1),
+    keyed AS (
+      SELECT regexp_extract(name, '(\S+)$', 1) AS blk, name, n_records
+      FROM reps)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance,
+           round(1.0 - levenshtein(a.name, b.name)
+                       / greatest(length(a.name), length(b.name)), 4) AS sim,
+           a.n_records AS n_records_a, b.n_records AS n_records_b
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
     """,
 )
+
+
+def er_name_clusters(spark, sf_dir):
+    """Transitive ER closure (er.match_clusters — CC over the oracled
+    match pairs via the shared size-gated star contraction): every
+    distinct part name labeled with its cluster's lexicographic min
+    member. Rows-only (iterative CC); closure semantics pinned in
+    tests/test_er.py."""
+    from naruhodo_spark.operators import er
+
+    return er.match_clusters(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name", max_distance=3
+    )
 
 
 def dedup_earliest_event(spark, sf_dir):
@@ -3493,5 +3539,7 @@ for _n, _f in [
     ("dedup_earliest_event", dedup_earliest_event),
     ("stopword_filter_tokens", stopword_filter_tokens),
     ("kg_taxonomy_edges", kg_taxonomy_edges),
+    ("distinct_count_stats", distinct_count_stats),
+    ("er_name_clusters", er_name_clusters),
 ]:
     _register(_n, _f)
