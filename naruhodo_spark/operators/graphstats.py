@@ -800,3 +800,89 @@ def shortest_path(
         cur = row["parent"]
         path.append(cur)
     return list(reversed(path))
+
+
+def degree_assortativity(ksg_edges: DataFrame) -> DataFrame:
+    """One row (assortativity double) — Newman's degree assortativity
+    (Newman, PRL 2002) over the undirected simple graph: the Pearson
+    correlation of endpoint degrees with each edge counted in both
+    orientations (the undirected convention; correlation is
+    shift-invariant, so the remaining-degree −1 makes no difference).
+
+    Plan: the und/deg canonicalization (one distinct + one uniform
+    groupBy), two degree joins, ONE corr aggregate — all map-side
+    combinable; no iteration. A zero-variance degree sequence (regular
+    graph) yields NULL on every engine (Spark's NaN normalized via
+    nanvl) rather than an engine-dependent NaN."""
+    raw = _edge_pairs(ksg_edges)
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degree pass + join scan
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b")
+        .select("deg_a", "deg_b")
+    )
+    sym = keyed.unionByName(
+        keyed.select(F.col("deg_b").alias("deg_a"), F.col("deg_a").alias("deg_b"))
+    )
+    # Pearson from moments rather than F.corr: ANSI mode makes corr
+    # RAISE on zero variance (regular graphs), and the explicit formula
+    # is arithmetic-identical to the SQL mirror. nullif guards the
+    # degenerate case to NULL on every engine.
+    m = sym.agg(
+        F.avg(F.col("deg_a") * F.col("deg_b")).alias("mxy"),
+        F.avg("deg_a").alias("mx"),
+        F.avg("deg_b").alias("my"),
+        F.stddev_pop("deg_a").alias("sx"),
+        F.stddev_pop("deg_b").alias("sy"),
+    )
+    return m.select(
+        F.round(
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            / F.nullif(F.col("sx") * F.col("sy"), F.lit(0.0)),
+            4,
+        ).alias("assortativity")
+    )
+
+
+def graph_summary(ksg_edges: DataFrame) -> DataFrame:
+    """One-row topology report over the undirected simple graph:
+    (n_nodes, n_edges, avg_degree, max_degree, n_triangles,
+    transitivity, avg_clustering, assortativity) — the KG counterpart
+    of ts_corpus_report.
+
+    Everything except assortativity is ONE aggregate over
+    :func:`triangle_counts` (which already bounds wedge fan-out at
+    O(m^1.5) via degree-ordered orientation); assortativity rides in
+    as a 1-row scalar crossJoin (the repo's accepted scalar-ride
+    shape). transitivity = 3·T / wedges computed as Σ per-node
+    triangles / Σ deg·(deg−1)/2 — identical arithmetic to the SQL
+    mirror; avg_clustering averages the 4-dp-rounded per-node
+    coefficients so both engines round at the same point."""
+    tc = triangle_counts(ksg_edges)
+    wedges = F.sum(F.col("degree") * (F.col("degree") - 1)) / 2.0
+    summary = tc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.round(F.avg("degree"), 4).alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+        (F.sum("triangles") / 3).cast("long").alias("n_triangles"),
+        F.when(
+            wedges > 0, F.round(F.sum("triangles") / wedges, 4)
+        ).otherwise(F.lit(0.0)).alias("transitivity"),
+        F.round(F.avg("clustering"), 4).alias("avg_clustering"),
+    )
+    return summary.crossJoin(degree_assortativity(ksg_edges))

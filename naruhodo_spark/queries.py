@@ -559,15 +559,13 @@ def time_hourly_window(spark, sf_dir):
     )
 
 
-_register(
-    "time_hourly_window",
-    time_hourly_window,
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS total
-    FROM events GROUP BY 1, 2
-    """,
-)
+# time_hourly_window: oracle DEMOTED r05 (driver-green r01–r04;
+# rotation policy — see the rotation note above the rows-only marker;
+# the window family stays driver-oracled via win_session_window).
+# Registered rows-only at the end of this module; its slot goes to
+# kg_graph_summary — first driver oracle for the one-row graph
+# topology report (operators/graphstats.graph_summary), registered
+# after the shared triangle CTE chain it extends.
 
 
 def setop_users(spark, sf_dir):
@@ -2175,11 +2173,11 @@ def kg_triangle_stats(spark, sf_dir):
     return GS.triangle_counts(edges)
 
 
-_register(
-    "kg_triangle_stats",
-    kg_triangle_stats,
-    f"""
-    WITH {_SVO_CTE},
+# shared by the kg_triangle_stats and kg_graph_summary oracles (one
+# chain, no drift): degree-ordered orientation wedge-join triangle
+# counting over the SVO edge set, ending in per-node counts (pn) with
+# und/deg/keyed still in scope for downstream aggregates.
+_TRI_CHAIN_CTE = """
     edges AS (SELECT subj AS src, obj AS dst FROM svo
               WHERE subj IS NOT NULL AND obj IS NOT NULL),
     und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -2203,15 +2201,69 @@ _register(
              SELECT lo AS node FROM closed
              UNION ALL SELECT u FROM closed
              UNION ALL SELECT v FROM closed)
-           GROUP BY node)
-    SELECT d.node AS node,
-           coalesce(pn.triangles, 0) AS triangles,
-           d.degree AS degree,
-           CASE WHEN d.degree >= 2
-                THEN round(2.0 * coalesce(pn.triangles, 0)
-                           / (d.degree * (d.degree - 1)), 4)
-                ELSE 0.0 END AS clustering
-    FROM deg d LEFT JOIN pn ON d.node = pn.node
+           GROUP BY node),
+    tc AS (SELECT d.node AS node,
+                  coalesce(pn.triangles, 0) AS triangles,
+                  d.degree AS degree,
+                  CASE WHEN d.degree >= 2
+                       THEN round(2.0 * coalesce(pn.triangles, 0)
+                                  / (d.degree * (d.degree - 1)), 4)
+                       ELSE 0.0 END AS clustering
+           FROM deg d LEFT JOIN pn ON d.node = pn.node)"""
+
+_register(
+    "kg_triangle_stats",
+    kg_triangle_stats,
+    f"""
+    WITH {_SVO_CTE},
+    {_TRI_CHAIN_CTE}
+    SELECT node, triangles, degree, clustering FROM tc
+    """,
+)
+
+
+def kg_graph_summary(spark, sf_dir):
+    """One-row graph topology report (graphstats.graph_summary —
+    n_nodes/n_edges/avg/max degree, triangle census, transitivity,
+    avg clustering, Newman degree assortativity from moments) over the
+    same SVO edge set the triangle oracle reads; the SQL mirror extends
+    the SHARED _TRI_CHAIN_CTE so the two oracles cannot drift. Takes
+    time_hourly_window's slot (r05 rotation)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select("subj", "pred", "obj", F.lit(1.0).alias("weight"))
+    return GS.graph_summary(edges)
+
+
+_register(
+    "kg_graph_summary",
+    kg_graph_summary,
+    f"""
+    WITH {_SVO_CTE},
+    {_TRI_CHAIN_CTE},
+    summary AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+             round(avg(degree), 4) AS avg_degree,
+             max(degree) AS max_degree,
+             CAST(sum(triangles) / 3 AS BIGINT) AS n_triangles,
+             CASE WHEN sum(degree * (degree - 1)) / 2.0 > 0
+                  THEN round(sum(triangles)
+                             / (sum(degree * (degree - 1)) / 2.0), 4)
+                  ELSE 0.0 END AS transitivity,
+             round(avg(clustering), 4) AS avg_clustering
+      FROM tc),
+    sym AS (SELECT deg_a, deg_b FROM keyed
+            UNION ALL SELECT deg_b, deg_a FROM keyed),
+    assort AS (
+      SELECT round((avg(deg_a * deg_b) - avg(deg_a) * avg(deg_b))
+                   / nullif(stddev_pop(deg_a) * stddev_pop(deg_b), 0),
+                   4) AS assortativity
+      FROM sym)
+    SELECT * FROM summary, assort
     """,
 )
 
@@ -3541,5 +3593,6 @@ for _n, _f in [
     ("kg_taxonomy_edges", kg_taxonomy_edges),
     ("distinct_count_stats", distinct_count_stats),
     ("er_name_clusters", er_name_clusters),
+    ("time_hourly_window", time_hourly_window),
 ]:
     _register(_n, _f)

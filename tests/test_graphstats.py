@@ -616,3 +616,73 @@ def test_shortest_path_edge_cases(spark):
     assert G.shortest_path(df, "a", "zzz") == []
     # max_dist too small → no path reported
     assert G.shortest_path(df, "a", "c", max_dist=1) == []
+
+
+def _edge_frame(spark, und):
+    return spark.createDataFrame(
+        [(s, "rel", o, 1.0) for s, o in und],
+        "subj string, pred string, obj string, weight double",
+    )
+
+
+def test_degree_assortativity_vs_numpy(spark):
+    """Newman assortativity vs a direct numpy Pearson over both-way
+    endpoint degrees on a star-plus-clique mix (negative assortativity
+    expected: hubs attach to leaves)."""
+    und = [("hub", x) for x in ["a", "b", "c", "d", "e"]] + [
+        ("p", "q"), ("q", "r"), ("p", "r")
+    ]
+    [row] = G.degree_assortativity(_edge_frame(spark, und)).collect()
+
+    deg = {}
+    for s, o in und:
+        deg[s] = deg.get(s, 0) + 1
+        deg[o] = deg.get(o, 0) + 1
+    xs, ys = [], []
+    for s, o in und:
+        xs += [deg[s], deg[o]]
+        ys += [deg[o], deg[s]]
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 4)
+    assert row["assortativity"] == pytest.approx(want, abs=1e-4)
+    assert row["assortativity"] < 0  # star dominates
+
+
+def test_degree_assortativity_regular_graph_is_null(spark):
+    """Zero degree variance (a cycle: every node degree 2) must yield
+    NULL, not an engine-dependent NaN."""
+    und = [("a", "b"), ("b", "c"), ("c", "a")]
+    [row] = G.degree_assortativity(_edge_frame(spark, und)).collect()
+    assert row["assortativity"] is None
+
+
+def test_graph_summary_vs_python(spark):
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"), ("d", "e"), ("x", "y"), ("y", "z"), ("x", "z")]
+    [row] = G.graph_summary(_edge_frame(spark, und)).collect()
+    deg = {}
+    for s, o in und:
+        deg[s] = deg.get(s, 0) + 1
+        deg[o] = deg.get(o, 0) + 1
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(und)
+    assert row["avg_degree"] == pytest.approx(
+        round(sum(deg.values()) / len(deg), 4)
+    )
+    assert row["max_degree"] == max(deg.values())
+    assert row["n_triangles"] == 5  # K4 has 4 + disjoint triangle
+    wedges = sum(d * (d - 1) / 2 for d in deg.values())
+    assert row["transitivity"] == pytest.approx(round(3 * 5 / wedges, 4))
+    assert row["assortativity"] is not None
+    # avg_clustering averages the 4dp-rounded per-node values
+    tc = {r["node"]: r["clustering"]
+          for r in G.triangle_counts(_edge_frame(spark, und)).collect()}
+    assert row["avg_clustering"] == pytest.approx(
+        round(sum(tc.values()) / len(tc), 4)
+    )
+
+
+def test_graph_summary_triangle_free(spark):
+    [row] = G.graph_summary(
+        _edge_frame(spark, [("a", "b"), ("b", "c")])
+    ).collect()
+    assert row["n_triangles"] == 0 and row["transitivity"] == 0.0
