@@ -3331,6 +3331,36 @@ def td_transe_embeddings(spark, sf_dir):
     ).select("subj", "pred", "obj", "side", F.round("dist", 6).alias("dist"))
 
 
+def td_distmult_embeddings(spark, sf_dir):
+    """Distributed DistMult over the synth KSG (ops/distmult.py — Yang
+    2015 bilinear-diagonal, the symmetric-relation complement to
+    TransE sharing kgembed's whole loop discipline): 15 full-batch
+    margin-GD iterations, model = two (name, vec) DataFrames, one step
+    = 5 uniform equi-joins + one d-column gradient agg; returns every
+    positive/corruption scored by the trained model (Σ h∘r∘t, HIGHER =
+    more plausible). Exact numpy GD mirror + margin-learning +
+    relation-symmetry properties pinned in tests/test_distmult.py
+    (rows-only — iterative training)."""
+    from naruhodo_spark.ops import distmult as DMM
+    from naruhodo_spark.ops import kgembed as KEM
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    model = DMM.train_distmult(edges, dim=8, iters=15, lr=0.3, k_neg=2)
+    pairs = KEM.training_pairs(edges, k_neg=2)
+    pos = pairs.select(
+        F.col("h").alias("subj"), F.col("r").alias("pred"),
+        F.col("t").alias("obj"), F.lit("pos").alias("side"))
+    neg = pairs.select(
+        F.col("nh").alias("subj"), F.col("r").alias("pred"),
+        F.col("nt").alias("obj"), F.lit("neg").alias("side"))
+    scored = DMM.score_triples_distmult(
+        pos.unionByName(neg).distinct(), model["ent_emb"], model["rel_emb"]
+    )
+    return pos.unionByName(neg).distinct().join(
+        scored, ["subj", "pred", "obj"]
+    ).select("subj", "pred", "obj", "side", "score")
+
+
 def td_transe_eval(spark, sf_dir):
     """Filtered link-prediction evaluation (ops/kglinkpred.py — the
     Bordes 2013 ranking protocol) of a TransE model trained on the
@@ -3436,6 +3466,7 @@ for _n, _f in [
     ("kg_landmark_distances", kg_landmark_distances),
     ("td_quality_classifier", td_quality_classifier),
     ("td_transe_embeddings", td_transe_embeddings),
+    ("td_distmult_embeddings", td_distmult_embeddings),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),
