@@ -200,6 +200,11 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "td_hard_negatives",
         "kg_incremental_cc",
         "kg_event_graph",
+        # added r05 (query-set change — not like-for-like vs r04 totals)
+        "kg_hearst_hypernyms",
+        "er_blocked_matches",
+        "kg_graph_summary",
+        "kg_ntriples_lines",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
