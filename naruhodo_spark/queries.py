@@ -2899,6 +2899,24 @@ def ts_bpe_pieces(spark, sf_dir):
     return B.bpe_encode(docs, merges).select("doc_id", "n_pieces")
 
 
+def ts_unigram_pieces(spark, sf_dir):
+    """Distributed unigram-LM tokenizer (ops/unigram.py — Kudo 2018,
+    the SentencePiece algorithm; deterministic hard-EM variant): seed
+    substrings from the word-frequency table, 2 Viterbi-EM rounds with
+    count-ranked annealed pruning (Python bounded by |distinct words|
+    via mapInPandas; model = piece table, never corpus-sized), then
+    subword-encode every doc (corpus side pure JVM equi-join). Exact
+    pure-python mirror + coverage/determinism pins in
+    tests/test_unigram.py (rows-only — iterative EM)."""
+    from naruhodo_spark.ops import unigram as UG
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pieces = UG.train_unigram(
+        docs, vocab_size=64, iters=2, max_piece_len=5, seed_size=400
+    )
+    return UG.unigram_encode(docs, pieces).select("doc_id", "n_pieces")
+
+
 def kg_entity_split(spark, sf_dir):
     """Over-merge detection (operators/entsplit.py): cluster the mention
     contexts of three high-frequency corpus entities via
@@ -3516,6 +3534,7 @@ for _n, _f in [
     ("sim_semantic_dedup", sim_semantic_dedup),
     ("dd_incremental", dd_incremental),
     ("ts_bpe_pieces", ts_bpe_pieces),
+    ("ts_unigram_pieces", ts_unigram_pieces),
     ("ts_lm_perplexity", ts_lm_perplexity),
     ("kg_entity_split", kg_entity_split),
     ("td_walk_pairs", td_walk_pairs),
