@@ -628,16 +628,92 @@ def agg_grouping_sets(spark, sf_dir):
     )
 
 
+# agg_grouping_sets: oracle DEMOTED r05 (driver-green r01–r04; rotation
+# policy — see the rotation note above the rows-only marker; the
+# grouping-set family stays driver-oracled via agg_cube_events).
+# Registered rows-only at the end of this module; its slot goes to
+# kg_temporal_intervals — first driver oracle for the temporal-KG
+# validity-interval operator (operators/temporal.py).
+
+
+def _temporal_obs(spark, sf_dir):
+    """Edge-observation stream from the events log: each event asserts
+    (u<user>, did, <event_type>) at its timestamp — the event-log-to-
+    temporal-KG reading both engines construct identically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("did").alias("pred"),
+        F.col("event_type").alias("obj"),
+        "ts",
+    )
+
+
+def kg_temporal_intervals(spark, sf_dir):
+    """Temporal-KG validity intervals (operators/temporal.
+    validity_intervals — per-triple gap coalescing: ONE window + ONE
+    groupBy on the uniform triple key, two shuffles at any scale)
+    driver-oracled on the event-derived observation stream; interval
+    bounds formatted to second granularity for the cross-engine
+    compare (the time_hourly_window precedent)."""
+    from naruhodo_spark.operators import temporal as TP
+
+    ints = TP.validity_intervals(_temporal_obs(spark, sf_dir), gap_minutes=30)
+    return ints.select(
+        "subj",
+        "pred",
+        "obj",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_obs",
+    )
+
+
 _register(
-    "agg_grouping_sets",
-    agg_grouping_sets,
+    "kg_temporal_intervals",
+    kg_temporal_intervals,
     """
-    SELECT event_type, user_id % 10 AS user_bucket,
-           count(*) AS n, round(sum(value), 2) AS total
-    FROM events
-    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    WITH obs AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj, 'did' AS pred,
+             event_type AS obj, ts
+      FROM events),
+    flagged AS (
+      SELECT subj, pred, obj, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                  THEN 1 ELSE 0 END AS new_interval
+      FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY ts)),
+    numbered AS (
+      SELECT subj, pred, obj, ts,
+             sum(new_interval) OVER (PARTITION BY subj, pred, obj
+                                     ORDER BY ts) AS iid
+      FROM flagged)
+    SELECT subj, pred, obj,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           count(*) AS n_obs
+    FROM numbered GROUP BY subj, pred, obj, iid
     """,
 )
+
+
+def kg_temporal_asof_diff(spark, sf_dir):
+    """As-of snapshots + interval diff (temporal.asof_snapshot /
+    snapshot_diff_at — filters and anti-joins over the compact interval
+    table) between the first and second half of the event log's time
+    range; rows-only (composition surface; the interval build
+    underneath is the kg_temporal_intervals oracle)."""
+    from naruhodo_spark.operators import temporal as TP
+
+    obs = _temporal_obs(spark, sf_dir)
+    ints = TP.validity_intervals(obs, gap_minutes=30).localCheckpoint(
+        eager=False
+    )
+    bounds = obs.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    mid = lo + (hi - lo) / 2
+    return TP.snapshot_diff_at(ints, lo, mid)
 
 
 def pivot_qty_by_status(spark, sf_dir):
@@ -3644,5 +3720,7 @@ for _n, _f in [
     ("distinct_count_stats", distinct_count_stats),
     ("er_name_clusters", er_name_clusters),
     ("time_hourly_window", time_hourly_window),
+    ("agg_grouping_sets", agg_grouping_sets),
+    ("kg_temporal_asof_diff", kg_temporal_asof_diff),
 ]:
     _register(_n, _f)
