@@ -802,7 +802,9 @@ def shortest_path(
     return list(reversed(path))
 
 
-def degree_assortativity(ksg_edges: DataFrame) -> DataFrame:
+def degree_assortativity(
+    ksg_edges: DataFrame, _und_deg: tuple | None = None
+) -> DataFrame:
     """One row (assortativity double) — Newman's degree assortativity
     (Newman, PRL 2002) over the undirected simple graph: the Pearson
     correlation of endpoint degrees with each edge counted in both
@@ -810,26 +812,31 @@ def degree_assortativity(ksg_edges: DataFrame) -> DataFrame:
     shift-invariant, so the remaining-degree −1 makes no difference).
 
     Plan: the und/deg canonicalization (one distinct + one uniform
-    groupBy), two degree joins, ONE corr aggregate — all map-side
+    groupBy), two degree joins, ONE moment aggregate — all map-side
     combinable; no iteration. A zero-variance degree sequence (regular
-    graph) yields NULL on every engine (Spark's NaN normalized via
-    nanvl) rather than an engine-dependent NaN."""
-    raw = _edge_pairs(ksg_edges)
-    und = (
-        raw.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    graph) yields NULL on every engine rather than an ANSI-mode raise
+    or an engine-dependent NaN. ``_und_deg``: pass precomputed
+    (und, deg) frames to share the canonicalization with a caller that
+    already built them (graph_summary) instead of re-scanning."""
+    if _und_deg is not None:
+        und, deg = _und_deg
+    else:
+        raw = _edge_pairs(ksg_edges)
+        und = (
+            raw.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)  # degree pass + join scan
         )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)  # degree pass + join scan
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionByName(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
     keyed = (
         und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b")
@@ -868,11 +875,14 @@ def graph_summary(ksg_edges: DataFrame) -> DataFrame:
     :func:`triangle_counts` (which already bounds wedge fan-out at
     O(m^1.5) via degree-ordered orientation); assortativity rides in
     as a 1-row scalar crossJoin (the repo's accepted scalar-ride
-    shape). transitivity = 3·T / wedges computed as Σ per-node
-    triangles / Σ deg·(deg−1)/2 — identical arithmetic to the SQL
-    mirror; avg_clustering averages the 4-dp-rounded per-node
-    coefficients so both engines round at the same point."""
-    tc = triangle_counts(ksg_edges)
+    shape) and SHARES the degree table triangle_counts already
+    computed (its und canonicalization is rebuilt once — one distinct
+    — rather than re-running the degree groupBy too). transitivity =
+    3·T / wedges computed as Σ per-node triangles / Σ deg·(deg−1)/2 —
+    identical arithmetic to the SQL mirror; avg_clustering averages
+    the 4-dp-rounded per-node coefficients so both engines round at
+    the same point."""
+    tc = triangle_counts(ksg_edges).localCheckpoint(eager=False)
     wedges = F.sum(F.col("degree") * (F.col("degree") - 1)) / 2.0
     summary = tc.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -885,4 +895,16 @@ def graph_summary(ksg_edges: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("transitivity"),
         F.round(F.avg("clustering"), 4).alias("avg_clustering"),
     )
-    return summary.crossJoin(degree_assortativity(ksg_edges))
+    raw = _edge_pairs(ksg_edges)
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = tc.select("node", "degree")
+    return summary.crossJoin(
+        degree_assortativity(ksg_edges, _und_deg=(und, deg))
+    )
