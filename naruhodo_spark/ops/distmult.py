@@ -260,3 +260,146 @@ def score_triples_distmult(
             ).alias("score"),
         )
     )
+
+
+# ------------------------------------------------------------------ eval
+# Bilinear twin of ops/kglinkpred.py's rank-as-count protocol: a
+# DistMult ranking query is a DOT-product comparison (higher = better)
+# instead of a distance comparison, so the query point is the
+# element-wise product h∘r (tail side) / r∘t (head side) and a
+# candidate e ranks better when dot(e, qvec) > true_score. Shapes are
+# identical to the TransE evaluator: queries are eval-set-sized and
+# broadcast, the entity table never moves, rank = 1 + strictly-better
+# COUNT (never a sort), and the filtered correction joins only the
+# anchor's known candidates. Metrics reuse
+# kglinkpred.link_prediction_metrics unchanged.
+
+_QID = "_lp_qid"
+
+
+def _dot(a, b):
+    return F.aggregate(_vmul(a, b), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dm_queries(test, ent, rel, sides):
+    test = test.select("subj", "pred", "obj").distinct()
+    j = (
+        test
+        .join(ent.select(F.col("name").alias("subj"),
+                         F.col("vec").alias("hv")), "subj", "left")
+        .join(ent.select(F.col("name").alias("obj"),
+                         F.col("vec").alias("tv")), "obj", "left")
+        .join(rel.select(F.col("name").alias("pred"),
+                         F.col("vec").alias("rv")), "pred", "left")
+    )
+    parts = []
+    if "tail" in sides:
+        qv = _vmul(F.col("hv"), F.col("rv"))
+        parts.append(j.select(
+            "subj", "pred", "obj", F.lit("tail").alias("side"),
+            F.col("subj").alias("anchor"), F.col("obj").alias("true_name"),
+            qv.alias("qvec"),
+            F.when(
+                F.col("hv").isNotNull() & F.col("rv").isNotNull()
+                & F.col("tv").isNotNull(),
+                _dot(F.col("tv"), qv),
+            ).alias("true_score"),
+        ))
+    if "head" in sides:
+        qv = _vmul(F.col("rv"), F.col("tv"))
+        parts.append(j.select(
+            "subj", "pred", "obj", F.lit("head").alias("side"),
+            F.col("obj").alias("anchor"), F.col("subj").alias("true_name"),
+            qv.alias("qvec"),
+            F.when(
+                F.col("hv").isNotNull() & F.col("rv").isNotNull()
+                & F.col("tv").isNotNull(),
+                _dot(F.col("hv"), qv),
+            ).alias("true_score"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        _QID,
+        F.xxhash64(F.col("subj"), F.col("pred"), F.col("obj"), F.col("side")),
+    )
+
+
+def rank_candidates_distmult(
+    test: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    known: DataFrame | None = None,
+    sides=("tail", "head"),
+) -> DataFrame:
+    """(subj, pred, obj, side, rank, n_known_filtered) — filtered rank
+    of each test triple's true entity under DistMult (rank = 1 +
+    #candidates scoring strictly HIGHER; ``known`` = union of
+    train/valid/test for the standard filtered protocol; rank NULL
+    with the row kept when any embedding is missing). Compose with
+    kglinkpred.link_prediction_metrics for MRR/hits@k."""
+    for s in sides:
+        if s not in ("tail", "head"):
+            raise ValueError(f"unknown side {s!r}")
+    if not sides:
+        raise ValueError("sides must be non-empty")
+    q = _dm_queries(test, ent_emb, rel_emb, sides).localCheckpoint(
+        eager=False
+    )
+    ql = q.where(F.col("true_score").isNotNull()).select(
+        _QID, "qvec", "true_score", "true_name", "anchor", "pred", "side"
+    )
+    better = (
+        ent_emb.select(F.col("name").alias("_cand"),
+                       F.col("vec").alias("_cvec"))
+        .join(
+            F.broadcast(ql.select(_QID, "qvec", "true_score", "true_name")),
+            (F.col("_cand") != F.col("true_name"))
+            & (_dot(F.col("_cvec"), F.col("qvec")) > F.col("true_score")),
+            "inner",
+        )
+        .groupBy(_QID)
+        .agg(F.count("*").alias("n_better"))
+    )
+    out = q.join(better, _QID, "left").withColumn(
+        "n_better", F.coalesce(F.col("n_better"), F.lit(0))
+    )
+    if known is not None:
+        k = known.select("subj", "pred", "obj")
+        cand = (
+            k.select(F.col("subj").alias("anchor"), "pred",
+                     F.col("obj").alias("_cand"), F.lit("tail").alias("side"))
+            .unionByName(
+                k.select(F.col("obj").alias("anchor"), "pred",
+                         F.col("subj").alias("_cand"),
+                         F.lit("head").alias("side")))
+            .distinct()
+            .join(ent_emb.select(F.col("name").alias("_cand"),
+                                 F.col("vec").alias("_cvec")), "_cand")
+        )
+        kb = (
+            ql.join(cand, ["anchor", "pred", "side"])
+            .where(
+                (F.col("_cand") != F.col("true_name"))
+                & (_dot(F.col("_cvec"), F.col("qvec")) > F.col("true_score"))
+            )
+            .groupBy(_QID)
+            .agg(F.count("*").alias("n_known_better"))
+        )
+        out = out.join(kb, _QID, "left").withColumn(
+            "n_known_better", F.coalesce(F.col("n_known_better"), F.lit(0))
+        )
+    else:
+        out = out.withColumn("n_known_better", F.lit(0))
+    return out.select(
+        "subj", "pred", "obj", "side",
+        F.when(
+            F.col("true_score").isNotNull(),
+            F.greatest(
+                F.lit(1),
+                F.lit(1) + F.col("n_better") - F.col("n_known_better"),
+            ),
+        ).cast("long").alias("rank"),
+        F.col("n_known_better").cast("long").alias("n_known_filtered"),
+    )

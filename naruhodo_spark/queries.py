@@ -3481,6 +3481,30 @@ def td_transe_eval(spark, sf_dir):
     return ranks.orderBy("subj", "pred", "obj", "side")
 
 
+def td_distmult_eval(spark, sf_dir):
+    """Filtered link-prediction evaluation of a DistMult model
+    (ops/distmult.rank_candidates_distmult — the bilinear twin of the
+    TransE evaluator: rank = 1 + strictly-HIGHER-scoring count, never a
+    sort; same broadcast-queries/streaming-entities shape, same
+    filtered correction) under the same leak-free md5 train/test split
+    as td_transe_eval. Exhaustive numpy rank mirror +
+    trained-beats-init MRR pinned in tests/test_distmult.py (rows-only
+    — iterative training upstream)."""
+    from naruhodo_spark.ops import distmult as DMM
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    key = F.md5(F.concat_ws("\x1f", "subj", "pred", "obj"))
+    bucket = F.conv(F.substring(key, 1, 4), 16, 10).cast("long") % 5
+    train = edges.where(bucket != 0)
+    test = edges.where(bucket == 0).select("subj", "pred", "obj")
+    model = DMM.train_distmult(train, dim=8, iters=10, lr=0.3, k_neg=2)
+    ranks = DMM.rank_candidates_distmult(
+        test, model["ent_emb"], model["rel_emb"],
+        known=edges.select("subj", "pred", "obj"),
+    )
+    return ranks.orderBy("subj", "pred", "obj", "side")
+
+
 def td_kelm_corpus_kg(spark, sf_dir):
     """The built-KG composition twin of the oracled ``td_kelm_corpus``
     (r05 rotation): the synth KSG rendered into one deterministic
@@ -3561,6 +3585,7 @@ for _n, _f in [
     ("td_quality_classifier", td_quality_classifier),
     ("td_transe_embeddings", td_transe_embeddings),
     ("td_distmult_embeddings", td_distmult_embeddings),
+    ("td_distmult_eval", td_distmult_eval),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),

@@ -174,3 +174,75 @@ def test_loss_decreases_full_batch(spark, trained):
     l0 = DM.distmult_loss(pairs, ent0, rel0)
     l1 = DM.distmult_loss(pairs, model["ent_emb"], model["rel_emb"])
     assert l1 < l0
+
+
+def test_rank_candidates_matches_numpy_exhaustive(spark, trained):
+    """Filtered ranks vs brute-force numpy over ALL entities on both
+    sides — the bilinear twin of the TransE evaluator's mirror."""
+    edges, model = trained
+    test = edges.select("subj", "pred", "obj").distinct().limit(8)
+    known = edges.select("subj", "pred", "obj").distinct()
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["side"]): r["rank"]
+        for r in DM.rank_candidates_distmult(
+            test, model["ent_emb"], model["rel_emb"], known=known
+        ).collect()
+    }
+    E = {r["name"]: np.array(r["vec"]) for r in model["ent_emb"].collect()}
+    R = {r["name"]: np.array(r["vec"]) for r in model["rel_emb"].collect()}
+    K = {(r["subj"], r["pred"], r["obj"]) for r in known.collect()}
+    for (s, p, o, side), rank in got.items():
+        if side == "tail":
+            q = E[s] * R[p]
+            true_sc = float(q @ E[o])
+            n_b = sum(
+                1 for e, v in E.items()
+                if e != o and float(q @ v) > true_sc
+            )
+            n_kb = sum(
+                1 for e, v in E.items()
+                if e != o and (s, p, e) in K and float(q @ v) > true_sc
+            )
+        else:
+            q = R[p] * E[o]
+            true_sc = float(q @ E[s])
+            n_b = sum(
+                1 for e, v in E.items()
+                if e != s and float(q @ v) > true_sc
+            )
+            n_kb = sum(
+                1 for e, v in E.items()
+                if e != s and (e, p, o) in K and float(q @ v) > true_sc
+            )
+        assert rank == max(1, 1 + n_b - n_kb), (s, p, o, side)
+
+
+def test_trained_beats_init_mrr(spark, trained):
+    from naruhodo_spark.ops import kglinkpred as LPR
+    from naruhodo_spark.ops import kgtrain as KT
+
+    edges, model = trained
+    test = edges.select("subj", "pred", "obj").distinct()
+    ent0 = KE.init_embeddings(KT.entity_table(edges), DIM, seed="dm42")
+    rel0 = KE.init_embeddings(
+        edges.select(F.col("pred").alias("name")).distinct(),
+        DIM, seed="dm42/rel", normalize=False)
+
+    def mrr(ent, rel):
+        ranks = DM.rank_candidates_distmult(test, ent, rel, known=test)
+        [row] = LPR.link_prediction_metrics(ranks).where(
+            "side = 'all'").collect()
+        return row["mrr"]
+
+    assert mrr(model["ent_emb"], model["rel_emb"]) > mrr(ent0, rel0)
+
+
+def test_rank_null_for_uncovered_triple(spark, trained):
+    edges, model = trained
+    test = spark.createDataFrame(
+        [("ghost", "visit", "place1")], "subj string, pred string, obj string"
+    )
+    rows = DM.rank_candidates_distmult(
+        test, model["ent_emb"], model["rel_emb"]
+    ).collect()
+    assert len(rows) == 2 and all(r["rank"] is None for r in rows)
