@@ -176,3 +176,95 @@ def test_plan_is_map_only(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- codecs
+# Property tests: the codec ALGEBRA roundtrips on arbitrary unicode
+# (hypothesis over pure-python mirrors of the replace chains — running
+# a Spark job per example would be prohibitive), plus one Spark job
+# pinning that Catalyst implements the identical codec.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from naruhodo_spark.rdf import IRI_CODES, LIT_CODES
+
+
+def _py_enc_iri(s):
+    for raw, esc in IRI_CODES:
+        s = s.replace(raw, esc)
+    return s
+
+
+def _py_dec_iri(s):
+    for raw, esc in reversed(IRI_CODES):
+        s = s.replace(esc, raw)
+    return s
+
+
+def _py_enc_lit(s):
+    for raw, esc in LIT_CODES:
+        s = s.replace(raw, esc)
+    return s
+
+
+def _py_dec_lit(s):
+    segs = s.split("\\\\")
+    named = [("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"), ('\\"', '"')]
+    out = []
+    for seg in segs:
+        for esc, raw in named:
+            seg = seg.replace(esc, raw)
+        out.append(seg)
+    return "\\".join(out)
+
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+)
+
+
+@given(_texts)
+@settings(max_examples=500, deadline=None)
+def test_iri_codec_roundtrips_any_unicode(s):
+    enc = _py_enc_iri(s)
+    assert _py_dec_iri(enc) == s
+    # encoded form is IRIREF-clean: none of the forbidden raws survive
+    for raw, _ in IRI_CODES[1:]:  # '%' legitimately appears as escapes
+        assert raw not in enc
+
+
+@given(_texts)
+@settings(max_examples=500, deadline=None)
+def test_literal_codec_roundtrips_any_unicode(s):
+    enc = _py_enc_lit(s)
+    assert _py_dec_lit(enc) == s
+    assert '"' not in enc.replace('\\"', "")
+    assert "\n" not in enc and "\r" not in enc and "\t" not in enc
+
+
+def test_catalyst_codec_equals_python_mirror(spark):
+    """One Spark job over a deliberately nasty corpus: the Catalyst
+    chains must produce byte-identical encodings to the python mirrors
+    and the full parse must invert them."""
+    nasty = [
+        "", "%", "%%", "%2", "%25", "\\", "\\\\", "\\n", '\\"',
+        'a"b\\c\nd\te\rf', "%20%0A", "\\%", "%\\", "  spaced  ",
+        "<>{}|^`", "日本\\語\n", '"' * 5, "\\" * 5, "mixed %25\\n\"x",
+    ]
+    edges = spark.createDataFrame(
+        [(n, "p", n) for n in nasty], "subj string, pred string, obj string"
+    )
+    iri_lines = rdf.format_ntriples(edges, base=BASE).collect()
+    for (line,), raw in zip(iri_lines, nasty):
+        want = f"<{BASE}{_py_enc_iri(raw)}> <{BASE}p> <{BASE}{_py_enc_iri(raw)}> ."
+        assert line == want, raw
+    lit_lines = rdf.format_ntriples(edges, base=BASE, obj_is_literal=True)
+    back = rdf.parse_ntriples(lit_lines)
+    got = [
+        (r["subj"], r["obj"])
+        for r in back.select(
+            rdf.strip_base(F.col("subj"), BASE).alias("subj"), "obj"
+        ).collect()
+    ]
+    assert sorted(got) == sorted((n, n) for n in nasty)
