@@ -3505,6 +3505,36 @@ def td_distmult_eval(spark, sf_dir):
     return ranks.orderBy("subj", "pred", "obj", "side")
 
 
+def td_complex_embeddings(spark, sf_dir):
+    """Distributed ComplEx over the synth KSG (ops/complexe.py —
+    Trouillon 2016, the asymmetric-bilinear member closing the
+    TransE/DistMult/ComplEx family): 15 full-batch margin-GD
+    iterations over packed (re|im) vectors, same 5-equi-join +
+    mean-gradient-agg step shape; returns every positive/corruption
+    scored by Re<h,r,conj(t)> (HIGHER = plausible). Exact numpy mirror
+    + asymmetry capability pinned in tests/test_complexe.py (rows-only
+    — iterative training)."""
+    from naruhodo_spark.ops import complexe as CXM
+    from naruhodo_spark.ops import kgembed as KEM
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    model = CXM.train_complex(edges, dim=8, iters=15, lr=0.3, k_neg=2)
+    pairs = KEM.training_pairs(edges, k_neg=2)
+    pos = pairs.select(
+        F.col("h").alias("subj"), F.col("r").alias("pred"),
+        F.col("t").alias("obj"), F.lit("pos").alias("side"))
+    neg = pairs.select(
+        F.col("nh").alias("subj"), F.col("r").alias("pred"),
+        F.col("nt").alias("obj"), F.lit("neg").alias("side"))
+    scored = CXM.score_triples_complex(
+        pos.unionByName(neg).distinct(), model["ent_emb"],
+        model["rel_emb"], dim=8,
+    )
+    return pos.unionByName(neg).distinct().join(
+        scored, ["subj", "pred", "obj"]
+    ).select("subj", "pred", "obj", "side", "score")
+
+
 def td_kelm_corpus_kg(spark, sf_dir):
     """The built-KG composition twin of the oracled ``td_kelm_corpus``
     (r05 rotation): the synth KSG rendered into one deterministic
@@ -3586,6 +3616,7 @@ for _n, _f in [
     ("td_transe_embeddings", td_transe_embeddings),
     ("td_distmult_embeddings", td_distmult_embeddings),
     ("td_distmult_eval", td_distmult_eval),
+    ("td_complex_embeddings", td_complex_embeddings),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),
