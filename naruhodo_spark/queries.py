@@ -3595,7 +3595,13 @@ def kg_rdf_roundtrip(spark, sf_dir):
     edges = build_kg(_synth(spark), prof=_en())["ksg_edges"].select(
         "subj", "pred", "obj"
     )
-    lines = rdf.format_ntriples(edges, base=_NT_BASE)
+    # materialize the line frame (models the write/read file boundary;
+    # a fully lazy format→parse lets projection collapse inline the
+    # replace-chain expression into every parse column — the
+    # double-eval class documented in BENCH/BASELINE.md's r05 drill)
+    lines = rdf.format_ntriples(edges, base=_NT_BASE).localCheckpoint(
+        eager=False
+    )
     parsed = rdf.parse_ntriples(lines)
     return parsed.select(
         rdf.strip_base(F.col("subj"), _NT_BASE).alias("subj"),
