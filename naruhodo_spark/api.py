@@ -345,6 +345,18 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return RU.mine_path_rules(self._ksg_edges(), **kw)
 
+    def complete(self, rules: "DataFrame | None" = None, **kw) -> DataFrame:
+        """(subj, pred, obj, confidence, n_rules) — rule-based KG
+        completion: edges predicted by forward-chaining ``rules``
+        (default: this graph's own mined rules at confidence ≥ 0.5)
+        that are not already in the graph
+        (operators/rules.apply_rules)."""
+        from naruhodo_spark.operators import rules as RU
+
+        if rules is None:
+            rules = self.mine_rules(min_confidence=0.5)
+        return RU.apply_rules(self._ksg_edges(), rules, **kw)
+
     def inverse_predicates(self, **kw) -> DataFrame:
         """(pred_a, pred_b, jaccard, symmetric) — inverse/symmetric
         relation detection over this graph's edges

@@ -109,3 +109,82 @@ def mine_path_rules(
         )
         .where(F.col("confidence") >= float(min_confidence))
     )
+
+
+def apply_rules(
+    ksg_edges: DataFrame,
+    rules: DataFrame,
+    hub_cap: int = HUB_CAP,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """One forward-chaining round of KG completion: ground every rule
+    ``r1(x, y) ∧ r2(y, z) ⇒ r3(x, z)`` from ``rules`` (columns r1, r2,
+    r3, confidence — :func:`mine_path_rules` output or a curated table)
+    against the edge table and emit the predicted edges that are NOT
+    already present, as ``(subj, pred, obj, confidence, n_rules)``.
+    ``confidence`` is the max over the rules that predicted the edge,
+    ``n_rules`` how many distinct rule bodies did. This is the standard
+    rule-based KG-completion step (AMIE's prediction mode, Galárraga
+    et al. WWW 2013 §7): run after mining, feed the output to curation
+    or to link-prediction training as weak positives.
+
+    Plan shape at 10^9 edges (mirrors :func:`mine_path_rules`):
+
+    - the rules table is |preds|²-bounded → **broadcast**, and its
+      distinct r1/r2 predicate sets are broadcast semi-filters applied
+      BEFORE the body self-join, so only edges whose predicate appears
+      in some rule ever reach the shuffle.
+    - hub pivots (in_degree × out_degree > ``hub_cap``) are excluded
+      and auditable via :func:`hub_intermediates` — inference through a
+      god entity would mint a·b candidate rows (same cliff, same guard
+      as mining; predictions through excluded hubs are deliberately
+      not made, observable, never silent).
+    - groundings dedupe to DISTINCT (x, rule, z) before aggregation (a
+      pair reachable via many y must count once per rule), then ONE
+      uniform groupBy(x, r3, z) folds multi-rule predictions.
+    - known edges are removed by ONE left-anti equi-join on the full
+      (subj, pred, obj) key.
+
+    Deterministic: joins + max/count aggregation, no RNG, no windows.
+    """
+    e = _pairs(ksg_edges).localCheckpoint(eager=False)  # 3 consumers
+    # collapse duplicate (r1, r2, r3) rows to their best confidence so
+    # n_rules counts distinct rule BODIES, not input rows
+    r = (
+        rules.where(F.col("confidence") >= float(min_confidence))
+        .groupBy("r1", "r2", "r3")
+        .agg(F.max("confidence").alias("confidence"))
+    )
+    hot = hub_intermediates(ksg_edges, hub_cap).select("node")
+    left = (
+        e.select(
+            F.col("subj").alias("x"), F.col("pred").alias("r1"),
+            F.col("obj").alias("y"),
+        )
+        .join(F.broadcast(r.select("r1").distinct()), "r1")
+        .join(F.broadcast(hot.withColumnRenamed("node", "y")), "y", "left_anti")
+    )
+    right = (
+        e.select(
+            F.col("subj").alias("y"), F.col("pred").alias("r2"),
+            F.col("obj").alias("z"),
+        )
+        .join(F.broadcast(r.select("r2").distinct()), "r2")
+        .join(F.broadcast(hot.withColumnRenamed("node", "y")), "y", "left_anti")
+    )
+    grounded = (
+        left.join(right, "y")
+        .where(F.col("x") != F.col("z"))
+        .join(F.broadcast(r), ["r1", "r2"])
+        .select("x", "r1", "r2", "r3", "z", "confidence")
+        .distinct()
+    )
+    predicted = grounded.groupBy(
+        F.col("x").alias("subj"),
+        F.col("r3").alias("pred"),
+        F.col("z").alias("obj"),
+    ).agg(
+        F.max("confidence").alias("confidence"),
+        F.count(F.lit(1)).alias("n_rules"),
+    )
+    return predicted.join(e, ["subj", "pred", "obj"], "left_anti")

@@ -99,3 +99,126 @@ def test_rules_via_facade_pipeline(spark):
     assert ("visit", "visit", "know") in got
     rule = got[("visit", "visit", "know")]
     assert rule["support"] == 3 and rule["confidence"] == 1.0
+
+
+def test_apply_rules_planted(spark):
+    """Grandparent completion: families with both parent edges but no
+    grandparent edge get exactly that edge predicted; the family whose
+    head already exists is anti-joined away."""
+    rows = []
+    for i in range(7):
+        rows.append((f"a{i}", "parent", f"b{i}"))
+        rows.append((f"b{i}", "parent", f"c{i}"))
+        if i < 6:
+            rows.append((f"a{i}", "grandparent", f"c{i}"))
+    df = _edges(spark, rows)
+    rules = R.mine_path_rules(df, min_support=2, min_confidence=0.1)
+    got = R.apply_rules(df, rules).collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in got] == [
+        ("a6", "grandparent", "c6")
+    ]
+    assert abs(got[0]["confidence"] - 6 / 7) < 1e-9
+    assert got[0]["n_rules"] == 1
+
+
+def test_apply_rules_multi_rule_max_confidence(spark):
+    """Two distinct rule bodies predicting the same edge fold to ONE
+    output row with max confidence and n_rules=2; duplicate rule rows
+    do not double-count."""
+    rows = [
+        ("x", "p", "m"), ("m", "q", "z"),
+        ("x", "u", "n"), ("n", "v", "z"),
+    ]
+    df = _edges(spark, rows)
+    rules = spark.createDataFrame(
+        [
+            ("p", "q", "head", 0.6),
+            ("u", "v", "head", 0.9),
+            ("u", "v", "head", 0.3),  # duplicate body+head, worse conf
+        ],
+        "r1 string, r2 string, r3 string, confidence double",
+    )
+    got = R.apply_rules(df, rules).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["subj"], r["pred"], r["obj"]) == ("x", "head", "z")
+    assert abs(r["confidence"] - 0.9) < 1e-12
+    assert r["n_rules"] == 2
+
+
+def test_apply_rules_mirror_random_graph(spark):
+    """Exact python mirror of one forward-chaining round on a random
+    graph with mined rules."""
+    rng = np.random.default_rng(17)
+    names = [f"n{i}" for i in range(10)]
+    preds = ["p", "q", "s"]
+    rows = sorted({
+        (names[rng.integers(10)], preds[rng.integers(3)],
+         names[rng.integers(10)])
+        for _ in range(60)
+    })
+    rows = [(a, p, b) for a, p, b in rows if a != b]
+    df = _edges(spark, rows)
+    rules_df = R.mine_path_rules(df, min_support=1, min_confidence=0.0)
+    rules = {
+        (r["r1"], r["r2"], r["r3"]): r["confidence"]
+        for r in rules_df.collect()
+    }
+    edges = set(rows)
+    want = {}
+    for (x, r1, y) in edges:
+        for (y2, r2, z) in edges:
+            if y != y2 or x == z:
+                continue
+            for (br1, br2, r3), conf in rules.items():
+                if (br1, br2) != (r1, r2) or (x, r3, z) in edges:
+                    continue
+                prev = want.get((x, r3, z))
+                bodies = prev[1] if prev else set()
+                bodies.add((r1, r2))
+                want[(x, r3, z)] = (
+                    max(conf, prev[0]) if prev else conf, bodies)
+    got = {
+        (r["subj"], r["pred"], r["obj"]):
+            (r["confidence"], r["n_rules"])
+        for r in R.apply_rules(df, rules_df).collect()
+    }
+    assert set(got) == set(want)
+    for k, (conf, bodies) in want.items():
+        assert abs(got[k][0] - conf) < 1e-9, k
+        assert got[k][1] == len(bodies), k
+
+
+def test_apply_rules_hub_excluded(spark):
+    """Predictions THROUGH an excluded hub pivot are not made (and the
+    audit frame names the hub)."""
+    rows = [("hs%d" % i, "p", "hub") for i in range(30)]
+    rows += [("hub", "q", "hd%d" % i) for i in range(30)]
+    rows += [("a", "p", "m"), ("m", "q", "b")]
+    df = _edges(spark, rows)
+    rules = spark.createDataFrame(
+        [("p", "q", "head", 1.0)],
+        "r1 string, r2 string, r3 string, confidence double",
+    )
+    got = R.apply_rules(df, rules, hub_cap=100).collect()
+    assert [(r["subj"], r["obj"]) for r in got] == [("a", "b")]
+
+
+def test_complete_via_facade(spark):
+    from naruhodo_spark.api import parser
+
+    sents = []
+    people = [("alice", "bob", "carol"), ("dave", "erin", "frank"),
+              ("grace", "heidi", "ivan"), ("judy", "karl", "liam")]
+    for a, b, c in people:
+        sents += [f"{a} visits {b}.", f"{b} visits {c}."]
+    # three of four families have the head edge -> rule mined at the
+    # default min_support=3, fourth family's head predicted
+    sents += ["alice knows carol.", "dave knows frank.",
+              "judy knows liam."]
+    p = parser(spark, lang="en").add_all(sents)
+    got = [
+        (r["subj"], r["pred"], r["obj"])
+        for r in p.complete().collect()
+    ]
+    assert ("grace", "know", "ivan") in got
