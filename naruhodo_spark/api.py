@@ -345,6 +345,14 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return RU.mine_path_rules(self._ksg_edges(), **kw)
 
+    def sparql(self, query: str) -> DataFrame:
+        """Run a SPARQL SELECT (BGP + FILTER / NOT EXISTS / DISTINCT /
+        ORDER BY / LIMIT subset — naruhodo_spark/sparql.py) over this
+        graph's edges; one column per projected variable."""
+        from naruhodo_spark.sparql import sparql_select
+
+        return sparql_select(self._ksg_edges(), query)
+
     def complete(self, rules: "DataFrame | None" = None, **kw) -> DataFrame:
         """(subj, pred, obj, confidence, n_rules) — rule-based KG
         completion: edges predicted by forward-chaining ``rules``

@@ -1,0 +1,204 @@
+"""SPARQL SELECT compiler (naruhodo_spark/sparql.py): parity with
+hand-built motifs, SPARQL homomorphic/bag semantics, constants,
+filters, NOT EXISTS, modifiers, prefix expansion, and loud rejection
+of everything outside the subset."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from naruhodo_spark.sparql import SparqlError, sparql_select
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, pred string, dst string")
+
+
+GRAPH = [
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "carol"),
+    ("carol", "knows", "alice"),
+    ("alice", "works_at", "acme"),
+    ("bob", "works_at", "acme"),
+    ("carol", "works_at", "globex"),
+    ("acme", "is_a", "company"),
+    ("globex", "is_a", "company"),
+    ("dave", "knows", "dave2"),
+]
+
+
+def test_parity_with_motif(spark):
+    from naruhodo_spark.operators.motif import match_motif
+
+    e = _edges(spark, GRAPH)
+    got = sparql_select(
+        e,
+        "SELECT ?x ?y ?c WHERE { ?x knows ?y . ?x works_at ?c . "
+        "?y works_at ?c }",
+    )
+    want = match_motif(
+        e,
+        [("x", "knows", "y"), ("x", "works_at", "c"),
+         ("y", "works_at", "c")],
+        distinct_nodes=False,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    ) == [("alice", "bob", "acme")]
+
+
+def test_homomorphic_semantics(spark):
+    """SPARQL solutions may bind two variables to one node: a 2-cycle
+    matches ?x knows ?y . ?y knows ?z with x = z."""
+    e = _edges(spark, [("a", "knows", "b"), ("b", "knows", "a")])
+    got = sorted(
+        map(tuple, sparql_select(
+            e, "SELECT ?x ?z WHERE { ?x knows ?y . ?y knows ?z }"
+        ).collect())
+    )
+    assert got == [("a", "a"), ("b", "b")]
+
+
+def test_constant_terms_and_star(spark):
+    e = _edges(spark, GRAPH)
+    got = sparql_select(
+        e, 'SELECT * WHERE { ?who works_at acme . ?who knows ?other }'
+    )
+    assert sorted(got.columns) == ["other", "who"]
+    assert sorted(map(tuple, got.collect())) == [
+        ("alice", "bob"), ("bob", "carol")
+    ]
+    # same constant twice shares one internal slot; quoted form works
+    got2 = sparql_select(
+        e,
+        'SELECT ?a ?b WHERE { ?a works_at "acme" . ?b works_at "acme" . '
+        "?a knows ?b }",
+    )
+    assert [tuple(r) for r in got2.collect()] == [("alice", "bob")]
+
+
+def test_predicate_variable_and_a_keyword(spark):
+    e = _edges(spark, GRAPH)
+    got = sparql_select(
+        e, "SELECT ?what ?rel WHERE { acme ?rel ?what }"
+    )
+    assert sorted(map(tuple, got.collect())) == [("company", "is_a")]
+    got2 = sparql_select(e, "SELECT ?org WHERE { ?org a company }")
+    assert sorted(r["org"] for r in got2.collect()) == ["acme", "globex"]
+
+
+def test_filters(spark):
+    e = _edges(spark, GRAPH)
+    got = sparql_select(
+        e,
+        "SELECT ?x ?y WHERE { ?x knows ?y . FILTER (?x != ?y && ?x < ?y) }",
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        ("alice", "bob"), ("bob", "carol"), ("dave", "dave2")
+    ]
+    # numeric filter casts the variable side
+    en = _edges(spark, [("a", "score", "9"), ("b", "score", "10")])
+    got2 = sparql_select(
+        en, "SELECT ?v WHERE { ?v score ?s . FILTER (?s >= 10) }"
+    )
+    assert [r["v"] for r in got2.collect()] == ["b"]
+
+
+def test_not_exists(spark):
+    e = _edges(spark, GRAPH)
+    # existential object: ?y that works nowhere
+    got = sparql_select(
+        e,
+        "SELECT ?x ?y WHERE { ?x knows ?y . "
+        "FILTER NOT EXISTS { ?y works_at ?c } }",
+    )
+    assert sorted(map(tuple, got.collect())) == [("dave", "dave2")]
+    # constant object: who knows someone not at acme
+    got2 = sparql_select(
+        e,
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "FILTER NOT EXISTS { ?y works_at acme } }",
+    )
+    assert sorted(r["x"] for r in got2.collect()) == ["bob", "dave"]
+
+
+def test_distinct_order_limit(spark):
+    e = _edges(spark, GRAPH)
+    q = (
+        "SELECT DISTINCT ?c WHERE { ?x works_at ?c } "
+        "ORDER BY DESC(?c) LIMIT 1"
+    )
+    assert [r["c"] for r in sparql_select(e, q).collect()] == ["globex"]
+    bag = sparql_select(e, "SELECT ?c WHERE { ?x works_at ?c }")
+    assert bag.count() == 3  # bag semantics without DISTINCT
+
+
+def test_prefix_expansion(spark):
+    e = _edges(
+        spark,
+        [("http://ex/alice", "http://ex/knows", "http://ex/bob")],
+    )
+    got = sparql_select(
+        e,
+        "PREFIX ex: <http://ex/> "
+        "SELECT ?y WHERE { ex:alice ex:knows ?y }",
+    )
+    assert [r["y"] for r in got.collect()] == ["http://ex/bob"]
+    # undeclared default prefix degrades to the bare local name
+    e2 = _edges(spark, [("alice", "knows", "bob")])
+    got2 = sparql_select(e2, "SELECT ?y WHERE { :alice knows ?y }")
+    assert [r["y"] for r in got2.collect()] == ["bob"]
+
+
+def test_ksg_column_contract(spark):
+    ksg = spark.createDataFrame(
+        [("alice", "run", "", 1), ("alice", "know", "bob", 2)],
+        "subj string, pred string, obj string, weight int",
+    )
+    got = sparql_select(ksg, "SELECT ?o WHERE { alice know ?o }")
+    assert [r["o"] for r in got.collect()] == ["bob"]
+    # objectless triples point at the predicate node (edge_target)
+    got2 = sparql_select(ksg, "SELECT ?t WHERE { alice ?p ?t . FILTER (?p = run) }")
+    assert [r["t"] for r in got2.collect()] == ["pred:run"]
+
+
+def test_facade_sparql(spark):
+    from naruhodo_spark.api import parser
+
+    p = parser(spark, lang="en").add_all(
+        ["alice visits bob.", "bob visits carol."]
+    )
+    got = p.sparql("SELECT ?z WHERE { alice visit ?y . ?y visit ?z }")
+    assert [r["z"] for r in got.collect()] == ["carol"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT ?x WHERE { ?x knows ?y . ?a knows ?b }",  # disconnected
+        "SELECT ?x WHERE { }",  # no patterns
+        "SELECT ?z WHERE { ?x knows ?y }",  # unbound projection
+        "SELECT ?x WHERE { ?x knows ?y . FILTER (?q = ?x) }",  # unbound filter
+        "SELECT ?x WHERE { ?x ?p ?y . ?y ?p ?z }",  # reused pred var
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "FILTER NOT EXISTS { ?a knows ?b } }",  # uncorrelated NOT EXISTS
+        "SELECT ?x WHERE { ?x knows ?y",  # unterminated
+        "SELECT ?x WHERE { ?x knows ?y } ORDER BY ?y",  # unprojected order
+        "SELECT ?x WHERE { ?x knows ?y } LIMIT ?x",  # bad limit
+        "ASK { ?x knows ?y }",  # unsupported form
+        "SELECT ?x WHERE { ?x knows ?y . FILTER (?x ~ ?y) }",  # bad op
+    ],
+)
+def test_rejects_outside_subset(spark, bad):
+    e = _edges(spark, GRAPH)
+    with pytest.raises((SparqlError, ValueError)):
+        sparql_select(e, bad).collect()
+
+
+def test_no_cross_product_and_pushdown(spark):
+    """Compiled plan: literal predicates are pushed to the scan side
+    and there is no cartesian product node."""
+    e = _edges(spark, GRAPH)
+    plan = sparql_select(
+        e, "SELECT ?x ?y WHERE { ?x knows ?y . ?y works_at ?c }"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
