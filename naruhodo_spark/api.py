@@ -338,6 +338,14 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return RS.predicate_clusters(self._ksg_edges(), **kw)
 
+    def top_facts(self, k: int = 5) -> DataFrame:
+        """(subj, pred, obj, weight, fact_rank) — the k most salient,
+        predicate-diverse facts per entity
+        (operators/graphstats.top_facts)."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.top_facts(self._ksg_edges(), k=k)
+
     def mine_rules(self, **kw) -> DataFrame:
         """(r1, r2, r3, support, n_body, confidence) — AMIE-style path
         rules r1∘r2 ⇒ r3 over this graph (operators/rules.py)."""

@@ -908,3 +908,38 @@ def graph_summary(ksg_edges: DataFrame) -> DataFrame:
     return summary.crossJoin(
         degree_assortativity(ksg_edges, _und_deg=(und, deg))
     )
+
+
+def top_facts(ksg_edges: DataFrame, k: int = 5) -> DataFrame:
+    """(subj, pred, obj, weight, fact_rank) — the k most salient facts
+    per entity, predicate-DIVERSE: facts are ranked per (subj, pred) by
+    weight first, then interleaved across predicates, so an entity with
+    900 'visit' edges and 3 'is_a' edges still surfaces its types in
+    the top k. This is the entity-summarization primitive (the 'info
+    panel' selection problem, cf. Thalhammer-Rettinger RELIN/SUMMARUM
+    line of work) and the per-entity context selector for RAG prompts.
+
+    Plan: two row_number windows, both hash-partitioned on subj (the
+    second) and (subj, pred) (the first) — uniform keys, no global
+    sort. Per-task work is bounded by entity degree; god entities
+    should be capped upstream (motif.cap_hubs) like every other
+    degree-quadratic consumer. Ties break deterministically on
+    (pred, obj) lexicographic order, so output is partition-invariant.
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    per_pred = W.partitionBy("subj", "pred").orderBy(
+        F.desc("weight"), F.asc("obj")
+    )
+    across = W.partitionBy("subj").orderBy(
+        F.asc("pred_rank"), F.desc("weight"), F.asc("pred"), F.asc("obj")
+    )
+    return (
+        ksg_edges.select("subj", "pred", "obj", "weight")
+        .withColumn("pred_rank", F.row_number().over(per_pred))
+        .withColumn("fact_rank", F.row_number().over(across))
+        .where(F.col("fact_rank") <= int(k))
+        .drop("pred_rank")
+    )

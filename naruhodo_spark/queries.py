@@ -412,18 +412,12 @@ def join_range_activation(spark, sf_dir):
     return join_range(sign, clicks).select("user_id", "signup_id", "click_id")
 
 
-_register(
-    "join_range_activation",
-    join_range_activation,
-    """
-    SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id
-    FROM (SELECT * FROM events WHERE event_type = 'signup') s
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON c.user_id = s.user_id
-     AND floor(epoch(c.ts)) >= floor(epoch(s.ts))
-     AND floor(epoch(c.ts)) <  floor(epoch(s.ts)) + 3600
-    """,
-)
+# join_range_activation: oracle DEMOTED r05 session-3 (driver-green
+# r01–r04; rotation policy — see the rotation ledger). ops/asof.py
+# stays driver-oracled via join_asof_attribution; the bucketized range
+# join keeps its exact pytest mirror (tests/test_asof_edges.py). Slot
+# goes to kg_sparql_select — first driver oracle for the SPARQL
+# compiler. Registered rows-only at the end of this module.
 
 
 def win_session_window(spark, sf_dir):
@@ -1907,10 +1901,16 @@ _SIM_IVF_ORACLE = f"""
     WHERE rank <= 3
     """
 
-_register(
-    "sim_topk_bruteforce",
-    _topk_both_paths(SIM.topk_bruteforce, SIM.topk_bruteforce_blas),
-    _topk_both_paths_oracle(_SIM_BF_ORACLE),
+# sim_topk_bruteforce: oracle DEMOTED r05 session-3 (driver-green
+# r01–r04; rotation policy — see the rotation ledger). The cosine
+# arithmetic stays driver-oracled through sim_topk_ivf (its confirm
+# stage IS the brute-force cosine over cell candidates), and the
+# brute-force path keeps its exact pytest mirror and remains IVF's
+# recall baseline in tests. Registered rows-only at the end of this
+# module; slot goes to kg_top_facts — first driver oracle for entity
+# summarization.
+_SIM_BF_BOTH_PATHS = _topk_both_paths(
+    SIM.topk_bruteforce, SIM.topk_bruteforce_blas
 )
 
 _register(
@@ -2076,6 +2076,173 @@ _register(
 )
 
 
+# =====================================================================
+# r05 session-3 first-time oracles: rule-based KG completion, the
+# SPARQL SELECT compiler, and predicate-diverse entity summarization —
+# each driver-executed on SQL-visible TPC-H-derived edge graphs (the
+# kg_motif_peers idiom) with the equivalent relational program as the
+# DuckDB mirror.
+# =====================================================================
+
+def _tpch_geo_edges(spark, sf_dir, rich_threshold=9500):
+    """Deterministic TPC-H KG shared by the session-3 oracles:
+    customer→nation (cust_from), supplier→nation for suppliers with
+    acctbal > threshold (supp_rich), nation→region (in_region)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.lit("cust_from").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > rich_threshold)
+        .select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.lit("supp_rich").alias("pred"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+    )
+    geo = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.lit("in_region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return cust.unionByName(supp).unionByName(geo)
+
+
+def kg_inferred_edges(spark, sf_dir):
+    """Rule-based KG completion (operators/rules.apply_rules) driver-
+    oracled end-to-end: ground cust_from ∘ in_region ⇒ cust_region
+    against the TPC-H geo graph, where every third customer already has
+    the head edge — those must be anti-joined away and everyone else
+    predicted at the rule's confidence. The DuckDB mirror is the
+    equivalent join + NOT-EXISTS program over the base tables."""
+    from naruhodo_spark.operators.rules import apply_rules
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    known = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+            F.lit("cust_region").alias("pred"),
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+        )
+    )
+    edges = _tpch_geo_edges(spark, sf_dir).unionByName(known).select(
+        F.col("src").alias("subj"), "pred", F.col("dst").alias("obj")
+    )
+    rules = spark.createDataFrame(
+        [("cust_from", "in_region", "cust_region", 0.9)],
+        "r1 string, r2 string, r3 string, confidence double",
+    )
+    out = apply_rules(edges, rules)
+    return out.select(
+        "subj", "pred", "obj",
+        F.round("confidence", 4).alias("confidence"),
+        F.col("n_rules").cast("long").alias("n_rules"),
+    )
+
+
+_register(
+    "kg_inferred_edges",
+    kg_inferred_edges,
+    """
+    SELECT 'c:' || c_custkey   AS subj,
+           'cust_region'       AS pred,
+           'r:' || n_regionkey AS obj,
+           CAST(0.9 AS DOUBLE) AS confidence,
+           CAST(1 AS BIGINT)   AS n_rules
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey % 3 <> 0
+    """,
+)
+
+# the SPARQL text under oracle: a 2-pattern BGP with a bound predicate
+# variable, an equality FILTER on it, a != FILTER on a node variable,
+# and a correlated NOT EXISTS with an existential subject
+_SPARQL_UNDER_ORACLE = """
+    SELECT ?c ?n ?via ?r WHERE {
+      ?c cust_from ?n .
+      ?n ?via ?r .
+      FILTER (?via = in_region)
+      FILTER (?c != "c:1")
+      FILTER NOT EXISTS { ?s supp_rich ?n }
+    }
+"""
+
+
+def kg_sparql_select(spark, sf_dir):
+    """The SPARQL SELECT compiler (naruhodo_spark/sparql.py) driver-
+    oracled end-to-end on the TPC-H geo graph: customers (except c:1)
+    in nations with no rich supplier, with the region and the bound
+    predicate variable projected. The DuckDB mirror is the equivalent
+    relational program."""
+    from naruhodo_spark.sparql import sparql_select
+
+    return sparql_select(
+        _tpch_geo_edges(spark, sf_dir), _SPARQL_UNDER_ORACLE
+    )
+
+
+_register(
+    "kg_sparql_select",
+    kg_sparql_select,
+    """
+    SELECT 'c:' || c_custkey   AS c,
+           'n:' || n_nationkey AS n,
+           'in_region'         AS via,
+           'r:' || r_regionkey AS r
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE 'c:' || c_custkey <> 'c:1'
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_nationkey = n_nationkey
+                        AND s_acctbal > 9500)
+    """,
+)
+
+
+def kg_top_facts(spark, sf_dir):
+    """Predicate-diverse entity summarization
+    (operators/graphstats.top_facts) driver-oracled on an orders-derived
+    fact table: per customer, the 3 top facts interleaved across order
+    statuses by totalprice. The DuckDB mirror is the identical
+    two-window program."""
+    from naruhodo_spark.operators.graphstats import top_facts
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.col("o_orderstatus").alias("pred"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("obj"),
+        F.round("o_totalprice", 2).alias("weight"),
+    )
+    out = top_facts(edges, k=3)
+    return out.withColumn("fact_rank", F.col("fact_rank").cast("long"))
+
+
+_register(
+    "kg_top_facts",
+    kg_top_facts,
+    """
+    WITH e AS (
+      SELECT 'c:' || o_custkey AS subj, o_orderstatus AS pred,
+             'o:' || o_orderkey AS obj, round(o_totalprice, 2) AS weight
+      FROM orders),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY subj, pred
+                ORDER BY weight DESC, obj) AS pred_rank FROM e),
+    r2 AS (
+      SELECT subj, pred, obj, weight,
+             row_number() OVER (PARTITION BY subj
+               ORDER BY pred_rank, weight DESC, pred, obj) AS fact_rank
+      FROM r1)
+    SELECT subj, pred, obj, weight, fact_rank FROM r2 WHERE fact_rank <= 3
+    """,
+)
+
 
 # =====================================================================
 # ORACLE-SLOT ROTATION (policy, instituted r04 per VERDICT r03 #2):
@@ -2112,6 +2279,18 @@ _register(
 #        exact-Jaccard confirm) -> kg_entity_pmi_linked, the first
 #        driver oracle to execute O19's link_entities broadcast-alias
 #        join itself (dedup-min included).
+#   r05 session-3: three more swaps for the session's new operators —
+#        dd_minhash_signatures (green r01/r02/r04; signature CTE still
+#        driver-executed inside dd_minhash_lsh_pairs) ->
+#        kg_inferred_edges (rule-based KG completion,
+#        operators/rules.apply_rules); join_range_activation (green
+#        r01-r04; asof.py keeps join_asof_attribution oracled + exact
+#        pytest mirror) -> kg_sparql_select (the SPARQL SELECT
+#        compiler, naruhodo_spark/sparql.py); sim_topk_bruteforce
+#        (green r01-r04; cosine arithmetic still driver-oracled via
+#        sim_topk_ivf's confirm stage + exact pytest mirror) ->
+#        kg_top_facts (predicate-diverse entity summarization,
+#        operators/graphstats.top_facts).
 # =====================================================================
 
 _register(
@@ -2141,13 +2320,13 @@ _register(
     """,
 )
 
-_register(
-    "dd_minhash_signatures",
-    lambda spark, sf_dir: D.minhash_signatures(
-        _t(spark, sf_dir, "documents"), n_hashes=4
-    ),
-    _minhash_oracle(4),
-)
+# dd_minhash_signatures: oracle DEMOTED again r05 session-3 (driver-
+# green r01/r02/r04; rotation policy — see the rotation ledger). The
+# signature computation stays driver-executed inside
+# dd_minhash_lsh_pairs' oracle (shared signature CTE) and keeps its
+# exact pytest mirror. Registered rows-only at the end of this module;
+# slot goes to kg_inferred_edges — first driver oracle for rule-based
+# KG completion.
 
 # hyperplane signs: coefficient = (md5_48(plane:pos) % 7) - 3, dot fold
 # left-to-right in array order on BOTH engines (Spark F.aggregate /
@@ -2597,6 +2776,16 @@ _register(
     lambda spark, sf: SIM.topk_ivf_trained(_t(spark, sf, "embeddings")),
 )
 QUERIES["kg_inclusive_merge"] = kg_inclusive_merge
+# r05 session-3 demotions re-registered rows-only (pytest mirrors
+# unchanged):
+_register("join_range_activation", join_range_activation)
+_register("sim_topk_bruteforce", _SIM_BF_BOTH_PATHS)
+_register(
+    "dd_minhash_signatures",
+    lambda spark, sf_dir: D.minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_hashes=4
+    ),
+)
 
 
 # =====================================================================

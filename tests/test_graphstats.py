@@ -686,3 +686,80 @@ def test_graph_summary_triangle_free(spark):
         _edge_frame(spark, [("a", "b"), ("b", "c")])
     ).collect()
     assert row["n_triangles"] == 0 and row["transitivity"] == 0.0
+
+
+def _python_top_facts(rows, k):
+    """Exact mirror: per-(subj,pred) rank by (-weight, obj), then
+    per-subj rank by (pred_rank, -weight, pred, obj)."""
+    from collections import defaultdict
+
+    per_pred = defaultdict(list)
+    for s, p, o, w in rows:
+        per_pred[(s, p)].append((-w, o, p))
+    pred_rank = {}
+    for (s, p), facts in per_pred.items():
+        for i, (nw, o, _) in enumerate(sorted(facts), start=1):
+            pred_rank[(s, p, o)] = i
+    by_subj = defaultdict(list)
+    for s, p, o, w in rows:
+        by_subj[s].append((pred_rank[(s, p, o)], -w, p, o, w))
+    out = {}
+    for s, facts in by_subj.items():
+        for i, (pr, nw, p, o, w) in enumerate(sorted(facts), start=1):
+            if i <= k:
+                out[(s, p, o)] = (w, i)
+    return out
+
+
+def test_top_facts_predicate_diversity(spark):
+    """An entity drowning in one predicate still surfaces its rarer
+    predicates in the top k."""
+    rows = [("e", "visit", f"v{i}", 100 - i) for i in range(10)]
+    rows += [("e", "is_a", "person", 1), ("e", "born_in", "oslo", 1)]
+    got = [
+        (r["pred"], r["obj"], r["fact_rank"])
+        for r in G.top_facts(_edges_df(spark, rows), k=4)
+        .orderBy("fact_rank").collect()
+    ]
+    assert got == [
+        ("visit", "v0", 1),       # best fact of the dominant predicate
+        ("born_in", "oslo", 2),   # each predicate's best comes next
+        ("is_a", "person", 3),
+        ("visit", "v1", 4),       # only then the dominant one's 2nd
+    ]
+
+
+def test_top_facts_mirror_and_partition_invariance(spark):
+    rng = np.random.default_rng(23)
+    rows = sorted({
+        (f"s{rng.integers(6)}", f"p{rng.integers(4)}",
+         f"o{rng.integers(30)}")
+        for _ in range(150)
+    })
+    rows = [(s, p, o, int(rng.integers(1, 9))) for s, p, o in rows]
+    want = _python_top_facts(rows, k=3)
+    df = _edges_df(spark, rows)
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (r["weight"], r["fact_rank"])
+        for r in G.top_facts(df, k=3).collect()
+    }
+    assert got == want
+    got1 = {
+        (r["subj"], r["pred"], r["obj"]): (r["weight"], r["fact_rank"])
+        for r in G.top_facts(df.repartition(13), k=3).collect()
+    }
+    assert got1 == want
+
+
+def test_top_facts_k_validation_and_facade(spark):
+    with pytest.raises(ValueError):
+        G.top_facts(_edges_df(spark, [("a", "p", "b", 1)]), k=0)
+    from naruhodo_spark.api import parser
+
+    p = parser(spark, lang="en").add_all(
+        ["alice visits bob.", "alice visits carol.", "alice knows dave."]
+    )
+    got = p.top_facts(k=2).collect()
+    assert all(r["fact_rank"] <= 2 for r in got)
+    alice = [r for r in got if r["subj"] == "alice"]
+    assert {r["pred"] for r in alice} == {"visit", "know"}
