@@ -338,6 +338,15 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return RS.predicate_clusters(self._ksg_edges(), **kw)
 
+    def rag_context(self, seeds: list, **kw) -> DataFrame:
+        """(fact_order, score, subj, pred, obj, sentence) — the
+        relevance-ranked, verbalized subgraph around ``seeds`` for
+        retrieval-augmented generation (ops/rag.graph_rag_context);
+        render with ops.rag.context_text."""
+        from naruhodo_spark.ops.rag import graph_rag_context
+
+        return graph_rag_context(self._ksg_edges(), seeds, **kw)
+
     def top_facts(self, k: int = 5) -> DataFrame:
         """(subj, pred, obj, weight, fact_rank) — the k most salient,
         predicate-diverse facts per entity

@@ -3856,6 +3856,21 @@ for _n, _f in [
     ("kg_entity_salience", kg_entity_salience),
     ("kg_lpa_communities", kg_lpa_communities),
     ("kg_personalized_pagerank", kg_personalized_pagerank),
+    (
+        # Graph-RAG context retrieval (ops/rag.py): PPR seed expansion
+        # → broadcast-induced subgraph → verbalized, capped fact list.
+        # PPR-sum scoring + caps + rendering pinned in tests/test_rag.py
+        # (rows-only — iterative PPR upstream)
+        "td_rag_context",
+        lambda spark, sf_dir: __import__(
+            "naruhodo_spark.ops.rag", fromlist=["graph_rag_context"]
+        ).graph_rag_context(
+            build_kg(_synth(spark), prof=_en())["ksg_edges"],
+            seeds=["alice", "bob"],
+            top_k=12,
+            max_facts=20,
+        ),
+    ),
     ("dd_dup_spans", dd_dup_spans),
     ("td_dsir_scores", td_dsir_scores),
     ("sim_semantic_dedup", sim_semantic_dedup),
