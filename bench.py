@@ -205,6 +205,11 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "er_blocked_matches",
         "kg_graph_summary",
         "kg_ntriples_lines",
+        # added r05 session-3 (query-set change — not like-for-like vs
+        # earlier totals)
+        "kg_inferred_edges",
+        "kg_sparql_select",
+        "kg_top_facts",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -287,3 +287,37 @@ def test_kg_entity_pmi_linked_alias_join_broadcasts(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_kg_inferred_edges_broadcast_rules_no_python(spark):
+    # apply_rules: the rules table and its predicate semi-filters are
+    # broadcast (|preds|^2-bounded by construction), known-head removal
+    # is a left-anti join, and there is no cross product or Python in
+    # the plan — the body self-join on the shared variable is the only
+    # row-multiplying step and it is an equi-join.
+    p = _plan(spark, "kg_inferred_edges")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kg_sparql_select_compiles_to_equi_joins(spark):
+    # the SPARQL compiler must produce exactly the motif engine's plan
+    # class: equi-joins only, NOT EXISTS as ONE left-anti join, no
+    # Python anywhere (the parser runs on the query string, driver-side)
+    p = _plan(spark, "kg_sparql_select")
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+
+
+def test_kg_top_facts_windows_are_partitioned(spark):
+    # both row_number windows must be hash-partitioned on their entity
+    # keys — a global (unpartitioned) window would single-task the
+    # whole fact table; ties are broken in-window, no global sort
+    p = _plan(spark, "kg_top_facts")
+    assert "Window" in p, p
+    assert "hashpartitioning(subj" in p, p
+    assert "SinglePartition" not in p.split("TakeOrdered")[0], p
