@@ -73,7 +73,10 @@ def mine_path_rules(
     intended grounding and reflexive pairs inflate rules through
     symmetric predicates."""
     e = _pairs(ksg_edges).localCheckpoint(eager=False)  # 4 consumers
-    hot = hub_intermediates(ksg_edges, hub_cap).select("node")
+    # hub audit is bounded-small by construction; eager-checkpoint it
+    # so the two broadcast anti-joins reuse one computation instead of
+    # re-deriving the degree aggregation per broadcast exchange
+    hot = hub_intermediates(ksg_edges, hub_cap).select("node").localCheckpoint()
     left = e.select(
         F.col("subj").alias("x"), F.col("pred").alias("r1"),
         F.col("obj").alias("y"),
@@ -155,7 +158,10 @@ def apply_rules(
         .groupBy("r1", "r2", "r3")
         .agg(F.max("confidence").alias("confidence"))
     )
-    hot = hub_intermediates(ksg_edges, hub_cap).select("node")
+    # hub audit is bounded-small by construction; eager-checkpoint it
+    # so the two broadcast anti-joins reuse one computation instead of
+    # re-deriving the degree aggregation per broadcast exchange
+    hot = hub_intermediates(ksg_edges, hub_cap).select("node").localCheckpoint()
     left = (
         e.select(
             F.col("subj").alias("x"), F.col("pred").alias("r1"),
