@@ -184,8 +184,23 @@ def test_facade_sparql(spark):
         "SELECT ?x WHERE { ?x knows ?y",  # unterminated
         "SELECT ?x WHERE { ?x knows ?y } ORDER BY ?y",  # unprojected order
         "SELECT ?x WHERE { ?x knows ?y } LIMIT ?x",  # bad limit
-        "ASK { ?x knows ?y }",  # unsupported form
         "SELECT ?x WHERE { ?x knows ?y . FILTER (?x ~ ?y) }",  # bad op
+        "SELECT ?x WHERE { ?x knows+ ?y }",  # unbounded path
+        "SELECT ?x WHERE { ?x knows{0,2} ?y }",  # zero-length path
+        "SELECT ?x WHERE { ?x knows{3,2} ?y }",  # inverted bounds
+        "SELECT ?x WHERE { ?x knows{1,99} ?y }",  # bound too large
+        "SELECT ?x WHERE { ?x ?p|knows ?y }",  # var in alternation
+        # OPTIONAL with no shared variable
+        "SELECT ?x WHERE { ?x knows ?y . OPTIONAL { ?a works_at ?b } }",
+        # FILTER inside OPTIONAL
+        "SELECT ?x WHERE { ?x knows ?y . "
+        "OPTIONAL { ?y works_at ?c . FILTER (?c != ?x) } }",
+        # UNION branches binding different variables
+        "SELECT ?x WHERE { { ?x knows ?y } UNION { ?x works_at ?z } }",
+        # group not at top level
+        "SELECT ?x WHERE { ?x knows ?y . { ?y knows ?z } UNION "
+        "{ ?y works_at ?z } }",
+        "DESCRIBE ?x WHERE { ?x knows ?y }",  # unsupported form
     ],
 )
 def test_rejects_outside_subset(spark, bad):
@@ -202,3 +217,126 @@ def test_no_cross_product_and_pushdown(spark):
         e, "SELECT ?x ?y WHERE { ?x knows ?y . ?y works_at ?c }"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_optional_left_join_and_bound(spark):
+    e = _edges(spark, GRAPH)
+    got = {
+        (r["x"], r["y"], r["c"])
+        for r in sparql_select(
+            e,
+            "SELECT ?x ?y ?c WHERE { ?x knows ?y . "
+            "OPTIONAL { ?y works_at ?c } }",
+        ).collect()
+    }
+    # dave2 works nowhere -> row kept with NULL company
+    assert ("dave", "dave2", None) in got
+    assert ("alice", "bob", "acme") in got
+    # BOUND / !BOUND filter the optional binding
+    n_bound = sparql_select(
+        e,
+        "SELECT ?x WHERE { ?x knows ?y . OPTIONAL { ?y works_at ?c } . "
+        "FILTER (BOUND(?c)) }",
+    ).count()
+    n_unbound = sparql_select(
+        e,
+        "SELECT ?x WHERE { ?x knows ?y . OPTIONAL { ?y works_at ?c } . "
+        "FILTER (!BOUND(?c)) }",
+    ).count()
+    assert n_bound == 3 and n_unbound == 1
+
+
+def test_union_groups(spark):
+    e = _edges(spark, GRAPH)
+    got = sorted(
+        map(tuple, sparql_select(
+            e,
+            "SELECT ?x ?y WHERE { { ?x knows ?y . FILTER (?x = alice) } "
+            "UNION { ?x works_at ?y . FILTER (?x = alice) } }",
+        ).collect())
+    )
+    assert got == [("alice", "acme"), ("alice", "bob")]
+
+
+def test_union_trailing_filter(spark):
+    """A FILTER after the UNION chain applies to the union result —
+    equivalent to writing it inside each branch."""
+    e = _edges(spark, GRAPH)
+    outer = sorted(
+        map(tuple, sparql_select(
+            e,
+            "SELECT ?x ?y WHERE { { ?x knows ?y } UNION "
+            "{ ?x works_at ?y } FILTER (?x = alice) }",
+        ).collect())
+    )
+    assert outer == [("alice", "acme"), ("alice", "bob")]
+    # conjoined comparisons and NOT EXISTS distribute too
+    outer2 = sorted(
+        map(tuple, sparql_select(
+            e,
+            "SELECT ?x ?y WHERE { { ?x knows ?y } UNION "
+            "{ ?x works_at ?y } FILTER (?x != dave) . "
+            "FILTER NOT EXISTS { ?x works_at globex } }",
+        ).collect())
+    )
+    assert ("carol", "alice") not in outer2  # carol works_at globex
+    assert ("dave", "dave2") not in outer2
+    assert ("alice", "bob") in outer2 and ("alice", "acme") in outer2
+
+
+def test_ask(spark):
+    e = _edges(spark, GRAPH)
+    assert sparql_select(e, "ASK { alice knows ?y }").collect()[0]["ask"]
+    assert not sparql_select(
+        e, "ASK { carol knows ?y . ?y works_at globex }"
+    ).collect()[0]["ask"]
+
+
+def test_predicate_alternation(spark):
+    e = _edges(spark, GRAPH)
+    got = sorted(
+        map(tuple, sparql_select(
+            e, "SELECT ?what WHERE { alice knows|works_at ?what }"
+        ).collect())
+    )
+    assert got == [("acme",), ("bob",)]
+
+
+def test_bounded_path(spark):
+    e = _edges(spark, GRAPH)
+    # knows{2} from alice: alice->bob->carol
+    got = sparql_select(
+        e, "SELECT ?z WHERE { alice knows{2,2} ?z }"
+    ).collect()
+    assert [r["z"] for r in got] == ["carol"]
+    # knows{1,3} from alice reaches bob, carol, and (via the 3-cycle)
+    # alice itself at length 3 — homomorphic path semantics
+    got2 = sorted(
+        r["z"] for r in sparql_select(
+            e, "SELECT ?z WHERE { alice knows{1,3} ?z }"
+        ).collect()
+    )
+    assert got2 == ["alice", "bob", "carol"]
+    # python mirror on the full reachability at each length
+    adj = {}
+    for s, p, o in GRAPH:
+        if p == "knows":
+            adj.setdefault(s, []).append(o)
+    reach, frontier, want = set(), ["alice"], []
+    for _ in range(3):
+        frontier = [o for s in frontier for o in adj.get(s, [])]
+        want.extend(frontier)
+    assert got2 == sorted(set(want))
+
+
+def test_path_and_optional_compose(spark):
+    e = _edges(spark, GRAPH)
+    got = {
+        (r["z"], r["c"])
+        for r in sparql_select(
+            e,
+            "SELECT ?z ?c WHERE { dave knows{1,2} ?z . "
+            "OPTIONAL { ?z works_at ?c } }",
+        ).collect()
+    }
+    assert got == {("dave2", None)}
