@@ -15,6 +15,19 @@ Supported subset (documented, loudly rejected otherwise):
   ``<iri><local>``.
 - ``SELECT [DISTINCT] ?a ?b … | *`` and ``ASK`` (one boolean ``ask``
   row). ``*`` projects every variable in first-appearance order.
+- Aggregates in SELECT — ``(COUNT(*) AS ?n)``, ``(COUNT|SUM|AVG|MIN|
+  MAX([DISTINCT] ?v) AS ?alias)`` — with ``GROUP BY ?g …`` and
+  ``HAVING (comparisons)``; plain projected variables must be group
+  keys (SPARQL 1.1 §11). Lowered to one hash aggregate with map-side
+  partials; SUM/AVG cast the string node domain to double.
+- ``VALUES ?x { a b }`` / ``VALUES (?x ?y) { (a b) … }`` inline data,
+  joined as a broadcast bag join on the shared variables (≥1
+  required; UNDEF rejected).
+- ``MINUS { triple patterns }`` — left-anti join on the shared
+  variables; per the SPARQL spec a domain-disjoint MINUS removes
+  nothing.
+- Triple list sugar: ``;`` (same subject) and ``,`` (same
+  subject+predicate).
 - A WHERE block of triple patterns, or ``{ … } UNION { … }`` group
   alternation (each group is a full block; all groups must bind the
   same variables; bag-semantics union). FILTERs trailing the UNION
@@ -24,12 +37,13 @@ Supported subset (documented, loudly rejected otherwise):
   bare identifiers (a deliberate relaxation — this engine's entities
   are plain strings like ``alice``), and the ``a`` keyword, which
   expands to this engine's taxonomy predicate ``is_a``.
-- Predicate paths: alternation ``p|q|r`` (constants only) and the
-  bounded quantifier ``p{m,n}`` (1 ≤ m ≤ n ≤ 8) — expanded at compile
-  time into per-length join chains over fresh internal variables,
-  unioned. Unbounded ``p+``/``p*`` are rejected with a pointer to
-  ``p{1,k}`` (an unbounded closure belongs to the iterative operators:
-  canon.connected_components / graphstats BFS).
+- Predicate paths: alternation ``p|q|r`` (constants only), inverse
+  ``^p`` (the edge walked backwards), sequence ``p/^q/r``, and the
+  bounded quantifier ``[^]p{m,n}`` (1 ≤ m ≤ n ≤ 8) — expanded at
+  compile time into per-length join chains over fresh internal
+  variables, unioned. Unbounded ``p+``/``p*`` are rejected with a
+  pointer to ``p{1,k}`` (an unbounded closure belongs to the iterative
+  operators: canon.connected_components / graphstats BFS).
 - ``OPTIONAL { triple patterns }`` — compiled to a left outer join on
   the shared variables (≥1 required). Plain patterns only inside.
 - ``FILTER (expr)`` where expr is ``&&``-conjoined comparisons
@@ -77,7 +91,7 @@ _TOKEN = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_])?)
     | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
     | (?P<word>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_])?)
-    | (?P<punct>&&|!=|<=|>=|[{}().=<>*:,|!+])
+    | (?P<punct>&&|!=|<=|>=|[{}().=<>*:,|!+/^;])
     )
     """,
     re.VERBOSE,
@@ -86,6 +100,8 @@ _TOKEN = re.compile(
 _ESCAPES = {'\\"': '"', "\\\\": "\\", "\\n": "\n", "\\t": "\t", "\\r": "\r"}
 
 _OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
 
 _INTERNAL = re.compile(r"_(const|alt|path)\d+(_\d+)?")
 
@@ -161,7 +177,7 @@ class _Parser:
     def term(self) -> _Term:
         tok = self.next()
         if tok in ("&&", "!=", "<=", ">=", ":") or (
-            len(tok) == 1 and tok in "{}().=<>*,|!+"
+            len(tok) == 1 and tok in "{}().=<>*,|!+/^;"
         ):
             raise SparqlError(f"expected a term, got {tok!r}")
         if tok.startswith("?"):
@@ -188,16 +204,42 @@ class _Parser:
         if tok.upper() in (
             "SELECT", "ASK", "WHERE", "FILTER", "NOT", "EXISTS",
             "DISTINCT", "ORDER", "BY", "LIMIT", "ASC", "DESC", "PREFIX",
-            "OPTIONAL", "UNION", "BOUND",
+            "OPTIONAL", "UNION", "BOUND", "GROUP", "HAVING", "VALUES",
+            "MINUS", "AS", "UNDEF",
         ):
             raise SparqlError(f"expected a term, got {tok!r}")
         return _Term("const", tok)
 
     def pred_term(self) -> _Term:
-        """A predicate position: a plain term, an alternation
-        ``p|q|r``, or a bounded path ``p{m,n}``."""
+        """A predicate position: a plain term, an inverse ``^p``, an
+        alternation ``p|q|r``, a bounded path ``[^]p{m,n}``, or a
+        sequence ``[^]p/[^]q/…``."""
+        inv = bool(self.kw("^"))
         t = self.term()
+        if inv and t.kind != "const":
+            raise SparqlError("inverse path '^' needs a constant predicate")
+        if self.peek() == "/":
+            if t.kind != "const":
+                raise SparqlError("path sequence needs constant predicates")
+            seq: list[tuple[str, bool]] = [(str(t.value), inv)]
+            while self.kw("/"):
+                e_inv = bool(self.kw("^"))
+                nxt = self.term()
+                if nxt.kind != "const":
+                    raise SparqlError(
+                        "path sequence needs constant predicates"
+                    )
+                seq.append((str(nxt.value), e_inv))
+            if len(seq) > MAX_PATH_LEN:
+                raise SparqlError(
+                    f"path sequence longer than {MAX_PATH_LEN}"
+                )
+            return _Term("seq", seq)
         if self.peek() == "|":
+            if inv:
+                raise SparqlError(
+                    "inverse '^' inside an alternation is not supported"
+                )
             if t.kind != "const":
                 raise SparqlError("path alternation needs constant predicates")
             alts = [str(t.value)]
@@ -235,7 +277,9 @@ class _Parser:
                     f"path quantifier must satisfy 1 <= m <= n <= "
                     f"{MAX_PATH_LEN}, got {{{m},{n}}}"
                 )
-            return _Term("path", (str(t.value), m, n))
+            return _Term("path", (str(t.value), m, n, inv))
+        if inv:
+            return _Term("inv", str(t.value))
         return t
 
 
@@ -278,12 +322,85 @@ def _parse_filter_clause(p: _Parser, antis, filters, bound_tests) -> None:
     p.kw(".")
 
 
+def _mk_triple(s: _Term, pr: _Term, o: _Term) -> tuple:
+    """Assemble one triple; an inverse predicate ``^p`` is rewritten to
+    the forward edge with swapped ends right here."""
+    if pr.kind == "inv":
+        return (o, _Term("const", pr.value), s)
+    return (s, pr, o)
+
+
+def _parse_triple_group(p: _Parser, out: list) -> None:
+    """One subject's triple patterns with SPARQL list sugar: ``;``
+    repeats the subject, ``,`` repeats subject+predicate. Consumes a
+    trailing ``.`` if any."""
+    s = p.term()
+    while True:
+        pr = p.pred_term()
+        while True:
+            out.append(_mk_triple(s, pr, p.term()))
+            if not p.kw(","):
+                break
+        if not p.kw(";"):
+            break
+    p.kw(".")
+
+
+def _values_const(p: _Parser) -> str:
+    """One VALUES datum: a constant or number (normalized the same way
+    node lowering normalizes — integers without the trailing .0)."""
+    t = p.term()
+    if t.kind == "var":
+        raise SparqlError("VALUES data must be constants, not variables")
+    if t.kind in ("alt", "path", "seq", "inv"):
+        raise SparqlError("VALUES data must be plain constants")
+    if t.kind == "num":
+        v = t.value
+        return str(int(v)) if float(v).is_integer() else str(v)
+    return str(t.value)
+
+
+def _parse_values(p: _Parser) -> tuple[list[str], list[tuple]]:
+    """``VALUES ?x { a b }`` or ``VALUES (?x ?y) { (a b) (c d) }``
+    (the VALUES keyword already consumed). UNDEF is rejected — this
+    subset has no partial-binding compatibility semantics."""
+    if p.kw("("):
+        vars_: list[str] = []
+        while p.peek() is not None and p.peek().startswith("?"):
+            vars_.append(p.next()[1:])
+        p.expect(")")
+        if not vars_:
+            raise SparqlError("VALUES needs at least one ?var")
+        p.expect("{")
+        rows: list[tuple] = []
+        while not p.kw("}"):
+            p.expect("(")
+            row = tuple(_values_const(p) for _ in vars_)
+            p.expect(")")
+            rows.append(row)
+    else:
+        var = p.next()
+        if not var.startswith("?"):
+            raise SparqlError(f"VALUES needs a ?var, got {var!r}")
+        vars_ = [var[1:]]
+        p.expect("{")
+        rows = []
+        while not p.kw("}"):
+            rows.append((_values_const(p),))
+    if not rows:
+        raise SparqlError("empty VALUES block")
+    p.kw(".")
+    return vars_, rows
+
+
 def _parse_block(p: _Parser) -> dict:
     """Parse block elements until the closing '}' (consumed):
-    triples, FILTER, FILTER NOT EXISTS, OPTIONAL."""
+    triples, FILTER, FILTER NOT EXISTS, OPTIONAL, MINUS, VALUES."""
     triples: list[tuple] = []
     antis: list[tuple] = []
     optionals: list[list[tuple]] = []
+    minuses: list[list[tuple]] = []
+    values: list[tuple[list[str], list[tuple]]] = []
     filters: list[tuple] = []
     bound_tests: list[tuple[str, bool]] = []  # (var, want_bound)
     while True:
@@ -293,28 +410,33 @@ def _parse_block(p: _Parser) -> dict:
         if tok == "}":
             p.next()
             break
-        if tok.upper() == "OPTIONAL":
-            p.next()
+        if tok.upper() in ("OPTIONAL", "MINUS"):
+            which = p.next().upper()
             p.expect("{")
-            opt: list[tuple] = []
+            sub: list[tuple] = []
             while True:
                 t2 = p.peek()
                 if t2 is None:
-                    raise SparqlError("unterminated OPTIONAL block")
+                    raise SparqlError(f"unterminated {which} block")
                 if t2 == "}":
                     p.next()
                     break
-                if t2.upper() in ("FILTER", "OPTIONAL", "UNION"):
+                if t2.upper() in (
+                    "FILTER", "OPTIONAL", "UNION", "MINUS", "VALUES",
+                ):
                     raise SparqlError(
                         "only plain triple patterns are supported inside "
-                        "OPTIONAL"
+                        f"{which}"
                     )
-                opt.append((p.term(), p.pred_term(), p.term()))
-                p.kw(".")
-            if not opt:
-                raise SparqlError("empty OPTIONAL block")
-            optionals.append(opt)
+                _parse_triple_group(p, sub)
+            if not sub:
+                raise SparqlError(f"empty {which} block")
+            (optionals if which == "OPTIONAL" else minuses).append(sub)
             p.kw(".")
+            continue
+        if tok.upper() == "VALUES":
+            p.next()
+            values.append(_parse_values(p))
             continue
         if tok.upper() == "FILTER":
             p.next()
@@ -325,12 +447,12 @@ def _parse_block(p: _Parser) -> dict:
                 "group patterns may only appear as a top-level "
                 "{ … } UNION { … } chain"
             )
-        triples.append((p.term(), p.pred_term(), p.term()))
-        p.kw(".")
+        _parse_triple_group(p, triples)
     if not triples:
         raise SparqlError("block has no triple patterns")
     return {
         "triples": triples, "antis": antis, "optionals": optionals,
+        "minuses": minuses, "values": values,
         "filters": filters, "bound_tests": bound_tests,
     }
 
@@ -348,7 +470,7 @@ def _parse(query: str) -> dict:
             raise SparqlError(f"PREFIX IRI must be <...>, got {iri!r}")
         p.prefixes[name] = iri[1:-1]
     distinct = False
-    proj: "list[str] | None" = None
+    items: "list[tuple] | None" = None
     if p.kw("ASK"):
         form = "ask"
     else:
@@ -356,13 +478,54 @@ def _parse(query: str) -> dict:
         form = "select"
         distinct = p.kw("DISTINCT")
         if p.kw("*"):
-            proj = None
+            items = None
         else:
-            proj = []
-            while p.peek() is not None and p.peek().startswith("?"):
-                proj.append(p.next()[1:])
-            if not proj:
-                raise SparqlError("SELECT needs ?vars or *")
+            items = []
+            while True:
+                tok = p.peek()
+                if tok is None:
+                    break
+                if tok.startswith("?"):
+                    items.append(("var", p.next()[1:]))
+                elif tok == "(":
+                    p.next()
+                    func = p.next().upper()
+                    if func not in _AGG_FUNCS:
+                        raise SparqlError(
+                            f"unsupported aggregate {func!r} (supported: "
+                            f"{sorted(_AGG_FUNCS)})"
+                        )
+                    p.expect("(")
+                    agg_distinct = p.kw("DISTINCT")
+                    if p.kw("*"):
+                        if func != "COUNT" or agg_distinct:
+                            raise SparqlError(
+                                "'*' is only supported in COUNT(*)"
+                            )
+                        var = None
+                    else:
+                        v = p.next()
+                        if not v.startswith("?"):
+                            raise SparqlError(
+                                f"aggregate needs a ?var or *, got {v!r}"
+                            )
+                        var = v[1:]
+                    p.expect(")")
+                    p.expect("AS")
+                    alias_tok = p.next()
+                    if not alias_tok.startswith("?"):
+                        raise SparqlError("aggregate alias needs a ?name")
+                    alias = alias_tok[1:]
+                    if _INTERNAL.fullmatch(alias):
+                        raise SparqlError(
+                            f"?{alias} collides with internal variable slots"
+                        )
+                    p.expect(")")
+                    items.append(("agg", func, agg_distinct, var, alias))
+                else:
+                    break
+            if not items:
+                raise SparqlError("SELECT needs ?vars, aggregates, or *")
         p.expect("WHERE")
     p.expect("{")
     branches: list[dict] = []
@@ -392,6 +555,31 @@ def _parse(query: str) -> dict:
         p.expect("}")
     else:
         branches.append(_parse_block(p))
+    group: list[str] = []
+    if p.kw("GROUP"):
+        if form == "ask":
+            raise SparqlError("GROUP BY makes no sense under ASK")
+        p.expect("BY")
+        while p.peek() is not None and p.peek().startswith("?"):
+            group.append(p.next()[1:])
+        if not group:
+            raise SparqlError("empty GROUP BY")
+    having: list[tuple] = []
+    if p.kw("HAVING"):
+        if form == "ask":
+            raise SparqlError("HAVING makes no sense under ASK")
+        p.expect("(")
+        while True:
+            left = p.term()
+            op = p.next()
+            if op not in _OPS:
+                raise SparqlError(
+                    f"unsupported operator {op!r} in HAVING"
+                )
+            having.append((left, op, p.term()))
+            if not p.kw("&&"):
+                break
+        p.expect(")")
     order: list[tuple[str, bool]] = []
     if p.kw("ORDER"):
         p.expect("BY")
@@ -422,41 +610,54 @@ def _parse(query: str) -> dict:
     if p.peek() is not None:
         raise SparqlError(f"trailing tokens from {p.peek()!r}")
     return {
-        "form": form, "distinct": distinct, "proj": proj,
-        "branches": branches, "order": order, "limit": limit,
+        "form": form, "distinct": distinct, "items": items,
+        "branches": branches, "group": group, "having": having,
+        "order": order, "limit": limit,
     }
 
 
 def _expand_paths(triples: list[tuple]) -> list[list[tuple]]:
-    """Rewrite bounded-path predicates into per-length chains over
+    """Rewrite bounded-path and sequence predicates into chains over
     fresh internal node variables; returns the variant list (cartesian
-    across path patterns, capped at MAX_VARIANTS)."""
+    across path patterns, capped at MAX_VARIANTS). An inverted element
+    contributes the forward edge with swapped ends."""
     variants: list[list[tuple]] = [[]]
     fresh = [0]
 
-    def chain(s, pv, length, o):
+    def edge(a, pv, inv, b):
+        pr = _Term("const", pv)
+        return (b, pr, a) if inv else (a, pr, b)
+
+    def chain(s, elems, o):
+        """elems: list of (pred, inverted) walked left to right."""
         out = []
         prev = s
-        for step in range(length - 1):
+        for step, (pv, inv) in enumerate(elems[:-1]):
             mid = _Term("var", f"_path{fresh[0]}_{step}")
-            out.append((prev, _Term("const", pv), mid))
+            out.append(edge(prev, pv, inv, mid))
             prev = mid
-        out.append((prev, _Term("const", pv), o))
+        pv, inv = elems[-1]
+        out.append(edge(prev, pv, inv, o))
         return out
 
     for s, pr, o in triples:
         if pr.kind == "path":
-            pv, m, n = pr.value
+            pv, m, n, inv = pr.value
             new = []
             for variant in variants:
                 for length in range(m, n + 1):
-                    new.append(variant + chain(s, pv, length, o))
+                    new.append(
+                        variant + chain(s, [(pv, inv)] * length, o)
+                    )
                     fresh[0] += 1
             variants = new
             if len(variants) > MAX_VARIANTS:
                 raise SparqlError(
                     f"path expansion exceeds {MAX_VARIANTS} variants"
                 )
+        elif pr.kind == "seq":
+            variants = [v + chain(s, pr.value, o) for v in variants]
+            fresh[0] += 1
         else:
             variants = [v + [(s, pr, o)] for v in variants]
     return variants
@@ -612,6 +813,20 @@ def _compile_bgp(edges: DataFrame, triples: list[tuple]) -> DataFrame:
 def _compile_block(edges: DataFrame, block: dict) -> DataFrame:
     out = _compile_bgp(edges, block["triples"])
     bound = set(out.columns)
+    for vars_, rows in block["values"]:
+        # Inline data is a bag join on the shared variables; the tiny
+        # literal table is broadcast so the solutions never shuffle.
+        shared = [v for v in vars_ if v in bound]
+        if not shared:
+            raise SparqlError(
+                "VALUES must share at least one variable with the "
+                "patterns (a disjoint VALUES is a cross product)"
+            )
+        vdf = edges.sparkSession.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in vars_)
+        )
+        out = out.join(F.broadcast(vdf), on=shared, how="inner")
+        bound.update(vars_)
     for opt in block["optionals"]:
         sub = _compile_bgp(edges, opt)
         shared = [c for c in sub.columns if c in bound]
@@ -624,6 +839,16 @@ def _compile_block(edges: DataFrame, block: dict) -> DataFrame:
         bound.update(sub.columns)
     for s, pr, o in block["antis"]:
         out = _not_exists(out, edges, s, pr, o, bound)
+    for mn in block["minuses"]:
+        sub = _compile_bgp(edges, mn)
+        shared = [c for c in sub.columns if c in bound]
+        if not shared:
+            # SPARQL semantics: MINUS with a disjoint variable domain
+            # removes nothing (no binding is "compatible AND overlapping")
+            continue
+        out = out.join(
+            sub.select(*shared).distinct(), on=shared, how="left_anti"
+        )
     for var, want in block["bound_tests"]:
         if var not in bound:
             raise SparqlError(f"BOUND tests unknown variable ?{var}")
@@ -636,6 +861,28 @@ def _compile_block(edges: DataFrame, block: dict) -> DataFrame:
                 raise SparqlError(f"FILTER uses unbound variable ?{t.value}")
         out = out.where(_filter_col(left, op, right))
     return out
+
+
+def _agg_col(func: str, distinct: bool, var: "str | None") -> Column:
+    """One SELECT aggregate → a Spark aggregate column. SUM/AVG cast
+    to double (the engine's node domain is strings); MIN/MAX compare
+    lexically, matching SPARQL's behavior on plain literals."""
+    if func == "COUNT":
+        if var is None:
+            return F.count(F.lit(1))
+        return (
+            F.count_distinct(F.col(var)) if distinct else F.count(var)
+        )
+    if func in ("MIN", "MAX"):  # DISTINCT is a no-op for min/max
+        return F.min(var) if func == "MIN" else F.max(var)
+    col = F.col(var).cast("double")
+    if func == "SUM":
+        return F.sum_distinct(col) if distinct else F.sum(col)
+    # AVG: no avg_distinct builtin; var names are tokenizer-safe
+    # identifiers so the expr string cannot inject
+    if distinct:
+        return F.expr(f"avg(DISTINCT cast({var} AS double))")
+    return F.avg(col)
 
 
 def sparql_select(edges: DataFrame, query: str) -> DataFrame:
@@ -666,10 +913,62 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             (F.count(F.lit(1)) > 0).alias("ask")
         )
     bound = set(out.columns)
-    proj = parsed["proj"]
-    if proj is None:
-        proj = list(frames[0].columns)
+    items = parsed["items"]
+    group = parsed["group"]
+    aggs = [it for it in (items or []) if it[0] == "agg"]
+    if group or aggs:
+        if items is None:
+            raise SparqlError("SELECT * cannot be combined with GROUP BY")
+        plain = [it[1] for it in items if it[0] == "var"]
+        aliases = [it[4] for it in aggs]
+        for v in group:
+            if v not in bound:
+                raise SparqlError(f"GROUP BY on unbound variable ?{v}")
+        for v in plain:
+            if v not in group:
+                raise SparqlError(
+                    f"SELECT ?{v} must appear in GROUP BY when aggregating"
+                )
+        for _, func, _, var, alias in aggs:
+            if var is not None and var not in bound:
+                raise SparqlError(
+                    f"{func} aggregates unbound variable ?{var}"
+                )
+        names = [it[1] if it[0] == "var" else it[4] for it in items]
+        if len(set(names)) != len(names) or set(aliases) & bound:
+            raise SparqlError(
+                "aggregate aliases must be unique and must not shadow "
+                "pattern variables"
+            )
+        if aggs:
+            gb = out.groupBy(*group) if group else out.groupBy()
+            out = gb.agg(
+                *[
+                    _agg_col(func, dist, var).alias(alias)
+                    for _, func, dist, var, alias in aggs
+                ]
+            )
+        else:
+            # GROUP BY with no aggregates = the distinct group keys
+            out = out.select(*group).distinct()
+        visible = set(group) | set(aliases)
+        for left, op, right in parsed["having"]:
+            for t in (left, right):
+                if t.kind == "var" and t.value not in visible:
+                    raise SparqlError(
+                        f"HAVING uses ?{t.value}, which is neither a "
+                        "group key nor an aggregate alias"
+                    )
+            out = out.where(_filter_col(left, op, right))
+        proj = names
     else:
+        if parsed["having"]:
+            raise SparqlError("HAVING requires GROUP BY or aggregates")
+        proj = (
+            list(frames[0].columns)
+            if items is None
+            else [it[1] for it in items]
+        )
         missing = [v for v in proj if v not in bound]
         if missing:
             raise SparqlError(f"SELECT projects unbound variables {missing}")

@@ -340,3 +340,155 @@ def test_path_and_optional_compose(spark):
         ).collect()
     }
     assert got == {("dave2", None)}
+
+
+def test_aggregates_group_by(spark):
+    e = _edges(spark, GRAPH)
+    got = sorted(map(tuple, sparql_select(
+        e,
+        "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x works_at ?c } GROUP BY ?c",
+    ).collect()))
+    assert got == [("acme", 2), ("globex", 1)]
+    # global aggregate (no GROUP BY), two aggregates, COUNT(*)
+    row = sparql_select(
+        e,
+        "SELECT (COUNT(*) AS ?n) (MIN(?x) AS ?lo) WHERE { ?x knows ?y }",
+    ).collect()[0]
+    assert (row["n"], row["lo"]) == (4, "alice")
+    # COUNT(DISTINCT ?v)
+    assert sparql_select(
+        e, "SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?x works_at ?c }"
+    ).collect()[0]["n"] == 2
+    # GROUP BY with no aggregates = distinct group keys
+    keys = sorted(r["c"] for r in sparql_select(
+        e, "SELECT ?c WHERE { ?x works_at ?c } GROUP BY ?c"
+    ).collect())
+    assert keys == ["acme", "globex"]
+
+
+def test_having_and_order_on_alias(spark):
+    e = _edges(spark, GRAPH)
+    got = sparql_select(
+        e,
+        "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x works_at ?c } "
+        "GROUP BY ?c HAVING (?n >= 2)",
+    ).collect()
+    assert [(r["c"], r["n"]) for r in got] == [("acme", 2)]
+    # ORDER BY the aggregate alias
+    ordered = sparql_select(
+        e,
+        "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x works_at ?c } "
+        "GROUP BY ?c ORDER BY DESC(?n)",
+    ).collect()
+    assert [r["c"] for r in ordered] == ["acme", "globex"]
+
+
+def test_sum_avg_cast_to_double(spark):
+    e = _edges(spark, [
+        ("alice", "scored", "3"), ("alice", "scored", "5"),
+        ("bob", "scored", "10"),
+    ])
+    got = {
+        r["x"]: (r["s"], r["a"])
+        for r in sparql_select(
+            e,
+            "SELECT ?x (SUM(?v) AS ?s) (AVG(?v) AS ?a) "
+            "WHERE { ?x scored ?v } GROUP BY ?x",
+        ).collect()
+    }
+    assert got == {"alice": (8.0, 4.0), "bob": (10.0, 10.0)}
+
+
+def test_values_inline_data(spark):
+    e = _edges(spark, GRAPH)
+    got = sorted(map(tuple, sparql_select(
+        e,
+        "SELECT ?x ?c WHERE { ?x works_at ?c . VALUES ?x { alice carol } }",
+    ).collect()))
+    assert got == [("alice", "acme"), ("carol", "globex")]
+    # multi-var form constrains the tuple jointly
+    got2 = sorted(map(tuple, sparql_select(
+        e,
+        "SELECT ?x ?c WHERE { ?x works_at ?c . "
+        "VALUES (?x ?c) { (alice acme) (carol acme) } }",
+    ).collect()))
+    assert got2 == [("alice", "acme")]
+
+
+def test_minus(spark):
+    e = _edges(spark, GRAPH)
+    got = sorted(r["x"] for r in sparql_select(
+        e, "SELECT ?x WHERE { ?x knows ?y . MINUS { ?x works_at globex } }"
+    ).collect())
+    assert got == ["alice", "bob", "dave"]  # carol removed
+    # spec semantics: a MINUS sharing no variables removes nothing
+    n = sparql_select(
+        e, "SELECT ?x WHERE { ?x knows ?y . MINUS { ?a works_at ?b } }"
+    ).count()
+    assert n == 4
+
+
+def test_inverse_and_sequence_paths(spark):
+    e = _edges(spark, GRAPH)
+    # ^works_at from acme = its employees
+    got = sorted(r["x"] for r in sparql_select(
+        e, "SELECT ?x WHERE { acme ^works_at ?x }"
+    ).collect())
+    assert got == ["alice", "bob"]
+    # sequence: alice's employer's type
+    assert [r["t"] for r in sparql_select(
+        e, "SELECT ?t WHERE { alice works_at/is_a ?t }"
+    ).collect()] == ["company"]
+    # sequence with an inverted element: bob knows carol; who knows
+    # carol -> bob (homomorphic: z may equal the start)
+    assert [r["z"] for r in sparql_select(
+        e, "SELECT ?z WHERE { bob knows/^knows ?z }"
+    ).collect()] == ["bob"]
+    # inverted bounded quantifier: two knows-edges walked backwards
+    assert [r["z"] for r in sparql_select(
+        e, "SELECT ?z WHERE { carol ^knows{2,2} ?z }"
+    ).collect()] == ["alice"]
+
+
+def test_triple_list_sugar(spark):
+    e = _edges(spark, GRAPH)
+    # ';' repeats the subject
+    got = sorted(map(tuple, sparql_select(
+        e, "SELECT ?o ?c WHERE { alice knows ?o ; works_at ?c . }"
+    ).collect()))
+    assert got == [("bob", "acme")]
+    # ',' repeats subject+predicate: x works_at acme AND works_at ?c
+    got2 = sorted(r["x"] for r in sparql_select(
+        e, "SELECT ?x WHERE { ?x works_at acme , ?c . }"
+    ).collect())
+    assert got2 == ["alice", "bob"]
+
+
+def test_aggregate_rejections(spark):
+    e = _edges(spark, GRAPH)
+    bad = [
+        # projected var not a group key
+        "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x knows ?y }",
+        # * with GROUP BY
+        "SELECT * WHERE { ?x knows ?y } GROUP BY ?x",
+        # HAVING without aggregation
+        "SELECT ?x WHERE { ?x knows ?y } HAVING (?x = alice)",
+        # GROUP BY under ASK
+        "ASK { ?x knows ?y } GROUP BY ?x",
+        # unknown aggregate
+        "SELECT (MEDIAN(?y) AS ?n) WHERE { ?x knows ?y }",
+        # alias shadows a pattern variable
+        "SELECT (COUNT(?y) AS ?x) WHERE { ?x knows ?y } GROUP BY ?x",
+        # HAVING on a non-visible variable
+        "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x works_at ?c } "
+        "GROUP BY ?c HAVING (?x = alice)",
+        # VALUES sharing no variable (cross product)
+        "SELECT ?x WHERE { ?x knows ?y . VALUES ?z { a } }",
+        # UNDEF rejected
+        "SELECT ?x WHERE { ?x knows ?y . VALUES ?x { UNDEF } }",
+        # variable predicate cannot be inverted
+        "SELECT ?x WHERE { ?x ^?p ?y }",
+    ]
+    for q in bad:
+        with pytest.raises(SparqlError):
+            sparql_select(e, q)
