@@ -200,19 +200,15 @@ def q6_forecast_revenue(spark, sf_dir):
     )
 
 
-_register(
-    "q6_forecast_revenue",
-    q6_forecast_revenue,
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate <  TIMESTAMP '1997-01-01'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-)
+# q6_forecast_revenue: oracle DEMOTED r05 session-4 (driver-green
+# r01–r04; rotation policy — see the rotation ledger). Weakest evidence
+# of the relational set (single-row result; q1/q3/q4/q5/q17 keep the
+# family driver-covered); the pushdown plan pin (docs/PLANS.md /
+# tests/test_plans.py) and a dedicated DuckDB mirror
+# (tests/test_entry_contract.py ROTATION_MIRRORS) are retained.
+# Registered rows-only at the end of this module; slot goes to
+# kg_sparql_analytics — first driver oracle for the SPARQL aggregate
+# compiler path (GROUP BY / HAVING / COUNT DISTINCT).
 
 
 def q4_priority_exists(spark, sf_dir):
@@ -2205,6 +2201,52 @@ _register(
 )
 
 
+# the SPARQL text under the analytics oracle: the aggregate compiler
+# path — a 2-hop BGP lowered to equi-joins, GROUP BY on a node
+# variable, COUNT(*) / COUNT(DISTINCT ?v) / MIN(?v) lowered to ONE
+# hash aggregate with map-side partials, and a HAVING gate on an
+# aggregate alias
+_SPARQL_ANALYTICS_UNDER_ORACLE = """
+    SELECT ?r (COUNT(*) AS ?n_cust) (COUNT(DISTINCT ?n) AS ?n_nations)
+           (MIN(?c) AS ?first_cust)
+    WHERE {
+      ?c cust_from ?n .
+      ?n in_region ?r .
+    }
+    GROUP BY ?r
+    HAVING (?n_cust >= 10)
+"""
+
+
+def kg_sparql_analytics(spark, sf_dir):
+    """The SPARQL aggregate path (naruhodo_spark/sparql.py — SPARQL 1.1
+    §11 GROUP BY / HAVING / set functions) driver-oracled end-to-end on
+    the TPC-H geo graph: per region, the customer count, distinct
+    nation count, and lexicographic-min customer over the
+    cust_from→in_region 2-hop, gated by a HAVING on the count alias.
+    The DuckDB mirror is the equivalent relational aggregate."""
+    from naruhodo_spark.sparql import sparql_select
+
+    return sparql_select(
+        _tpch_geo_edges(spark, sf_dir), _SPARQL_ANALYTICS_UNDER_ORACLE
+    )
+
+
+_register(
+    "kg_sparql_analytics",
+    kg_sparql_analytics,
+    """
+    SELECT 'r:' || n_regionkey AS r,
+           COUNT(*) AS n_cust,
+           COUNT(DISTINCT 'n:' || c_nationkey) AS n_nations,
+           MIN('c:' || c_custkey) AS first_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    HAVING COUNT(*) >= 10
+    """,
+)
+
+
 def kg_top_facts(spark, sf_dir):
     """Predicate-diverse entity summarization
     (operators/graphstats.top_facts) driver-oracled on an orders-derived
@@ -2291,6 +2333,13 @@ _register(
 #        sim_topk_ivf's confirm stage + exact pytest mirror) ->
 #        kg_top_facts (predicate-diverse entity summarization,
 #        operators/graphstats.top_facts).
+#   r05 session-4: q6_forecast_revenue (green r01-r04; single-row
+#        pure-pushdown query — weakest evidence of the relational set;
+#        keeps its plan pin + a dedicated DuckDB mirror in
+#        tests/test_entry_contract.py ROTATION_MIRRORS) ->
+#        kg_sparql_analytics (the SPARQL aggregate compiler path:
+#        GROUP BY / HAVING / COUNT DISTINCT / MIN over the TPC-H geo
+#        graph — the sparql.py surface kg_sparql_select does not cover).
 # =====================================================================
 
 _register(
@@ -3988,5 +4037,7 @@ for _n, _f in [
     ("time_hourly_window", time_hourly_window),
     ("agg_grouping_sets", agg_grouping_sets),
     ("kg_temporal_asof_diff", kg_temporal_asof_diff),
+    # --- r05 session-4 rotation (same policy)
+    ("q6_forecast_revenue", q6_forecast_revenue),
 ]:
     _register(_n, _f)

@@ -27,6 +27,22 @@ TABLES = [
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
+# Demoted-from-the-driver-window queries that keep an exact DuckDB
+# mirror HERE (rotation policy, queries.py ledger): same comparison as
+# test_oracle_match, just not competing for one of the driver's 50
+# verified slots.
+ROTATION_MIRRORS = {
+    "q6_forecast_revenue": """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+}
+
 
 @pytest.fixture(scope="module")
 def ddb():
@@ -70,6 +86,11 @@ def test_all_queries_have_callables():
     assert len(QUERIES) >= 30
     for name in ORACLES:
         assert name in QUERIES
+    # a rotation mirror for a still-oracled query would double-test it
+    # under one id — the demotion must land with the mirror
+    assert not set(ROTATION_MIRRORS) & set(ORACLES)
+    for name in ROTATION_MIRRORS:
+        assert name in QUERIES
 
 
 def test_all_oracled_queries_inside_driver_window():
@@ -82,11 +103,14 @@ def test_all_oracled_queries_inside_driver_window():
     assert [n for n in first50 if n not in ORACLES] == []
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize(
+    "name", sorted(ORACLES) + sorted(ROTATION_MIRRORS)
+)
 def test_oracle_match(spark, ddb, name):
+    oracle = ORACLES.get(name) or ROTATION_MIRRORS[name]
     sdf = QUERIES[name](spark, SF_DIR)
     spark_pdf = sdf.toPandas()
-    duck_pdf = ddb.execute(ORACLES[name]).df()
+    duck_pdf = ddb.execute(oracle).df()
 
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: column mismatch {list(spark_pdf.columns)} vs"
