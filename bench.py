@@ -210,6 +210,10 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_inferred_edges",
         "kg_sparql_select",
         "kg_top_facts",
+        # added r05 session-4 (query-set change — not like-for-like vs
+        # earlier totals)
+        "kg_sparql_analytics",
+        "kg_sparql_construct",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

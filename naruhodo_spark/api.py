@@ -363,12 +363,29 @@ class parser:  # noqa: N801 — name mirrors the reference API
         return RU.mine_path_rules(self._ksg_edges(), **kw)
 
     def sparql(self, query: str) -> DataFrame:
-        """Run a SPARQL SELECT (BGP + FILTER / NOT EXISTS / DISTINCT /
-        ORDER BY / LIMIT subset — naruhodo_spark/sparql.py) over this
-        graph's edges; one column per projected variable."""
-        from naruhodo_spark.sparql import sparql_select
+        """Run a SPARQL query (the naruhodo_spark/sparql.py subset)
+        over this graph's edges, dispatched on the query form: SELECT/
+        ASK → one column per projected variable (or one ``ask`` row);
+        CONSTRUCT → the constructed DISTINCT (src, pred, dst) graph;
+        DESCRIBE → all edges incident to the named nodes."""
+        from naruhodo_spark import sparql as S
 
-        return sparql_select(self._ksg_edges(), query)
+        # form keyword = first SELECT/ASK/CONSTRUCT/DESCRIBE token
+        # after any PREFIX declarations (each is 3 tokens: PREFIX,
+        # name-colon, <iri> — none of which collide with the forms)
+        form = next(
+            (
+                t.upper()
+                for t in query.split()
+                if t.upper() in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
+            ),
+            "SELECT",
+        )
+        if form == "CONSTRUCT":
+            return S.sparql_construct(self._ksg_edges(), query)
+        if form == "DESCRIBE":
+            return S.sparql_describe(self._ksg_edges(), query)
+        return S.sparql_select(self._ksg_edges(), query)
 
     def complete(self, rules: "DataFrame | None" = None, **kw) -> DataFrame:
         """(subj, pred, obj, confidence, n_rules) — rule-based KG

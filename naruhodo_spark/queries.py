@@ -2247,6 +2247,29 @@ _register(
 )
 
 
+def kg_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (naruhodo_spark/sparql.py sparql_construct —
+    SPARQL 1.1 §16.2 graph templates) over the TPC-H geo graph: derive
+    a bidirectional customer↔region graph from the cust_from→in_region
+    2-hop, skipping c:1. Template instantiation is map-only above the
+    WHERE joins; the result graph is DISTINCT by construction. Exact
+    DuckDB mirror in tests/test_entry_contract.py EXTRA_MIRRORS
+    (rows-only — the driver window is full; mirror is driver-identical)."""
+    from naruhodo_spark.sparql import sparql_construct
+
+    return sparql_construct(
+        _tpch_geo_edges(spark, sf_dir),
+        """
+        CONSTRUCT { ?c in_region_via ?r . ?r has_customer ?c }
+        WHERE {
+          ?c cust_from ?n .
+          ?n in_region ?r .
+          FILTER (?c != "c:1")
+        }
+        """,
+    )
+
+
 def kg_top_facts(spark, sf_dir):
     """Predicate-diverse entity summarization
     (operators/graphstats.top_facts) driver-oracled on an orders-derived
@@ -4039,5 +4062,7 @@ for _n, _f in [
     ("kg_temporal_asof_diff", kg_temporal_asof_diff),
     # --- r05 session-4 rotation (same policy)
     ("q6_forecast_revenue", q6_forecast_revenue),
+    # --- r05 session-4 new surfaces (rows-only + exact pytest mirrors)
+    ("kg_sparql_construct", kg_sparql_construct),
 ]:
     _register(_n, _f)

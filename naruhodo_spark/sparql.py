@@ -57,6 +57,19 @@ Supported subset (documented, loudly rejected otherwise):
   variables are existential ('no such edge to anything'); at least one
   bound variable is required.
 - ``ORDER BY (ASC|DESC)?(?v) …`` and ``LIMIT n``.
+- ``CONSTRUCT { template } WHERE { … }`` (via ``sparql_construct``) —
+  the template is plain triple patterns (``;``/``,`` sugar, ``a``
+  keyword; no paths, no blank nodes) instantiated once per WHERE
+  solution; rows with an unbound OPTIONAL variable emit nothing for
+  the templates referencing it (SPARQL 1.1 §16.2), and the result is
+  an RDF *graph*, i.e. a DISTINCT (src, pred, dst) DataFrame. Solution
+  modifiers (GROUP BY / HAVING / ORDER BY / LIMIT / DISTINCT) are
+  rejected under CONSTRUCT — the graph is already a set, and a LIMIT
+  over an unordered solution bag would be nondeterministic.
+- ``DESCRIBE node [node …]`` (via ``sparql_describe``) — constants
+  only, no WHERE form: the bounded Concise-Bounded-Description this
+  engine defines as all edges incident to the named nodes, one
+  pushdown-friendly ``isin`` filter over the edge table.
 
 SPARQL semantics kept faithfully: solutions are HOMOMORPHIC (two
 variables may bind the same node — ``distinct_nodes=False``), bag
@@ -205,7 +218,7 @@ class _Parser:
             "SELECT", "ASK", "WHERE", "FILTER", "NOT", "EXISTS",
             "DISTINCT", "ORDER", "BY", "LIMIT", "ASC", "DESC", "PREFIX",
             "OPTIONAL", "UNION", "BOUND", "GROUP", "HAVING", "VALUES",
-            "MINUS", "AS", "UNDEF",
+            "MINUS", "AS", "UNDEF", "CONSTRUCT", "DESCRIBE",
         ):
             raise SparqlError(f"expected a term, got {tok!r}")
         return _Term("const", tok)
@@ -346,6 +359,35 @@ def _parse_triple_group(p: _Parser, out: list) -> None:
     p.kw(".")
 
 
+def _parse_template_group(p: _Parser, out: list) -> None:
+    """One subject's CONSTRUCT-template patterns: same ``;``/``,``
+    sugar as a WHERE group, but every slot must be a plain variable or
+    constant — paths, alternations, and inverse predicates have no
+    meaning in a template and the plain ``term()`` parser rejects
+    their operator tokens. Consumes a trailing ``.`` if any."""
+
+    def slot() -> _Term:
+        t = p.term()
+        if t.kind == "num":
+            # normalize like VALUES: integers without the trailing .0
+            v = float(t.value)
+            return _Term(
+                "const", str(int(v)) if v.is_integer() else str(v)
+            )
+        return t
+
+    s = slot()
+    while True:
+        pr = slot()
+        while True:
+            out.append((s, pr, slot()))
+            if not p.kw(","):
+                break
+        if not p.kw(";"):
+            break
+    p.kw(".")
+
+
 def _values_const(p: _Parser) -> str:
     """One VALUES datum: a constant or number (normalized the same way
     node lowering normalizes — integers without the trailing .0)."""
@@ -471,8 +513,31 @@ def _parse(query: str) -> dict:
         p.prefixes[name] = iri[1:-1]
     distinct = False
     items: "list[tuple] | None" = None
+    template: list[tuple] = []
     if p.kw("ASK"):
         form = "ask"
+    elif p.kw("DESCRIBE"):
+        # constants-only form; no WHERE block follows
+        nodes: list[str] = []
+        while p.peek() is not None:
+            t = p.term()
+            if t.kind != "const":
+                raise SparqlError(
+                    "DESCRIBE takes constant nodes only (no ?vars/WHERE)"
+                )
+            nodes.append(str(t.value))
+        if not nodes:
+            raise SparqlError("DESCRIBE needs at least one node")
+        return {"form": "describe", "nodes": nodes}
+    elif p.kw("CONSTRUCT"):
+        form = "construct"
+        p.expect("{")
+        while p.peek() is not None and p.peek() != "}":
+            _parse_template_group(p, template)
+        p.expect("}")
+        if not template:
+            raise SparqlError("CONSTRUCT needs at least one template triple")
+        p.expect("WHERE")
     else:
         p.expect("SELECT")
         form = "select"
@@ -557,8 +622,10 @@ def _parse(query: str) -> dict:
         branches.append(_parse_block(p))
     group: list[str] = []
     if p.kw("GROUP"):
-        if form == "ask":
-            raise SparqlError("GROUP BY makes no sense under ASK")
+        if form != "select":
+            raise SparqlError(
+                f"GROUP BY makes no sense under {form.upper()}"
+            )
         p.expect("BY")
         while p.peek() is not None and p.peek().startswith("?"):
             group.append(p.next()[1:])
@@ -566,8 +633,10 @@ def _parse(query: str) -> dict:
             raise SparqlError("empty GROUP BY")
     having: list[tuple] = []
     if p.kw("HAVING"):
-        if form == "ask":
-            raise SparqlError("HAVING makes no sense under ASK")
+        if form != "select":
+            raise SparqlError(
+                f"HAVING makes no sense under {form.upper()}"
+            )
         p.expect("(")
         while True:
             left = p.term()
@@ -582,6 +651,11 @@ def _parse(query: str) -> dict:
         p.expect(")")
     order: list[tuple[str, bool]] = []
     if p.kw("ORDER"):
+        if form == "construct":
+            raise SparqlError(
+                "ORDER BY under CONSTRUCT is not supported — the result "
+                "is a distinct graph, not a solution sequence"
+            )
         p.expect("BY")
         while True:
             tok = p.peek()
@@ -603,6 +677,11 @@ def _parse(query: str) -> dict:
             raise SparqlError("empty ORDER BY")
     limit = None
     if p.kw("LIMIT"):
+        if form == "construct":
+            raise SparqlError(
+                "LIMIT under CONSTRUCT is not supported — it would pick "
+                "a nondeterministic subset of an unordered solution bag"
+            )
         tok = p.next()
         if not re.fullmatch(r"[0-9]+", tok):
             raise SparqlError(f"LIMIT needs an integer, got {tok!r}")
@@ -612,7 +691,7 @@ def _parse(query: str) -> dict:
     return {
         "form": form, "distinct": distinct, "items": items,
         "branches": branches, "group": group, "having": having,
-        "order": order, "limit": limit,
+        "order": order, "limit": limit, "template": template,
     }
 
 
@@ -885,12 +964,10 @@ def _agg_col(func: str, distinct: bool, var: "str | None") -> Column:
     return F.avg(col)
 
 
-def sparql_select(edges: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL SELECT or ASK (subset above) over an edge DataFrame
-    with (src, pred, dst) columns — or a KSG table with (subj, pred,
-    obj), renamed via the same edge_target contract as the motif
-    engine. Returns one column per projected variable (SELECT) or one
-    boolean ``ask`` row (ASK)."""
+def _as_edges(edges: DataFrame) -> DataFrame:
+    """Accept (src, pred, dst) directly, or a KSG table with (subj,
+    pred, obj) renamed via the same edge_target contract as the motif
+    engine."""
     if "subj" in edges.columns and "src" not in edges.columns:
         from naruhodo_spark.operators.agg import edge_target
 
@@ -898,7 +975,21 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             F.col("subj").alias("src"), "pred",
             edge_target().alias("dst"),
         )
+    return edges
+
+
+def sparql_select(edges: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL SELECT or ASK (subset above) over an edge DataFrame
+    with (src, pred, dst) columns — or a KSG table with (subj, pred,
+    obj), renamed via the same edge_target contract as the motif
+    engine. Returns one column per projected variable (SELECT) or one
+    boolean ``ask`` row (ASK)."""
+    edges = _as_edges(edges)
     parsed = _parse(query)
+    if parsed["form"] == "construct":
+        raise SparqlError("CONSTRUCT queries go through sparql_construct")
+    if parsed["form"] == "describe":
+        raise SparqlError("DESCRIBE queries go through sparql_describe")
     frames = [_compile_block(edges, b) for b in parsed["branches"]]
     var_sets = [tuple(sorted(f.columns)) for f in frames]
     if len(set(var_sets)) > 1:
@@ -985,3 +1076,83 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     if parsed["limit"] is not None:
         out = out.limit(parsed["limit"])
     return out
+
+
+def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL ``CONSTRUCT { template } WHERE { … }`` (subset
+    above) over an edge DataFrame and return the constructed graph as
+    a DISTINCT (src, pred, dst) DataFrame.
+
+    Semantics (SPARQL 1.1 §16.2): the template is instantiated once
+    per WHERE solution; a template triple whose variable is unbound in
+    a solution (OPTIONAL miss) contributes nothing for that solution;
+    the results across template triples and solutions union into a
+    set. Scale shape: the WHERE block is the same equi-join chain as
+    SELECT; each template triple is ONE map-only projection of the
+    solution frame; the final distinct is one hash aggregate on the
+    uniform (src, pred, dst) key — no new join surfaces."""
+    edges = _as_edges(edges)
+    parsed = _parse(query)
+    if parsed["form"] != "construct":
+        raise SparqlError(
+            f"sparql_construct needs a CONSTRUCT query, got "
+            f"{parsed['form'].upper()} — use sparql_select/sparql_describe"
+        )
+    frames = [_compile_block(edges, b) for b in parsed["branches"]]
+    var_sets = [tuple(sorted(f.columns)) for f in frames]
+    if len(set(var_sets)) > 1:
+        raise SparqlError(
+            f"UNION branches bind different variables: {sorted(set(var_sets))}"
+        )
+    sols = frames[0]
+    for f in frames[1:]:
+        sols = sols.unionByName(f)
+    bound = set(sols.columns)
+    tmpl_vars = {
+        t.value
+        for triple in parsed["template"]
+        for t in triple
+        if t.kind == "var"
+    }
+    missing = sorted(tmpl_vars - bound)
+    if missing:
+        raise SparqlError(
+            f"CONSTRUCT template uses unbound variables {missing}"
+        )
+
+    def slot_col(t: _Term) -> Column:
+        return F.col(t.value) if t.kind == "var" else F.lit(str(t.value))
+
+    out = None
+    for s, pr, o in parsed["template"]:
+        row = sols.select(
+            slot_col(s).alias("src"),
+            slot_col(pr).alias("pred"),
+            slot_col(o).alias("dst"),
+        )
+        out = row if out is None else out.unionByName(row)
+    # an unbound OPTIONAL variable nulls its slot — that solution emits
+    # nothing for this template triple (spec: the triple is dropped)
+    return out.where(
+        F.col("src").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("dst").isNotNull()
+    ).distinct()
+
+
+def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
+    """Run ``DESCRIBE node [node …]`` (constants only) and return this
+    engine's bounded Concise-Bounded-Description: every edge incident
+    to any named node, as (src, pred, dst). One isin filter Catalyst
+    pushes into the edge scan — map-only at any graph size."""
+    edges = _as_edges(edges)
+    parsed = _parse(query)
+    if parsed["form"] != "describe":
+        raise SparqlError(
+            f"sparql_describe needs a DESCRIBE query, got "
+            f"{parsed['form'].upper()}"
+        )
+    nodes = parsed["nodes"]
+    return edges.select("src", "pred", "dst").where(
+        F.col("src").isin(nodes) | F.col("dst").isin(nodes)
+    )

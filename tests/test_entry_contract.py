@@ -27,6 +27,26 @@ TABLES = [
 ORACLES = entry_mod.oracle_sql()
 QUERIES = entry_mod.queries()
 
+# Never-oracled rows-only surfaces that nonetheless have an exact
+# ANSI-SQL twin: mirrored HERE with the identical driver-style
+# comparison (the 50-slot driver window is full; this is the same
+# evidence, minus the driver's independent execution).
+EXTRA_MIRRORS = {
+    "kg_sparql_construct": """
+    WITH sols AS (
+      SELECT 'c:' || c_custkey   AS c,
+             'r:' || n_regionkey AS r
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE 'c:' || c_custkey <> 'c:1'
+    )
+    SELECT DISTINCT src, pred, dst FROM (
+      SELECT c AS src, 'in_region_via' AS pred, r AS dst FROM sols
+      UNION ALL
+      SELECT r AS src, 'has_customer' AS pred, c AS dst FROM sols
+    )
+    """,
+}
+
 # Demoted-from-the-driver-window queries that keep an exact DuckDB
 # mirror HERE (rotation policy, queries.py ledger): same comparison as
 # test_oracle_match, just not competing for one of the driver's 50
@@ -86,10 +106,10 @@ def test_all_queries_have_callables():
     assert len(QUERIES) >= 30
     for name in ORACLES:
         assert name in QUERIES
-    # a rotation mirror for a still-oracled query would double-test it
+    # a pytest mirror for a still-oracled query would double-test it
     # under one id — the demotion must land with the mirror
-    assert not set(ROTATION_MIRRORS) & set(ORACLES)
-    for name in ROTATION_MIRRORS:
+    assert not (set(ROTATION_MIRRORS) | set(EXTRA_MIRRORS)) & set(ORACLES)
+    for name in (*ROTATION_MIRRORS, *EXTRA_MIRRORS):
         assert name in QUERIES
 
 
@@ -104,10 +124,13 @@ def test_all_oracled_queries_inside_driver_window():
 
 
 @pytest.mark.parametrize(
-    "name", sorted(ORACLES) + sorted(ROTATION_MIRRORS)
+    "name",
+    sorted(ORACLES) + sorted(ROTATION_MIRRORS) + sorted(EXTRA_MIRRORS),
 )
 def test_oracle_match(spark, ddb, name):
-    oracle = ORACLES.get(name) or ROTATION_MIRRORS[name]
+    oracle = (
+        ORACLES.get(name) or ROTATION_MIRRORS.get(name) or EXTRA_MIRRORS[name]
+    )
     sdf = QUERIES[name](spark, SF_DIR)
     spark_pdf = sdf.toPandas()
     duck_pdf = ddb.execute(oracle).df()

@@ -492,3 +492,149 @@ def test_aggregate_rejections(spark):
     for q in bad:
         with pytest.raises(SparqlError):
             sparql_select(e, q)
+
+
+def test_construct_basic_and_set_semantics(spark):
+    """CONSTRUCT instantiates every template triple per solution and
+    returns a GRAPH (set): duplicate instantiations collapse."""
+    from naruhodo_spark.sparql import sparql_construct
+
+    e = _edges(spark, GRAPH)
+    g = sparql_construct(
+        e,
+        "CONSTRUCT { ?x colleague_of ?y . ?x a employee } "
+        "WHERE { ?x works_at ?c . ?y works_at ?c . FILTER (?x != ?y) }",
+    )
+    got = sorted(map(tuple, g.collect()))
+    assert got == [
+        ("alice", "colleague_of", "bob"),
+        ("alice", "is_a", "employee"),
+        ("bob", "colleague_of", "alice"),
+        ("bob", "is_a", "employee"),
+    ]
+
+
+def test_construct_template_sugar_and_constants(spark):
+    """';'/',' sugar and constant subjects/objects in the template."""
+    from naruhodo_spark.sparql import sparql_construct
+
+    e = _edges(spark, GRAPH)
+    g = sparql_construct(
+        e,
+        'CONSTRUCT { ?c org ?x , "hq" ; size 2 } '
+        "WHERE { ?x works_at ?c . FILTER (?c = acme) }",
+    )
+    got = sorted(map(tuple, g.collect()))
+    assert got == [
+        ("acme", "org", "alice"),
+        ("acme", "org", "bob"),
+        ("acme", "org", "hq"),
+        ("acme", "size", "2"),
+    ]
+
+
+def test_construct_optional_unbound_drops_triple(spark):
+    """A template triple over an unbound OPTIONAL variable emits
+    nothing for that solution; sibling template triples still emit
+    (SPARQL 1.1 §16.2)."""
+    from naruhodo_spark.sparql import sparql_construct
+
+    e = _edges(
+        spark,
+        [("alice", "knows", "bob"), ("bob", "knows", "carol"),
+         ("alice", "in", "tokyo")],
+    )
+    g = sparql_construct(
+        e,
+        "CONSTRUCT { ?x located ?c . ?x a person } "
+        "WHERE { ?x knows ?y . OPTIONAL { ?x in ?c } }",
+    )
+    got = sorted(map(tuple, g.collect()))
+    assert got == [
+        ("alice", "is_a", "person"),
+        ("alice", "located", "tokyo"),
+        ("bob", "is_a", "person"),
+    ]
+
+
+def test_construct_union_where(spark):
+    from naruhodo_spark.sparql import sparql_construct
+
+    e = _edges(spark, GRAPH)
+    g = sparql_construct(
+        e,
+        "CONSTRUCT { ?x linked ?y } WHERE "
+        "{ { ?x knows ?y } UNION { ?x works_at ?y } }",
+    )
+    assert g.count() == len(GRAPH) - 2  # the two is_a edges don't match
+    assert g.columns == ["src", "pred", "dst"]
+
+
+def test_construct_map_only_above_solutions(spark):
+    """Template instantiation adds NO shuffle beyond the WHERE joins +
+    the final distinct: exactly the WHERE-chain joins appear, and no
+    extra Exchange beyond union→distinct's single hash aggregate."""
+    from naruhodo_spark.sparql import sparql_construct
+
+    e = _edges(spark, GRAPH)
+    g = sparql_construct(
+        e, "CONSTRUCT { ?x p1 ?y . ?y p2 ?x } WHERE { ?x knows ?y }"
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    # one distinct over the unioned projections = one pair of
+    # HashAggregates; the single-pattern WHERE has no join at all
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 4  # partial+final, pre/post-Exchange
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "CONSTRUCT { ?x p ?z } WHERE { ?x knows ?y }",  # unbound template var
+        "CONSTRUCT { } WHERE { ?x knows ?y }",  # empty template
+        "CONSTRUCT { ?x p ?y } WHERE { ?x knows ?y } LIMIT 2",
+        "CONSTRUCT { ?x p ?y } WHERE { ?x knows ?y } ORDER BY ?x",
+        "CONSTRUCT { ?x p ?y } WHERE { ?x knows ?y } GROUP BY ?x",
+        "CONSTRUCT { ?x knows{1,2} ?y } WHERE { ?x knows ?y }",  # path in tmpl
+        "SELECT ?x WHERE { ?x knows ?y }",  # wrong form for construct
+    ],
+)
+def test_construct_rejections(spark, bad):
+    from naruhodo_spark.sparql import sparql_construct
+
+    with pytest.raises((SparqlError, ValueError)):
+        sparql_construct(_edges(spark, GRAPH), bad).collect()
+
+
+def test_describe(spark):
+    from naruhodo_spark.sparql import sparql_describe
+
+    e = _edges(spark, GRAPH)
+    got = sorted(map(tuple, sparql_describe(e, "DESCRIBE acme").collect()))
+    assert got == [
+        ("acme", "is_a", "company"),
+        ("alice", "works_at", "acme"),
+        ("bob", "works_at", "acme"),
+    ]
+    two = sparql_describe(e, "DESCRIBE acme globex")
+    assert two.count() == 5
+    with pytest.raises(SparqlError):
+        sparql_describe(e, "DESCRIBE")
+    with pytest.raises(SparqlError):
+        sparql_describe(e, "SELECT ?x WHERE { ?x knows ?y }")
+
+
+def test_facade_sparql_dispatch(spark):
+    """parser.sparql() dispatches on the query form keyword, including
+    after PREFIX declarations."""
+    from naruhodo_spark.api import parser
+
+    p = parser(spark, lang="en").add_all(
+        ["alice visits bob.", "bob visits carol."]
+    )
+    g = p.sparql("CONSTRUCT { ?x visited_by ?y } WHERE { ?y visit ?x }")
+    assert ("bob", "visited_by", "alice") in set(map(tuple, g.collect()))
+    d = p.sparql("DESCRIBE alice")
+    assert d.count() >= 1
+    ask = p.sparql("ASK { alice visit bob }")
+    assert ask.collect()[0]["ask"] is True
