@@ -214,6 +214,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         # earlier totals)
         "kg_sparql_analytics",
         "kg_sparql_construct",
+        "kg_fused_facts",
+        "kg_truth_finding",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -387,6 +387,30 @@ class parser:  # noqa: N801 — name mirrors the reference API
             return S.sparql_describe(self._ksg_edges(), query)
         return S.sparql_select(self._ksg_edges(), query)
 
+    def fuse(self, iterations: int = 0) -> DataFrame:
+        """(subj, pred, obj, confidence, n_sources, n_candidates) —
+        one canonical value per (subject, predicate) slot, fused
+        across the documents asserting it (operators/fuse.py):
+        ``iterations=0`` → uniform-trust majority vote;
+        ``iterations>=1`` → Pasternack-Roth Sums source-trust
+        fixpoint, where documents contradicted by consensus lose
+        weight."""
+        from naruhodo_spark.operators import fuse as FU
+
+        claims = (
+            self._require_ksg()["triples_linked"]
+            .where(F.col("subj_canon").isNotNull())
+            .select(
+                F.col("subj_canon").alias("subj"),
+                "pred",
+                F.coalesce(F.col("obj_canon"), F.lit("")).alias("obj"),
+                F.col("doc_id").alias("source"),
+            )
+        )
+        if iterations < 1:
+            return FU.majority_vote(claims)
+        return FU.fuse_claims(claims, iterations=iterations)["fused"]
+
     def complete(self, rules: "DataFrame | None" = None, **kw) -> DataFrame:
         """(subj, pred, obj, confidence, n_rules) — rule-based KG
         completion: edges predicted by forward-chaining ``rules``

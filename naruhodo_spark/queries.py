@@ -2270,6 +2270,46 @@ def kg_sparql_construct(spark, sf_dir):
     )
 
 
+def _order_status_claims(spark, sf_dir):
+    """Deterministic conflicting-claims table from the SQL-visible
+    corpus: each order is a 'source' asserting its customer's
+    preferred order status — customers with mixed-status orders are
+    contested (subj, pred) slots for the fusion operators."""
+    return _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit("preferred_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+            "source"
+        ),
+    )
+
+
+def kg_fused_facts(spark, sf_dir):
+    """Knowledge fusion, uniform-trust round (operators/fuse.
+    majority_vote — Dong KDD'14 knowledge-fusion shape): one canonical
+    (subj, pred) → obj per customer with vote confidence. Two uniform
+    groupBys + min-struct argmax, no windows. Exact DuckDB mirror in
+    tests/test_entry_contract.py EXTRA_MIRRORS (rows-only — the
+    driver window is full; the mirror is driver-identical)."""
+    from naruhodo_spark.operators.fuse import majority_vote
+
+    return majority_vote(_order_status_claims(spark, sf_dir))
+
+
+def kg_truth_finding(spark, sf_dir):
+    """Iterative source-trust fusion (operators/fuse.fuse_claims —
+    Pasternack-Roth 'Sums' fixpoint): believable facts raise their
+    sources' trust and vice versa over 3 rounds; exact pure-python
+    mirror + trust-beats-count behavior pinned in tests/test_fuse.py
+    (rows-only — iterative)."""
+    from naruhodo_spark.operators.fuse import fuse_claims
+
+    return fuse_claims(_order_status_claims(spark, sf_dir), iterations=3)[
+        "fused"
+    ]
+
+
 def kg_top_facts(spark, sf_dir):
     """Predicate-diverse entity summarization
     (operators/graphstats.top_facts) driver-oracled on an orders-derived
@@ -4064,5 +4104,7 @@ for _n, _f in [
     ("q6_forecast_revenue", q6_forecast_revenue),
     # --- r05 session-4 new surfaces (rows-only + exact pytest mirrors)
     ("kg_sparql_construct", kg_sparql_construct),
+    ("kg_fused_facts", kg_fused_facts),
+    ("kg_truth_finding", kg_truth_finding),
 ]:
     _register(_n, _f)

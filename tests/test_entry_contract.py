@@ -45,6 +45,29 @@ EXTRA_MIRRORS = {
       SELECT r AS src, 'has_customer' AS pred, c AS dst FROM sols
     )
     """,
+    "kg_fused_facts": """
+    WITH claims AS (
+      SELECT DISTINCT 'c:' || o_custkey AS subj,
+             'preferred_status'         AS pred,
+             o_orderstatus              AS obj,
+             'o:' || o_orderkey         AS source
+      FROM orders
+    ), votes AS (
+      SELECT subj, pred, obj, count(*) AS n_src
+      FROM claims GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT subj, pred, obj, n_src,
+             sum(n_src)   OVER (PARTITION BY subj, pred) AS total,
+             count(*)     OVER (PARTITION BY subj, pred) AS n_candidates,
+             row_number() OVER (PARTITION BY subj, pred
+                                ORDER BY n_src DESC, obj) AS rn
+      FROM votes
+    )
+    SELECT subj, pred, obj,
+           round(n_src / total, 4) AS confidence,
+           n_src AS n_sources, n_candidates
+    FROM ranked WHERE rn = 1
+    """,
 }
 
 # Demoted-from-the-driver-window queries that keep an exact DuckDB
