@@ -216,6 +216,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_sparql_construct",
         "kg_fused_facts",
         "kg_truth_finding",
+        "kg_cardinality_violations",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

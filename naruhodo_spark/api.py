@@ -283,6 +283,20 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return SI.type_violations(self.build()["triples"], min_conf=min_conf)
 
+    def cardinality_violations(
+        self, min_functionality: float = 0.95
+    ) -> DataFrame:
+        """Subjects asserting multiple objects for a (near-)functional
+        predicate — the multi-value review queue complementing
+        type_violations (operators/schema_induct.
+        cardinality_violations; AMIE functionality scores)."""
+        from naruhodo_spark.operators import schema_induct as SI
+
+        return SI.cardinality_violations(
+            self.build()["triples"].where(F.col("subj").isNotNull()),
+            min_functionality=min_functionality,
+        )
+
     def summary(self) -> DataFrame:
         """(stat, value) one-stop graph report: node/edge/predicate
         counts, total weight, and degree percentiles — two aggregation

@@ -104,3 +104,96 @@ def type_violations(
             )
         )
     return out[0].unionByName(out[1])
+
+
+def predicate_functionality(
+    triples: DataFrame, min_support: int = 3
+) -> DataFrame:
+    """(pred, functionality, inv_functionality, n_slots, n_inv_slots,
+    support) — AMIE-style functionality scores (Galárraga WWW'13 §3.2):
+    ``functionality`` = #distinct subjects / #distinct (subj, obj)
+    pairs — 1.0 means every subject asserts exactly one object (a
+    functional attribute like birth_date), lower means multi-valued.
+    ``inv_functionality`` is the same with the roles swapped.
+
+    Shape: ONE distinct on the (pred, subj, obj) key (uniform — this
+    is the two-phase distinct; a hot predicate's duplicate mentions
+    combine map-side), then ONE groupBy(pred) counting both distinct
+    slot projections via count_distinct over the already-distinct
+    rows. Predicates below ``min_support`` distinct pairs are dropped
+    (no evidence). The output is predicate-keyed, i.e.
+    broadcast-sized."""
+    pairs = (
+        triples.where(F.col("obj").isNotNull() & (F.col("obj") != ""))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("pred")
+        .agg(
+            F.count_distinct("subj").alias("n_slots"),
+            F.count_distinct("obj").alias("n_inv_slots"),
+            F.count(F.lit(1)).alias("support"),
+        )
+        .where(F.col("support") >= min_support)
+        .select(
+            "pred",
+            F.round(F.col("n_slots") / F.col("support"), 4).alias(
+                "functionality"
+            ),
+            F.round(F.col("n_inv_slots") / F.col("support"), 4).alias(
+                "inv_functionality"
+            ),
+            "n_slots",
+            "n_inv_slots",
+            "support",
+        )
+    )
+
+
+def cardinality_violations(
+    triples: DataFrame,
+    functionality: "DataFrame | None" = None,
+    min_functionality: float = 0.95,
+    min_support: int = 3,
+) -> DataFrame:
+    """(pred, subj, n_objects, obj_min, obj_max, functionality) — the
+    subjects asserting MULTIPLE distinct objects for a predicate that
+    is otherwise (near-)functional: the multi-value review queue that
+    complements :func:`type_violations` (a 0.99-functional predicate
+    with a 5-object subject is almost surely a mis-extraction or an
+    unresolved entity split).
+
+    Skew-proof witnesses: instead of collecting the offending object
+    set (unbounded on an adversarial hub), each slot reports its
+    distinct-object COUNT plus the lexicographic min/max objects —
+    O(1) per-group state, fully map-side combinable. One distinct +
+    one uniform groupBy + one broadcast join against the
+    predicate-keyed functionality table."""
+    fun = (
+        functionality
+        if functionality is not None
+        else predicate_functionality(triples, min_support=min_support)
+    )
+    fun = fun.where(
+        (F.col("functionality") >= min_functionality)
+        & (F.col("functionality") < 1.0)  # 1.0 has no violators
+    ).select("pred", "functionality")
+    pairs = (
+        triples.where(F.col("obj").isNotNull() & (F.col("obj") != ""))
+        .select("pred", "subj", "obj")
+        .distinct()
+    )
+    slots = (
+        pairs.join(F.broadcast(fun), "pred")
+        .groupBy("pred", "subj", "functionality")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.min("obj").alias("obj_min"),
+            F.max("obj").alias("obj_max"),
+        )
+        .where(F.col("n_objects") > 1)
+    )
+    return slots.select(
+        "pred", "subj", "n_objects", "obj_min", "obj_max", "functionality"
+    )

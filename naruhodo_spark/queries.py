@@ -2310,6 +2310,37 @@ def kg_truth_finding(spark, sf_dir):
     ]
 
 
+def kg_cardinality_violations(spark, sf_dir):
+    """Functionality induction + multi-value review queue
+    (operators/schema_induct.predicate_functionality/
+    cardinality_violations — AMIE functionality, Galárraga WWW'13):
+    order→customer is a functional predicate; every 997th order gets a
+    deterministically planted second customer, and the queue must
+    surface exactly those subjects with O(1)-state witnesses. Exact
+    DuckDB mirror in tests/test_entry_contract.py EXTRA_MIRRORS
+    (rows-only — the driver window is full)."""
+    from naruhodo_spark.operators import schema_induct as SI
+
+    o = _t(spark, sf_dir, "orders")
+    claims = o.select(
+        F.lit("order_cust").alias("pred"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    planted = o.where(F.col("o_orderkey") % 997 == 0).select(
+        F.lit("order_cust").alias("pred"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.concat(
+            F.lit("c:"), (F.col("o_custkey") + 1).cast("string")
+        ).alias("obj"),
+    )
+    return SI.cardinality_violations(claims.unionByName(planted))
+
+
 def kg_top_facts(spark, sf_dir):
     """Predicate-diverse entity summarization
     (operators/graphstats.top_facts) driver-oracled on an orders-derived
@@ -4106,5 +4137,6 @@ for _n, _f in [
     ("kg_sparql_construct", kg_sparql_construct),
     ("kg_fused_facts", kg_fused_facts),
     ("kg_truth_finding", kg_truth_finding),
+    ("kg_cardinality_violations", kg_cardinality_violations),
 ]:
     _register(_n, _f)

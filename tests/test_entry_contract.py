@@ -68,6 +68,32 @@ EXTRA_MIRRORS = {
            n_src AS n_sources, n_candidates
     FROM ranked WHERE rn = 1
     """,
+    "kg_cardinality_violations": """
+    WITH pairs AS (
+      SELECT DISTINCT 'order_cust' AS pred,
+             'o:' || o_orderkey AS subj,
+             'c:' || o_custkey  AS obj
+      FROM orders
+      UNION
+      SELECT DISTINCT 'order_cust',
+             'o:' || o_orderkey,
+             'c:' || (o_custkey + 1)
+      FROM orders WHERE o_orderkey % 997 = 0
+    ), fun AS (
+      SELECT pred,
+             round(count(DISTINCT subj) / count(*), 4) AS functionality
+      FROM pairs GROUP BY pred
+      HAVING count(*) >= 3
+         AND round(count(DISTINCT subj) / count(*), 4) >= 0.95
+         AND round(count(DISTINCT subj) / count(*), 4) < 1.0
+    )
+    SELECT p.pred, p.subj, count(*) AS n_objects,
+           min(p.obj) AS obj_min, max(p.obj) AS obj_max,
+           f.functionality
+    FROM pairs p JOIN fun f ON p.pred = f.pred
+    GROUP BY p.pred, p.subj, f.functionality
+    HAVING count(*) > 1
+    """,
 }
 
 # Demoted-from-the-driver-window queries that keep an exact DuckDB

@@ -71,3 +71,92 @@ def test_violations_e2e_over_built_kg(spark):
         "pred", "dom_type", "dom_conf", "range_type", "range_conf", "support"
     }
     SI.type_violations(kg["triples"], signatures=sig).count()  # runs clean
+
+
+FUN_ROWS = [
+    # 'capital_of': functional except one corrupted subject (2 objs)
+    ("d0", "rome", "capital_of", "italy", 2, 2),
+    ("d1", "paris", "capital_of", "france", 2, 2),
+    ("d2", "tokyo", "capital_of", "japan", 2, 2),
+    ("d3", "berlin", "capital_of", "germany", 2, 2),
+    ("d4", "berlin", "capital_of", "prussia", 2, 2),  # the violation
+    ("d5", "rome", "capital_of", "italy", 2, 2),      # dup mention: no effect
+    # 'visited': genuinely multi-valued — low functionality, no queue
+    ("d6", "alice", "visited", "rome", 1, 2),
+    ("d7", "alice", "visited", "paris", 1, 2),
+    ("d8", "alice", "visited", "tokyo", 1, 2),
+    ("d9", "bob", "visited", "rome", 1, 2),
+]
+
+
+def test_functionality_scores(spark):
+    got = {
+        r["pred"]: (
+            r["functionality"], r["inv_functionality"],
+            r["n_slots"], r["support"],
+        )
+        for r in SI.predicate_functionality(_triples(spark, FUN_ROWS)).collect()
+    }
+    # capital_of: 4 subjects / 5 distinct pairs; 5 distinct objects
+    assert got["capital_of"] == (0.8, 1.0, 4, 5)
+    # visited: 2 subjects / 4 pairs; 3 objects / 4 pairs
+    assert got["visited"] == (0.5, 0.75, 2, 4)
+
+
+def test_functionality_min_support(spark):
+    rows = FUN_ROWS + [("da", "x", "rare", "y", 1, 1)]
+    preds = {
+        r["pred"]
+        for r in SI.predicate_functionality(
+            _triples(spark, rows), min_support=3
+        ).collect()
+    }
+    assert "rare" not in preds and "capital_of" in preds
+
+
+def test_cardinality_violations(spark):
+    t = _triples(spark, FUN_ROWS)
+    got = SI.cardinality_violations(t, min_functionality=0.75).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["pred"], r["subj"], r["n_objects"]) == ("capital_of", "berlin", 2)
+    assert (r["obj_min"], r["obj_max"]) == ("germany", "prussia")
+    assert r["functionality"] == 0.8
+    # visited is below the functionality gate: alice's 3 objects are
+    # legitimate multi-values, not violations
+    assert all(x["pred"] != "visited" for x in got)
+
+
+def test_cardinality_fully_functional_pred_empty(spark):
+    rows = [r for r in FUN_ROWS if r[0] != "d4"]  # drop the corruption
+    t = _triples(spark, rows)
+    assert (
+        SI.cardinality_violations(t, min_functionality=0.75).count() == 0
+    )
+
+
+def test_functionality_mirror_over_built_kg(spark):
+    """Exact python mirror on real extractor triples."""
+    from naruhodo_spark import synth
+    from naruhodo_spark.pipeline import build_kg
+
+    docs = synth.synth_documents(spark, 60)
+    t = build_kg(docs)["triples"].where(
+        F.col("obj").isNotNull() & (F.col("obj") != "")
+    )
+    rows = t.select("pred", "subj", "obj").collect()
+    pairs = sorted({(r["pred"], r["subj"], r["obj"]) for r in rows})
+    acc = {}
+    for p, s, o in pairs:
+        su, ob, n = acc.get(p, (set(), set(), 0))
+        su.add(s); ob.add(o)
+        acc[p] = (su, ob, n + 1)
+    got = {
+        r["pred"]: (r["functionality"], r["inv_functionality"], r["support"])
+        for r in SI.predicate_functionality(t, min_support=1).collect()
+    }
+    want = {
+        p: (round(len(su) / n, 4), round(len(ob) / n, 4), n)
+        for p, (su, ob, n) in acc.items()
+    }
+    assert got == want
