@@ -160,3 +160,98 @@ def test_functionality_mirror_over_built_kg(spark):
         for p, (su, ob, n) in acc.items()
     }
     assert got == want
+
+
+# typed corpus for inference: works_at is person(1)→org(3) with high
+# confidence; 'ghost' and 'shadow' have only untyped mentions
+INFER_ROWS = [
+    ("d0", "p0", "works_at", "org0", 1, 3),
+    ("d1", "p1", "works_at", "org1", 1, 3),
+    ("d2", "p2", "works_at", "org2", 1, 3),
+    ("d3", "p3", "works_at", "org3", 1, 3),
+    # ghost: untyped subject of works_at twice -> inferred person
+    ("d4", "ghost", "works_at", "org0", 0, 3),
+    ("d5", "ghost", "works_at", "org1", 0, 3),
+    # shadow: untyped object of works_at once -> inferred org
+    ("d6", "p0", "works_at", "shadow", 1, 0),
+    # mixed entity: typed once, untyped once -> gazetteer outranks,
+    # NOT inferred
+    ("d7", "p3", "works_at", "org9", 1, 0),
+    ("d8", "p9", "works_at", "org9", 1, 3),
+]
+
+
+def test_infer_entity_types(spark):
+    t = _triples(spark, INFER_ROWS)
+    got = {
+        r["entity"]: (r["etype"], r["score"], r["n_evidence"])
+        for r in SI.infer_entity_types(t).collect()
+    }
+    assert set(got) == {"ghost", "shadow"}
+    assert got["ghost"][0] == 1 and got["ghost"][2] == 2
+    assert got["shadow"][0] == 3 and got["shadow"][2] == 1
+    # single-signature votes -> full score
+    assert got["ghost"][1] == 1.0 and got["shadow"][1] == 1.0
+
+
+def test_infer_excludes_gazetteer_typed(spark):
+    """org9 has one typed mention (d8) — inference must skip it even
+    though d7 saw it untyped."""
+    t = _triples(spark, INFER_ROWS)
+    assert (
+        SI.infer_entity_types(t).where(F.col("entity") == "org9").count()
+        == 0
+    )
+
+
+def test_infer_python_mirror(spark):
+    """Exact mirror of the vote/argmax on a two-predicate corpus with a
+    genuinely contested untyped entity."""
+    rows = INFER_ROWS + [
+        # 'located_in': org(3) -> place(2), 3 typed rows
+        ("e0", "org0", "located_in", "rome", 3, 2),
+        ("e1", "org1", "located_in", "oslo", 3, 2),
+        ("e2", "org2", "located_in", "bern", 3, 2),
+        # ghost also appears as subject of located_in -> org vote
+        ("e3", "ghost", "located_in", "rome", 0, 2),
+    ]
+    t = _triples(spark, rows)
+    sig = {
+        r["pred"]: (
+            r["dom_type"], r["dom_conf"], r["range_type"], r["range_conf"]
+        )
+        for r in SI.predicate_signatures(t).collect()
+    }
+    mentions = []
+    for _, s, p, o, sne, one in rows:
+        mentions.append((s, sne, p, "dom"))
+        mentions.append((o, one, p, "range"))
+    typed = {}
+    for e, ne, *_ in mentions:
+        typed[e] = max(typed.get(e, -1), ne)
+    votes = {}
+    for e, ne, p, slot in mentions:
+        if typed[e] > 0 or p not in sig:
+            continue
+        dt, dc, rt, rc = sig[p]
+        ty, c = (dt, dc) if slot == "dom" else (rt, rc)
+        if ty is None:
+            continue
+        w, n = votes.get((e, ty), (0.0, 0))
+        votes[(e, ty)] = (w + c, n + 1)
+    per_ent = {}
+    for (e, ty), (w, n) in votes.items():
+        per_ent.setdefault(e, []).append((ty, w, n))
+    want = {}
+    for e, cands in per_ent.items():
+        total = sum(w for _, w, _ in cands)
+        ty, w, n = min(cands, key=lambda t3: (-t3[1], t3[0]))
+        want[e] = (ty, round(w / total, 4), n)
+    got = {
+        r["entity"]: (r["etype"], r["score"], r["n_evidence"])
+        for r in SI.infer_entity_types(t).collect()
+    }
+    assert got == want
+    # ghost is now contested between person (2 works_at votes) and
+    # org (1 located_in vote): works_at's weight must win
+    assert got["ghost"][0] == 1
