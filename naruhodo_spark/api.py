@@ -283,6 +283,20 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return SI.type_violations(self.build()["triples"], min_conf=min_conf)
 
+    def infer_types(
+        self, min_conf: float = 0.0, min_support: int = 3
+    ) -> DataFrame:
+        """(entity, etype, score, n_evidence) — statistical type
+        inference for entities the gazetteer left untyped, voted from
+        the predicate signatures (operators/schema_induct.
+        infer_entity_types; SDType, Paulheim & Bizer ISWC'13)."""
+        from naruhodo_spark.operators import schema_induct as SI
+
+        return SI.infer_entity_types(
+            self.build()["triples"], min_conf=min_conf,
+            min_support=min_support,
+        )
+
     def cardinality_violations(
         self, min_functionality: float = 0.95
     ) -> DataFrame:

@@ -1217,11 +1217,14 @@ def _langid_oracle() -> str:
     """
 
 
-_register(
-    "ts_langid",
-    lambda spark, sf: TS.lang_id(_t(spark, sf, "documents")),
-    _langid_oracle(),
-)
+# ts_langid: oracle DEMOTED r05 session-5 (driver-green r01–r04;
+# rotation policy — see the rotation ledger). The text-quality family
+# keeps ts_quality driver-oracled; the full marker-argmax SQL moves to
+# tests/test_entry_contract.py ROTATION_MIRRORS (same comparison, pytest
+# cadence). Registered rows-only at the end of this module; its slot
+# goes to kg_inferred_types — first driver oracle for SDType statistical
+# type inference (operators/schema_induct.infer_entity_types).
+ts_langid = lambda spark, sf: TS.lang_id(_t(spark, sf, "documents"))
 
 
 
@@ -2434,6 +2437,13 @@ _register(
 #        kg_sparql_analytics (the SPARQL aggregate compiler path:
 #        GROUP BY / HAVING / COUNT DISTINCT / MIN over the TPC-H geo
 #        graph — the sparql.py surface kg_sparql_select does not cover).
+#   r05 session-5: ts_langid (green r01-r04; the text-quality family
+#        keeps ts_quality oracled, and the full marker-argmax SQL moves
+#        to ROTATION_MIRRORS verbatim via _langid_oracle()) ->
+#        kg_inferred_types (SDType statistical type inference for
+#        untyped entities, operators/schema_induct.infer_entity_types —
+#        first driver oracle; composes the already-oracled signature
+#        arithmetic with the vote/argmax in one SQL chain).
 # =====================================================================
 
 _register(
@@ -2714,6 +2724,83 @@ _register(
     SELECT s.pred AS pred, dom_type, dom_conf, range_type, range_conf,
            s.support AS support
     FROM sup s LEFT JOIN dom USING (pred) LEFT JOIN rng USING (pred)
+    """,
+)
+
+
+def kg_inferred_types(spark, sf_dir):
+    """Statistical type inference for UNTYPED entities
+    (operators/schema_induct.infer_entity_types — SDType voting,
+    Paulheim & Bizer ISWC'13): an entity with no typed mention collects
+    one vote per mention from the predicate signatures (domain votes
+    for subject slots weighted by dom_conf, range votes for object
+    slots by range_conf); max total weight wins, ties to the smallest
+    type id. Driver-oracle input: the same derived-type SVO corpus as
+    kg_predicate_signatures (length mod 4; 0 = untyped), so signature
+    arithmetic AND vote/argmax are SQL-checked end-to-end. Exact python
+    mirror + built-KG composition in tests/test_schema_induct.py."""
+    from naruhodo_spark.operators import schema_induct as SI
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    typed = svo.select(
+        "subj", "pred", "obj",
+        (F.length("subj") % 4).cast("int").alias("subj_ne"),
+        (F.length("obj") % 4).cast("int").alias("obj_ne"),
+    )
+    return SI.infer_entity_types(typed)
+
+
+_register(
+    "kg_inferred_types",
+    kg_inferred_types,
+    f"""
+    WITH {_SVO_CTE},
+    base AS (SELECT subj, pred, obj,
+                    CAST(length(subj) % 4 AS INTEGER) AS subj_ne,
+                    CAST(length(obj) % 4 AS INTEGER) AS obj_ne
+             FROM svo WHERE obj IS NOT NULL AND obj <> ''),
+    dh AS (SELECT pred, subj_ne AS etype, count(*) AS n FROM base
+           WHERE subj_ne > 0 GROUP BY pred, subj_ne),
+    dt AS (SELECT pred, sum(n) AS n_typed FROM dh GROUP BY pred),
+    db AS (SELECT pred, etype, n, row_number() OVER (
+             PARTITION BY pred ORDER BY n DESC, etype DESC) AS rk FROM dh),
+    dom AS (SELECT db.pred, db.etype AS dom_type,
+                   round(db.n / dt.n_typed, 4) AS dom_conf
+            FROM db JOIN dt USING (pred) WHERE rk = 1 AND dt.n_typed >= 3),
+    rh AS (SELECT pred, obj_ne AS etype, count(*) AS n FROM base
+           WHERE obj_ne > 0 GROUP BY pred, obj_ne),
+    rt AS (SELECT pred, sum(n) AS n_typed FROM rh GROUP BY pred),
+    rb AS (SELECT pred, etype, n, row_number() OVER (
+             PARTITION BY pred ORDER BY n DESC, etype DESC) AS rk FROM rh),
+    rng AS (SELECT rb.pred, rb.etype AS range_type,
+                   round(rb.n / rt.n_typed, 4) AS range_conf
+            FROM rb JOIN rt USING (pred) WHERE rk = 1 AND rt.n_typed >= 3),
+    mentions AS (
+      SELECT subj AS entity, subj_ne AS ne, pred, 'dom' AS slot FROM base
+      UNION ALL
+      SELECT obj, obj_ne, pred, 'range' FROM base),
+    untyped AS (SELECT entity FROM mentions
+                GROUP BY entity HAVING max(ne) <= 0),
+    votes AS (
+      SELECT m.entity,
+             CASE WHEN m.slot = 'dom' THEN d.dom_type
+                  ELSE r.range_type END AS etype,
+             CASE WHEN m.slot = 'dom' THEN d.dom_conf
+                  ELSE r.range_conf END AS conf
+      FROM mentions m
+      JOIN untyped USING (entity)
+      LEFT JOIN dom d ON m.pred = d.pred
+      LEFT JOIN rng r ON m.pred = r.pred),
+    per_type AS (SELECT entity, etype, sum(conf) AS w, count(*) AS n
+                 FROM votes WHERE etype IS NOT NULL AND conf >= 0.0
+                 GROUP BY entity, etype),
+    tot AS (SELECT entity, sum(w) AS total FROM per_type GROUP BY entity),
+    win AS (SELECT entity, etype, w, n, row_number() OVER (
+              PARTITION BY entity ORDER BY w DESC, etype ASC) AS rk
+            FROM per_type)
+    SELECT w.entity AS entity, w.etype AS etype,
+           round(w.w / t.total, 4) AS score, w.n AS n_evidence
+    FROM win w JOIN tot t USING (entity) WHERE rk = 1
     """,
 )
 
@@ -4138,5 +4225,7 @@ for _n, _f in [
     ("kg_fused_facts", kg_fused_facts),
     ("kg_truth_finding", kg_truth_finding),
     ("kg_cardinality_violations", kg_cardinality_violations),
+    # --- r05 session-5 rotation (same policy)
+    ("ts_langid", ts_langid),
 ]:
     _register(_n, _f)

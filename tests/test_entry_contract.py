@@ -100,6 +100,8 @@ EXTRA_MIRRORS = {
 # mirror HERE (rotation policy, queries.py ledger): same comparison as
 # test_oracle_match, just not competing for one of the driver's 50
 # verified slots.
+from naruhodo_spark.queries import _langid_oracle
+
 ROTATION_MIRRORS = {
     "q6_forecast_revenue": """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -110,6 +112,9 @@ ROTATION_MIRRORS = {
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
     """,
+    # demoted r05 session-5: the exact oracle SQL, verbatim from the
+    # generator that produced the driver oracle in rounds 1-4
+    "ts_langid": _langid_oracle(),
 }
 
 

@@ -255,3 +255,27 @@ def test_infer_python_mirror(spark):
     # ghost is now contested between person (2 works_at votes) and
     # org (1 located_in vote): works_at's weight must win
     assert got["ghost"][0] == 1
+
+
+def test_infer_types_facade(spark):
+    """The public surface: parser.infer_types() over a built KG — the
+    gazetteer-typed names stay out, untyped nouns get the dominant
+    slot type of the predicates they fill."""
+    from naruhodo_spark.api import parser
+
+    p = parser(spark, lang="en")
+    p.add_all(
+        [
+            "alice visited bob.",
+            "carol visited dave.",
+            "erin visited frank.",
+            "alice visited the castle.",
+        ]
+    )
+    inf = p.infer_types(min_support=1)
+    got = {r["entity"]: r["etype"] for r in inf.collect()}
+    # the gazetteer types person names; 'castle' is untyped and fills
+    # visited's object slot, so it inherits the object-side majority
+    assert "alice" not in got and "bob" not in got
+    assert "castle" in got
+    assert set(inf.columns) == {"entity", "etype", "score", "n_evidence"}
