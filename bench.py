@@ -217,6 +217,9 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_fused_facts",
         "kg_truth_finding",
         "kg_cardinality_violations",
+        # added r05 session-6 (query-set change — not like-for-like vs
+        # earlier totals)
+        "kg_sparql_closure",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

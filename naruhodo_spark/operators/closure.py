@@ -1,0 +1,108 @@
+"""Transitive closure of a binary relation — the reachability kernel
+behind SPARQL 1.1 property paths (``p+`` / ``p*``, §9.1 OneOrMorePath /
+ZeroOrMorePath) and RDFS entailment (rdfs5/rdfs11: subPropertyOf /
+subClassOf transitivity).
+
+Algorithm: SEMI-NAIVE Datalog evaluation (the delta-driven fixpoint
+every distributed Datalog engine uses — BigDatalog, SociaLite, Soufflé):
+each round joins only the NEW pairs discovered last round against the
+base edges, so per-round work is O(paths extended this round), never
+O(|closure|²). A naive self-join of the accumulated closure would
+re-derive every known pair every round; squaring (doubling) converges
+in log(diameter) rounds but re-joins the whole closure each round —
+the wrong trade for KG relations, whose closures (taxonomies, alias
+chains, part-of hierarchies) are short-diameter and delta-sparse.
+
+Scale shape at 10^9 edges:
+
+- every round is ONE equi-join (delta.dst = base.src) + one distinct
+  + one left-anti against the accumulated closure — all shuffles on
+  node keys, no windows, no driver state;
+- ``localCheckpoint`` truncates lineage every round (the canon.py CC
+  discipline) — delta eagerly (it is also the convergence probe),
+  the accumulator lazily;
+- rounds = longest shortest-path length in the relation (NOT the
+  longest path: cycles converge because the closure is a set). The
+  ``max_rounds`` bound raises loudly on non-convergence — never a
+  silent truncation (repo policy); raise it for genuinely deep chains.
+
+The OUTPUT size is the honest cost: |closure| can be O(n·depth) on a
+taxonomy but O(n²) on a dense strongly-connected relation. Callers who
+close over open-domain predicates should cap upstream (hub audit /
+predicate selection), not here — this operator computes exactly the
+reachability set it was asked for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 30
+
+
+def transitive_closure(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """(src, dst) — every pair connected by a path of >= 1 edge of the
+    input relation (SPARQL OneOrMorePath semantics: ``p+``). Input
+    self-loops yield their (x, x) pair; cycles close to the full
+    pairwise reachability of the cycle, including each (x, x).
+
+    Deterministic: pure joins + set union; no RNG, no windows.
+    Raises RuntimeError when the fixpoint needs more than
+    ``max_rounds`` rounds (rounds track the relation's shortest-path
+    diameter — pass a larger bound for deep chains, it is a safety
+    valve, not a semantic cap).
+    """
+    base = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    closure = base
+    delta = base
+    hop = base.select(F.col("src").alias("_j"), F.col("dst").alias("_d"))
+    for _ in range(max_rounds):
+        grown = (
+            delta.join(hop, delta["dst"] == hop["_j"])
+            .select("src", F.col("_d").alias("dst"))
+            .distinct()
+        )
+        delta = grown.join(closure, ["src", "dst"], "left_anti").localCheckpoint()
+        if delta.isEmpty():
+            return closure
+        closure = closure.unionByName(delta).localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_rounds} rounds — "
+        "the relation has shortest paths longer than that; pass a larger "
+        "max_rounds"
+    )
+
+
+def reflexive_transitive_closure(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """(src, dst) — ``p*`` semantics (SPARQL ZeroOrMorePath):
+    :func:`transitive_closure` of the relation UNION the identity pair
+    (n, n) for every node of ``nodes`` (single column ``node``). SPARQL
+    evaluates the zero-length path against every subject/object term of
+    the queried graph, so callers pass the GRAPH's node set, not just
+    the relation's — a node with no ``p`` edge at all still matches
+    ``?x p* ?x``."""
+    ident = nodes.select(
+        F.col("node").alias("src"), F.col("node").alias("dst")
+    ).distinct()
+    return (
+        transitive_closure(pairs, src=src, dst=dst, max_rounds=max_rounds)
+        .unionByName(ident)
+        .distinct()
+    )

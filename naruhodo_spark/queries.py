@@ -1804,38 +1804,73 @@ _register(
     _near_dup_groups_oracle(),
 )
 
-# SimHash bit math in SQL: token hash = first 8 md5 bytes as uint64 (hex
-# substring — big-endian, matching numpy's MSB-first unpackbits); result
-# bit j = sign of Σ_tokens (2·bit_j − 1); two's-complement back to the
-# signed long the pandas UDF emits.
+# dd_simhash: oracle DEMOTED r05 session-6 (driver-green r02–r04 + the
+# r05 robustness sweep; rotation policy — see the rotation ledger). The
+# dedup family keeps two driver oracles (dd_minhash_lsh_pairs,
+# dd_near_dup_groups); the exact bit-math SQL moves verbatim to
+# tests/test_entry_contract.py ROTATION_MIRRORS and the banded-plan pin
+# stays in tests/test_plans.py. Registered rows-only at the end of this
+# module; the slot goes to kg_sparql_closure — first driver oracle for
+# the unbounded-property-path fixpoint (operators/closure.py under the
+# SPARQL compiler), verified against a DuckDB WITH RECURSIVE CTE.
+
+
+def kg_sparql_closure(spark, sf_dir):
+    """SPARQL 1.1 unbounded property path ``p+`` (sparql.py →
+    operators/closure.py SEMI-NAIVE reachability fixpoint) driver-
+    oracled against a DuckDB ``WITH RECURSIVE`` CTE: each customer's
+    first 8 orders (by date, orderkey-tiebroken) form a ``next``
+    succession chain; the query returns every (earlier, later)
+    same-chain pair — closure depth ≤ 7, so the fixpoint converges in
+    ≤ 7 delta rounds. The chain cap keeps the closure O(customers·28)
+    at any SF, the same bounded-output discipline the operator's
+    docstring prescribes for open-domain predicates."""
+    from naruhodo_spark.sparql import sparql_select
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lim = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("rn")
+    edges = (
+        lim.select(
+            "o_orderkey", F.lead("o_orderkey").over(w2).alias("nxt")
+        )
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.lit("next").alias("pred"),
+            F.concat(F.lit("o:"), F.col("nxt").cast("string")).alias("dst"),
+        )
+    )
+    return sparql_select(edges, "SELECT ?a ?b WHERE { ?a next+ ?b }")
+
+
 _register(
-    "dd_simhash",
-    lambda spark, sf: D.simhash(_t(spark, sf, "documents")),
-    r"""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                x -> x <> '')) AS t
-      FROM documents WHERE text IS NOT NULL),
-    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
-          FROM toks),
-    b AS (
-      SELECT doc_id, g.j,
-             sum(CASE WHEN (hv >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-      FROM h, generate_series(0, 63) AS g(j)
-      GROUP BY doc_id, g.j),
-    u AS (
-      SELECT doc_id,
-             sum(CASE WHEN acc > 0 THEN ((1::UBIGINT) << j)::HUGEINT
-                 ELSE 0 END) AS uv
-      FROM b GROUP BY doc_id)
-    -- LEFT JOIN re-attaches empty/NULL-text docs with simhash 0,
-    -- matching the UDF's one-row-per-doc contract
-    SELECT d.doc_id,
-           COALESCE(CAST(CASE WHEN uv >= 9223372036854775808
-                              THEN uv - 18446744073709551616
-                         ELSE uv END AS BIGINT), 0) AS simhash
-    FROM documents d LEFT JOIN u USING (doc_id)
+    "kg_sparql_closure",
+    kg_sparql_closure,
+    """
+    WITH RECURSIVE lim AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), chain AS (
+      SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+      FROM lim a JOIN lim b
+        ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+      WHERE b.rn <= 8
+    ), closure AS (
+      SELECT src, dst FROM chain
+      UNION
+      SELECT c.src, e.dst FROM closure c JOIN chain e ON c.dst = e.src
+    )
+    SELECT 'o:' || src AS a, 'o:' || dst AS b FROM closure
     """,
 )
 
@@ -4227,5 +4262,7 @@ for _n, _f in [
     ("kg_cardinality_violations", kg_cardinality_violations),
     # --- r05 session-5 rotation (same policy)
     ("ts_langid", ts_langid),
+    # --- r05 session-6 rotation (same policy)
+    ("dd_simhash", lambda spark, sf: D.simhash(_t(spark, sf, "documents"))),
 ]:
     _register(_n, _f)

@@ -41,9 +41,17 @@ Supported subset (documented, loudly rejected otherwise):
   ``^p`` (the edge walked backwards), sequence ``p/^q/r``, and the
   bounded quantifier ``[^]p{m,n}`` (1 ≤ m ≤ n ≤ 8) — expanded at
   compile time into per-length join chains over fresh internal
-  variables, unioned. Unbounded ``p+``/``p*`` are rejected with a
-  pointer to ``p{1,k}`` (an unbounded closure belongs to the iterative
-  operators: canon.connected_components / graphstats BFS).
+  variables, unioned. Unbounded closures ``[^]p+`` / ``[^]p*``
+  (SPARQL 1.1 §9.1 OneOrMorePath / ZeroOrMorePath; constant
+  predicates, not sequence elements) compile to the semi-naive
+  reachability fixpoint (operators/closure.py): the per-predicate
+  closure is computed ONCE per query, spliced into the edge frame
+  under an internal marker predicate, and the pattern joins it like
+  any other edge — so a closure step costs diameter-bounded delta
+  joins up front and one equi-join in the pattern, never a per-row
+  recursion. ``p*`` adds the identity pair over every node of the
+  QUERIED GRAPH (zero-length path, per spec). ``^p+`` ≡ the ``p+``
+  closure walked backwards (closure and inverse commute).
 - ``OPTIONAL { triple patterns }`` — compiled to a left outer join on
   the shared variables (≥1 required). Plain patterns only inside.
 - ``FILTER (expr)`` where expr is ``&&``-conjoined comparisons
@@ -265,11 +273,12 @@ class _Parser:
                 alts.append(str(nxt.value))
             return _Term("alt", alts)
         if self.peek() in ("+", "*"):
-            raise SparqlError(
-                f"unbounded path '{self.peek()}' is not supported — use a "
-                "bounded quantifier p{1,k}, or the iterative graph "
-                "operators for true closures"
-            )
+            if t.kind != "const":
+                raise SparqlError(
+                    f"closure path '{self.peek()}' needs a constant predicate"
+                )
+            star = self.next() == "*"
+            return _Term("closure", (str(t.value), star, inv))
         if self.peek() == "{":
             if t.kind != "const":
                 raise SparqlError("path quantifier needs a constant predicate")
@@ -337,9 +346,16 @@ def _parse_filter_clause(p: _Parser, antis, filters, bound_tests) -> None:
 
 def _mk_triple(s: _Term, pr: _Term, o: _Term) -> tuple:
     """Assemble one triple; an inverse predicate ``^p`` is rewritten to
-    the forward edge with swapped ends right here."""
+    the forward edge with swapped ends right here. An inverse CLOSURE
+    ``^p+`` / ``^p*`` likewise swaps ends — reachability over reversed
+    edges IS the reversed reachability relation — leaving downstream
+    closure terms inverse-free ``(pred, star)`` pairs."""
     if pr.kind == "inv":
         return (o, _Term("const", pr.value), s)
+    if pr.kind == "closure":
+        pv, star, inv = pr.value
+        fwd = _Term("closure", (pv, star))
+        return (o, fwd, s) if inv else (s, fwd, o)
     return (s, pr, o)
 
 
@@ -866,12 +882,68 @@ def _user_vars(triples: list[tuple]) -> list[str]:
     return node_vars + [v for v in pred_vars if v not in node_vars]
 
 
+def _splice_closures(
+    edges: DataFrame, triples: list[tuple]
+) -> tuple[DataFrame, list[tuple]]:
+    """Replace closure predicates with internal marker constants and
+    splice each closure's reachability pairs into the edge frame under
+    that marker. One fixpoint per distinct (pred, star) in the pattern
+    — shared across variants and across multiple uses; the marker
+    starts with ``\\x1f`` and real edges carrying a ``\\x1f``-prefixed
+    predicate are excluded from the augmented frame, so a marker can
+    never alias a user predicate."""
+    keys: list[tuple[str, bool]] = []
+    for _, pr, _ in triples:
+        if pr.kind == "closure" and pr.value not in keys:
+            keys.append(pr.value)
+    if not keys:
+        return edges, triples
+    from naruhodo_spark.operators.closure import (
+        reflexive_transitive_closure,
+        transitive_closure,
+    )
+
+    aug = edges.where(F.substring("pred", 1, 1) != "\x1f")
+    nodes = None
+    markers: dict[tuple[str, bool], str] = {}
+    for i, (pv, star) in enumerate(keys):
+        marker = f"\x1f_closure{i}\x1f{pv}{'*' if star else '+'}"
+        markers[(pv, star)] = marker
+        rel = edges.where(F.col("pred") == pv).select("src", "dst")
+        if star:
+            if nodes is None:
+                # zero-length paths match every node of the GRAPH
+                # (SPARQL 1.1 §9.3), not just the relation's endpoints
+                nodes = (
+                    edges.select(F.col("src").alias("node"))
+                    .unionByName(edges.select(F.col("dst").alias("node")))
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+            cdf = reflexive_transitive_closure(rel, nodes)
+        else:
+            cdf = transitive_closure(rel)
+        aug = aug.unionByName(
+            cdf.select("src", F.lit(marker).alias("pred"), "dst")
+        )
+    new_triples = [
+        (
+            s,
+            _Term("const", markers[pr.value]) if pr.kind == "closure" else pr,
+            o,
+        )
+        for s, pr, o in triples
+    ]
+    return aug, new_triples
+
+
 def _compile_bgp(edges: DataFrame, triples: list[tuple]) -> DataFrame:
     """One basic graph pattern (possibly with paths/alternations) →
     solutions projected to its user variables."""
     from naruhodo_spark.operators.motif import match_motif
 
     uvars = _user_vars(triples)
+    edges, triples = _splice_closures(edges, triples)
     out = None
     for variant in _expand_paths(triples):
         low = _Lowering()

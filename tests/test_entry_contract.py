@@ -115,6 +115,38 @@ ROTATION_MIRRORS = {
     # demoted r05 session-5: the exact oracle SQL, verbatim from the
     # generator that produced the driver oracle in rounds 1-4
     "ts_langid": _langid_oracle(),
+    # demoted r05 session-6 (slot went to kg_sparql_closure): the exact
+    # SimHash bit-math SQL, verbatim from the r02-r04 driver oracle —
+    # token hash = first 8 md5 bytes as uint64 (hex substring,
+    # big-endian, matching numpy's MSB-first unpackbits); result bit j
+    # = sign of Σ_tokens (2·bit_j − 1); two's-complement back to the
+    # signed long the pandas UDF emits
+    "dd_simhash": r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS t
+      FROM documents WHERE text IS NOT NULL),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv
+          FROM toks),
+    b AS (
+      SELECT doc_id, g.j,
+             sum(CASE WHEN (hv >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM h, generate_series(0, 63) AS g(j)
+      GROUP BY doc_id, g.j),
+    u AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN ((1::UBIGINT) << j)::HUGEINT
+                 ELSE 0 END) AS uv
+      FROM b GROUP BY doc_id)
+    -- LEFT JOIN re-attaches empty/NULL-text docs with simhash 0,
+    -- matching the UDF's one-row-per-doc contract
+    SELECT d.doc_id,
+           COALESCE(CAST(CASE WHEN uv >= 9223372036854775808
+                              THEN uv - 18446744073709551616
+                         ELSE uv END AS BIGINT), 0) AS simhash
+    FROM documents d LEFT JOIN u USING (doc_id)
+    """,
 }
 
 

@@ -102,8 +102,8 @@ def test_simhash_empty_and_null_docs_keep_rows(spark):
     dd_simhash oracle re-attaches them via LEFT JOIN — symmetric)."""
     import duckdb as _dd
 
-    from naruhodo_spark import queries as Q
     from naruhodo_spark.ops.dedup import simhash
+    from tests.test_entry_contract import ROTATION_MIRRORS
 
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "   ")],
@@ -120,5 +120,5 @@ def test_simhash_empty_and_null_docs_keep_rows(spark):
         "INSERT INTO documents VALUES (?, ?)",
         [(1, "alpha beta gamma"), (2, ""), (3, None), (4, "   ")],
     )
-    want = dict(con.execute(Q.ORACLES["dd_simhash"]).fetchall())
+    want = dict(con.execute(ROTATION_MIRRORS["dd_simhash"]).fetchall())
     assert got == want

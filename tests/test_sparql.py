@@ -185,7 +185,7 @@ def test_facade_sparql(spark):
         "SELECT ?x WHERE { ?x knows ?y } ORDER BY ?y",  # unprojected order
         "SELECT ?x WHERE { ?x knows ?y } LIMIT ?x",  # bad limit
         "SELECT ?x WHERE { ?x knows ?y . FILTER (?x ~ ?y) }",  # bad op
-        "SELECT ?x WHERE { ?x knows+ ?y }",  # unbounded path
+        "SELECT ?x WHERE { ?x ?p+ ?y }",  # closure over a predicate var
         "SELECT ?x WHERE { ?x knows{0,2} ?y }",  # zero-length path
         "SELECT ?x WHERE { ?x knows{3,2} ?y }",  # inverted bounds
         "SELECT ?x WHERE { ?x knows{1,99} ?y }",  # bound too large
