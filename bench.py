@@ -220,6 +220,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         # added r05 session-6 (query-set change — not like-for-like vs
         # earlier totals)
         "kg_sparql_closure",
+        "kg_rdfs_entailed",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

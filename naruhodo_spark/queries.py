@@ -1875,6 +1875,84 @@ _register(
 )
 
 
+def _tpch_rdfs_graph(spark, sf_dir):
+    """Instance + schema edges for the RDFS-entailment surface: the
+    TPC-H geography as an ontology-annotated graph. The schema
+    exercises every ρdf rule — a 2-deep subPropertyOf chain
+    (supp_from ⊑ based_in ⊑ located_in), domain/range on both asserted
+    and LIFTED predicates (based_in's range only fires through rdfs7),
+    and a subclass diamond (Agent/Place → Entity)."""
+    inst = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.lit("cust_from").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .unionByName(
+            _t(spark, sf_dir, "nation").select(
+                F.concat(
+                    F.lit("n:"), F.col("n_nationkey").cast("string")
+                ).alias("src"),
+                F.lit("in_region").alias("pred"),
+                F.concat(
+                    F.lit("r:"), F.col("n_regionkey").cast("string")
+                ).alias("dst"),
+            )
+        )
+        .unionByName(
+            _t(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias(
+                    "src"
+                ),
+                F.lit("supp_from").alias("pred"),
+                F.concat(
+                    F.lit("n:"), F.col("s_nationkey").cast("string")
+                ).alias("dst"),
+            )
+        )
+    )
+    schema = spark.createDataFrame(
+        _RDFS_SCHEMA, "src string, pred string, dst string"
+    )
+    return inst.unionByName(schema)
+
+
+_RDFS_SCHEMA = [
+    ("cust_from", "domain", "Customer"),
+    ("cust_from", "range", "Nation"),
+    ("in_region", "domain", "Nation"),
+    ("in_region", "range", "Region"),
+    ("supp_from", "subproperty_of", "based_in"),
+    ("based_in", "subproperty_of", "located_in"),
+    ("supp_from", "domain", "Supplier"),
+    ("based_in", "range", "Place"),
+    ("Customer", "subclass_of", "Agent"),
+    ("Supplier", "subclass_of", "Agent"),
+    ("Agent", "subclass_of", "Entity"),
+    ("Nation", "subclass_of", "Place"),
+    ("Region", "subclass_of", "Place"),
+    ("Place", "subclass_of", "Entity"),
+]
+
+
+def kg_rdfs_entailed(spark, sf_dir):
+    """RDFS entailment materialization (operators/entail.py — the ρdf
+    core: rdfs2/3/5/7/9/11, stratified so instance data sees only
+    broadcast map-side joins) over the ontology-annotated TPC-H
+    geography. Exact DuckDB mirror (the same stratification as
+    recursive CTEs) in tests/test_entry_contract.py EXTRA_MIRRORS —
+    rows-only at the driver (the 50-slot window is full; the mirror is
+    driver-identical)."""
+    from naruhodo_spark.operators.entail import rdfs_entailment
+
+    return rdfs_entailment(_tpch_rdfs_graph(spark, sf_dir))
+
+
 # =====================================================================
 # Similarity search (embeddings table)
 # =====================================================================
@@ -4264,5 +4342,7 @@ for _n, _f in [
     ("ts_langid", ts_langid),
     # --- r05 session-6 rotation (same policy)
     ("dd_simhash", lambda spark, sf: D.simhash(_t(spark, sf, "documents"))),
+    # --- r05 session-6 new surfaces (rows-only + exact pytest mirrors)
+    ("kg_rdfs_entailed", kg_rdfs_entailed),
 ]:
     _register(_n, _f)

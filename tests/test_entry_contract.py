@@ -32,6 +32,73 @@ QUERIES = entry_mod.queries()
 # comparison (the 50-slot driver window is full; this is the same
 # evidence, minus the driver's independent execution).
 EXTRA_MIRRORS = {
+    # the ρdf stratification (operators/entail.py) replayed as
+    # recursive CTEs: sp/sc closures, rdfs7 lift, domain/range typing
+    # over the LIFTED graph, rdfs9 inheritance over asserted + derived
+    # types — over the same ontology-annotated TPC-H geography
+    # (queries._RDFS_SCHEMA rendered as a VALUES list)
+    "kg_rdfs_entailed": """
+    WITH RECURSIVE inst AS (
+      SELECT 'c:' || c_custkey AS src, 'cust_from' AS pred,
+             'n:' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT 'n:' || n_nationkey, 'in_region', 'r:' || n_regionkey
+      FROM nation
+      UNION ALL
+      SELECT 's:' || s_suppkey, 'supp_from', 'n:' || s_nationkey
+      FROM supplier
+    ), sch(src, pred, dst) AS (
+      VALUES
+        ('cust_from','domain','Customer'), ('cust_from','range','Nation'),
+        ('in_region','domain','Nation'), ('in_region','range','Region'),
+        ('supp_from','subproperty_of','based_in'),
+        ('based_in','subproperty_of','located_in'),
+        ('supp_from','domain','Supplier'), ('based_in','range','Place'),
+        ('Customer','subclass_of','Agent'), ('Supplier','subclass_of','Agent'),
+        ('Agent','subclass_of','Entity'), ('Nation','subclass_of','Place'),
+        ('Region','subclass_of','Place'), ('Place','subclass_of','Entity')
+    ), edges AS (
+      SELECT * FROM inst UNION ALL SELECT * FROM sch
+    ), sp AS (
+      SELECT src, dst FROM sch WHERE pred = 'subproperty_of'
+      UNION
+      SELECT a.src, b.dst FROM sp a
+      JOIN (SELECT src, dst FROM sch
+            WHERE pred = 'subproperty_of') b ON a.dst = b.src
+    ), lifted AS (
+      SELECT * FROM edges
+      UNION ALL
+      SELECT e.src, sp.dst AS pred, e.dst FROM edges e
+      JOIN sp ON e.pred = sp.src
+      UNION ALL
+      SELECT src, 'subproperty_of', dst FROM sp
+    ), sc AS (
+      SELECT src, dst FROM lifted WHERE pred = 'subclass_of'
+      UNION
+      SELECT a.src, b.dst FROM sc a
+      JOIN (SELECT src, dst FROM lifted
+            WHERE pred = 'subclass_of') b ON a.dst = b.src
+    ), lifted2 AS (
+      SELECT * FROM lifted
+      UNION ALL SELECT src, 'subclass_of', dst FROM sc
+    ), typed AS (
+      SELECT src, 'is_a' AS pred, dst FROM lifted2 WHERE pred = 'is_a'
+      UNION ALL
+      SELECT l.src, 'is_a', d.dst FROM lifted2 l
+      JOIN sch d ON d.pred = 'domain' AND l.pred = d.src
+      UNION ALL
+      SELECT l.dst, 'is_a', r.dst FROM lifted2 l
+      JOIN sch r ON r.pred = 'range' AND l.pred = r.src
+    ), inherited AS (
+      SELECT t.src, 'is_a' AS pred, sc.dst FROM typed t
+      JOIN sc ON t.dst = sc.src
+    )
+    SELECT DISTINCT src, pred, dst FROM (
+      SELECT * FROM lifted2
+      UNION ALL SELECT * FROM typed
+      UNION ALL SELECT * FROM inherited
+    )
+    """,
     "kg_sparql_construct": """
     WITH sols AS (
       SELECT 'c:' || c_custkey   AS c,
