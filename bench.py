@@ -221,6 +221,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         # earlier totals)
         "kg_sparql_closure",
         "kg_rdfs_entailed",
+        "kg_shacl_report",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

@@ -1940,6 +1940,38 @@ _RDFS_SCHEMA = [
 ]
 
 
+# shapes for the SHACL surface — each constraint kind exercised, each
+# with deterministic violations on the entailed TPC-H geography:
+# nations have no located_in edges (minCount), 3 of 5 regions fail the
+# membership whitelist (in), supp_from targets are Nations not Regions
+# (class), regions have no out-edges at all (hasValue), and two-digit
+# nation keys break the single-digit pattern
+_SHACL_SHAPES = [
+    ("NationShape", "Nation", "located_in", "minCount", "1"),
+    ("NationShape", "Nation", "in_region", "in", "r:0|r:1"),
+    ("SupplierShape", "Supplier", "supp_from", "class", "Region"),
+    ("RegionShape", "Region", "in_region", "hasValue", "r:0"),
+    ("SupplierShape", "Supplier", "based_in", "pattern", "^n:[0-9]$"),
+]
+
+
+def kg_shacl_report(spark, sf_dir):
+    """SHACL-core shape validation (operators/shacl.py) composed over
+    the RDFS-ENTAILED TPC-H geography — the KG-curation gate: entail
+    first (so class/path checks see derived types and lifted edges —
+    based_in/located_in only EXIST via rdfs7), then validate the
+    declarative shapes. Exact DuckDB mirror (each shape spelled out as
+    its relational check over the nested recursive-CTE entailment) in
+    tests/test_entry_contract.py EXTRA_MIRRORS — rows-only at the
+    driver (the 50-slot window is full; the mirror is
+    driver-identical)."""
+    from naruhodo_spark.operators.entail import rdfs_entailment
+    from naruhodo_spark.operators.shacl import validate_shapes
+
+    entailed = rdfs_entailment(_tpch_rdfs_graph(spark, sf_dir))
+    return validate_shapes(entailed, _SHACL_SHAPES)
+
+
 def kg_rdfs_entailed(spark, sf_dir):
     """RDFS entailment materialization (operators/entail.py — the ρdf
     core: rdfs2/3/5/7/9/11, stratified so instance data sees only
@@ -4344,5 +4376,6 @@ for _n, _f in [
     ("dd_simhash", lambda spark, sf: D.simhash(_t(spark, sf, "documents"))),
     # --- r05 session-6 new surfaces (rows-only + exact pytest mirrors)
     ("kg_rdfs_entailed", kg_rdfs_entailed),
+    ("kg_shacl_report", kg_shacl_report),
 ]:
     _register(_n, _f)

@@ -31,13 +31,14 @@ QUERIES = entry_mod.queries()
 # ANSI-SQL twin: mirrored HERE with the identical driver-style
 # comparison (the 50-slot driver window is full; this is the same
 # evidence, minus the driver's independent execution).
-EXTRA_MIRRORS = {
-    # the ρdf stratification (operators/entail.py) replayed as
-    # recursive CTEs: sp/sc closures, rdfs7 lift, domain/range typing
-    # over the LIFTED graph, rdfs9 inheritance over asserted + derived
-    # types — over the same ontology-annotated TPC-H geography
-    # (queries._RDFS_SCHEMA rendered as a VALUES list)
-    "kg_rdfs_entailed": """
+# the ρdf stratification (operators/entail.py) replayed as
+# recursive CTEs: sp/sc closures, rdfs7 lift, domain/range typing
+# over the LIFTED graph, rdfs9 inheritance over asserted + derived
+# types — over the same ontology-annotated TPC-H geography
+# (queries._RDFS_SCHEMA rendered as a VALUES list). Shared by the
+# kg_rdfs_entailed mirror and, as a nested subquery, the
+# kg_shacl_report mirror.
+_RDFS_ENTAILED_SQL = """
     WITH RECURSIVE inst AS (
       SELECT 'c:' || c_custkey AS src, 'cust_from' AS pred,
              'n:' || c_nationkey AS dst FROM customer
@@ -98,6 +99,65 @@ EXTRA_MIRRORS = {
       UNION ALL SELECT * FROM typed
       UNION ALL SELECT * FROM inherited
     )
+"""
+
+EXTRA_MIRRORS = {
+    "kg_rdfs_entailed": _RDFS_ENTAILED_SQL,
+    # SHACL validation (operators/shacl.py) over the ENTAILED graph:
+    # each shape of queries._SHACL_SHAPES spelled out as its relational
+    # check — closed-count minCount via LEFT JOIN + COALESCE 0,
+    # per-value pattern/in/class filters, per-focus hasValue NOT EXISTS
+    "kg_shacl_report": f"""
+    WITH entailed AS ({_RDFS_ENTAILED_SQL}),
+    types AS (
+      SELECT src AS focus, dst AS tc FROM entailed WHERE pred = 'is_a'
+    ),
+    v1 AS (
+      SELECT t.focus, 'NationShape' AS shape_id, 'Nation' AS target_class,
+             'located_in' AS path, 'minCount' AS "constraint",
+             '1' AS expected, CAST(COALESCE(c.n, 0) AS VARCHAR) AS actual
+      FROM types t LEFT JOIN (
+        SELECT src, count(*) AS n FROM entailed
+        WHERE pred = 'located_in' GROUP BY src
+      ) c ON c.src = t.focus
+      WHERE t.tc = 'Nation' AND COALESCE(c.n, 0) < 1
+    ),
+    v2 AS (
+      SELECT t.focus, 'NationShape', 'Nation', 'in_region', 'in',
+             'r:0|r:1', e.dst
+      FROM types t JOIN entailed e
+        ON e.src = t.focus AND e.pred = 'in_region'
+      WHERE t.tc = 'Nation' AND e.dst NOT IN ('r:0', 'r:1')
+    ),
+    v3 AS (
+      SELECT t.focus, 'SupplierShape', 'Supplier', 'supp_from', 'class',
+             'Region', e.dst
+      FROM types t JOIN entailed e
+        ON e.src = t.focus AND e.pred = 'supp_from'
+      WHERE t.tc = 'Supplier' AND NOT EXISTS (
+        SELECT 1 FROM types ty
+        WHERE ty.focus = e.dst AND ty.tc = 'Region')
+    ),
+    v4 AS (
+      SELECT t.focus, 'RegionShape', 'Region', 'in_region', 'hasValue',
+             'r:0', 'absent'
+      FROM types t
+      WHERE t.tc = 'Region' AND NOT EXISTS (
+        SELECT 1 FROM entailed e
+        WHERE e.src = t.focus AND e.pred = 'in_region' AND e.dst = 'r:0')
+    ),
+    v5 AS (
+      SELECT t.focus, 'SupplierShape', 'Supplier', 'based_in', 'pattern',
+             '^n:[0-9]$', e.dst
+      FROM types t JOIN entailed e
+        ON e.src = t.focus AND e.pred = 'based_in'
+      WHERE t.tc = 'Supplier' AND NOT regexp_matches(e.dst, '^n:[0-9]$')
+    )
+    SELECT * FROM v1
+    UNION ALL SELECT * FROM v2
+    UNION ALL SELECT * FROM v3
+    UNION ALL SELECT * FROM v4
+    UNION ALL SELECT * FROM v5
     """,
     "kg_sparql_construct": """
     WITH sols AS (
