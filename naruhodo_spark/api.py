@@ -415,6 +415,45 @@ class parser:  # noqa: N801 — name mirrors the reference API
             return S.sparql_describe(self._ksg_edges(), query)
         return S.sparql_select(self._ksg_edges(), query)
 
+    def entail(self, schema: "DataFrame | list | None" = None,
+               **kw) -> DataFrame:
+        """(src, pred, dst) — this graph closed under the ρdf RDFS
+        rules (operators/entail.py: subClassOf/subPropertyOf closures,
+        edge lift, domain/range typing, type inheritance). ``schema``
+        optionally unions extra schema triples — a DataFrame with
+        (src, pred, dst) or a list of 3-tuples — onto the graph before
+        entailing (ontologies usually live beside the extracted data,
+        not inside it)."""
+        from naruhodo_spark.operators.entail import rdfs_entailment
+        from naruhodo_spark.sparql import _as_edges
+
+        edges = _as_edges(self._ksg_edges()).select("src", "pred", "dst")
+        if schema is not None:
+            extra = (
+                schema.select("src", "pred", "dst")
+                if isinstance(schema, DataFrame)
+                else self.spark.createDataFrame(
+                    schema, "src string, pred string, dst string"
+                )
+            )
+            edges = edges.unionByName(extra)
+        return rdfs_entailment(edges, **kw)
+
+    def validate(self, shapes, entailed: bool = False, **kw) -> DataFrame:
+        """(focus, shape_id, target_class, path, constraint, expected,
+        actual) — SHACL-core violations of ``shapes`` (operators/
+        shacl.py) by this graph; empty = conforms. ``entailed=True``
+        validates the RDFS-entailed graph instead of the raw one, so
+        class/target checks see derived types."""
+        from naruhodo_spark.operators.shacl import validate_shapes
+        from naruhodo_spark.sparql import _as_edges
+
+        edges = (
+            self.entail() if entailed
+            else _as_edges(self._ksg_edges()).select("src", "pred", "dst")
+        )
+        return validate_shapes(edges, shapes, **kw)
+
     def fuse(self, iterations: int = 0) -> DataFrame:
         """(subj, pred, obj, confidence, n_sources, n_candidates) —
         one canonical value per (subject, predicate) slot, fused

@@ -18,9 +18,16 @@ Scale shape at 10^9 edges:
 - every round is ONE equi-join (delta.dst = base.src) + one distinct
   + one left-anti against the accumulated closure — all shuffles on
   node keys, no windows, no driver state;
-- ``localCheckpoint`` truncates lineage every round (the canon.py CC
-  discipline) — delta eagerly (it is also the convergence probe),
-  the accumulator lazily;
+- lineage truncates every round via the STATS-RESETTING checkpoint
+  (ops/kgembed ``_truncate``), not a plain localCheckpoint: the delta
+  plan joins TWO checkpointed frames per round (grown ⋈ closure), so
+  LogicalRDD's carried Catalyst sizeInBytes compounds multiplicatively
+  and by round ~4 the driver lives inside BigInteger.multiply
+  (measured here: rounds went 3.4 s → 28.9 s at 2M chain edges; with
+  the stats reset every round is flat). Superseded delta/accumulator
+  checkpoints are ``_release``d as soon as their successor
+  materializes — a long fixpoint never accumulates copies in storage
+  memory;
 - rounds = longest shortest-path length in the relation (NOT the
   longest path: cycles converge because the closure is a set). The
   ``max_rounds`` bound raises loudly on non-convergence — never a
@@ -58,11 +65,12 @@ def transitive_closure(
     diameter — pass a larger bound for deep chains, it is a safety
     valve, not a semantic cap).
     """
-    base = (
+    from naruhodo_spark.ops.kgembed import _release, _truncate
+
+    base = _truncate(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
     closure = base
     delta = base
@@ -73,10 +81,21 @@ def transitive_closure(
             .select("src", F.col("_d").alias("dst"))
             .distinct()
         )
-        delta = grown.join(closure, ["src", "dst"], "left_anti").localCheckpoint()
+        new_delta = _truncate(grown.join(closure, ["src", "dst"], "left_anti"))
+        if delta is not base:
+            _release(delta)  # fully consumed by new_delta's checkpoint
+        delta = new_delta
         if delta.isEmpty():
+            _release(delta)
             return closure
-        closure = closure.unionByName(delta).localCheckpoint(eager=False)
+        # the accumulator stays a UNION of the checkpointed deltas —
+        # never re-checkpointed: a rewrite would copy O(|closure|) rows
+        # per round, while union stats sum linearly (no BigInteger
+        # compounding) and consumers read each delta's blocks directly.
+        # The deltas are disjoint by construction (each was anti-joined
+        # against the closure that preceded it), so the union IS the
+        # distinct closure.
+        closure = closure.unionByName(delta)
     raise RuntimeError(
         f"transitive_closure did not converge in {max_rounds} rounds — "
         "the relation has shortest paths longer than that; pass a larger "
