@@ -222,6 +222,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_sparql_closure",
         "kg_rdfs_entailed",
         "kg_shacl_report",
+        "kg_smushed_graph",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

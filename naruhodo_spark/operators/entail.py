@@ -184,3 +184,45 @@ def rdfs_entailment(
         .unionByName(inherited)
     )
     return out.distinct() if dedupe else out
+
+
+def rdfs_entailment_delta(
+    new_edges: DataFrame,
+    schema_edges: DataFrame,
+    **kw,
+) -> DataFrame:
+    """Incremental maintenance: the entailed triples contributed by a
+    batch of NEW instance edges under a FIXED schema — O(|delta|), the
+    streaming-epoch companion to :func:`rdfs_entailment` (the
+    incremental-CC / incdedup discipline).
+
+    This is exact, not approximate, because every ρdf instance rule
+    has at most ONE instance antecedent (the other antecedent is a
+    schema triple): no rule joins two instance triples, so entailment
+    distributes over instance-edge union —
+    ``entail(old ∪ new ∪ S) = entail(old ∪ S) ∪ entail(new ∪ S)``
+    (as sets; pinned by tests/test_entail.py). A batch that tries to
+    CHANGE the schema (carrying subClassOf / subPropertyOf / domain /
+    range triples) breaks the premise and raises — schema evolution is
+    a full re-entailment, never a silent partial one.
+    """
+    subclass_pred = kw.get("subclass_pred", SUBCLASS)
+    subproperty_pred = kw.get("subproperty_pred", SUBPROPERTY)
+    domain_pred = kw.get("domain_pred", DOMAIN)
+    range_pred = kw.get("range_pred", RANGE)
+    schema_preds = [subclass_pred, subproperty_pred, domain_pred, range_pred]
+    offending = (
+        new_edges.where(F.col("pred").isin(schema_preds)).limit(5).collect()
+    )
+    if offending:
+        raise ValueError(
+            "rdfs_entailment_delta: the delta batch carries SCHEMA "
+            f"triples {offending!r} — schema changes invalidate every "
+            "prior entailment; run rdfs_entailment over the full graph"
+        )
+    return rdfs_entailment(
+        new_edges.select("src", "pred", "dst").unionByName(
+            schema_edges.select("src", "pred", "dst")
+        ),
+        **kw,
+    )

@@ -1972,6 +1972,45 @@ def kg_shacl_report(spark, sf_dir):
     return validate_shapes(entailed, _SHACL_SHAPES)
 
 
+def kg_smushed_graph(spark, sf_dir):
+    """owl:sameAs smushing (operators/smush.py — CC over the sameAs
+    slice via the shared star contraction, then a two-join endpoint
+    rewrite): every customer carries three co-referent ids in 3-chains
+    (c:K ↔ cust#K ↔ customer-K) with facts split across them; the
+    smushed graph re-unites them under the lexicographic-min id. Exact
+    DuckDB mirror (the dd_near_dup_groups reach-CTE closure + the same
+    left-join/coalesce rewrite) in tests/test_entry_contract.py
+    EXTRA_MIRRORS — rows-only at the driver (window full)."""
+    from naruhodo_spark.operators.smush import smush
+
+    c = _t(spark, sf_dir, "customer")
+    cid = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+    alt = F.concat(F.lit("cust#"), F.col("c_custkey").cast("string"))
+    alt2 = F.concat(F.lit("customer-"), F.col("c_custkey").cast("string"))
+    edges = (
+        c.select(cid.alias("src"), F.lit("same_as").alias("pred"),
+                 alt.alias("dst"))
+        .unionByName(
+            c.select(alt2.alias("src"), F.lit("same_as").alias("pred"),
+                     alt.alias("dst"))
+        )
+        .unionByName(
+            c.select(
+                cid.alias("src"), F.lit("cust_from").alias("pred"),
+                F.concat(F.lit("n:"), F.col("c_nationkey").cast("string"))
+                .alias("dst"),
+            )
+        )
+        .unionByName(
+            c.select(
+                alt.alias("src"), F.lit("in_segment").alias("pred"),
+                F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("dst"),
+            )
+        )
+    )
+    return smush(edges, dedupe=True)["edges"]
+
+
 def kg_rdfs_entailed(spark, sf_dir):
     """RDFS entailment materialization (operators/entail.py — the ρdf
     core: rdfs2/3/5/7/9/11, stratified so instance data sees only
@@ -4377,5 +4416,6 @@ for _n, _f in [
     # --- r05 session-6 new surfaces (rows-only + exact pytest mirrors)
     ("kg_rdfs_entailed", kg_rdfs_entailed),
     ("kg_shacl_report", kg_shacl_report),
+    ("kg_smushed_graph", kg_smushed_graph),
 ]:
     _register(_n, _f)

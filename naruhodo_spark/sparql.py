@@ -38,7 +38,10 @@ Supported subset (documented, loudly rejected otherwise):
   are plain strings like ``alice``), and the ``a`` keyword, which
   expands to this engine's taxonomy predicate ``is_a``.
 - Predicate paths: alternation ``p|q|r`` (constants only), inverse
-  ``^p`` (the edge walked backwards), sequence ``p/^q/r``, and the
+  ``^p`` (the edge walked backwards), sequence ``p/^q/r``, negated
+  property sets ``!p`` / ``!(p|q|r)`` (§9.1, forward-only — lowered to
+  an internal predicate variable with a NOT-IN filter, i.e. one scan
+  predicate, no per-member branch), and the
   bounded quantifier ``[^]p{m,n}`` (1 ≤ m ≤ n ≤ 8) — expanded at
   compile time into per-length join chains over fresh internal
   variables, unioned. Unbounded closures ``[^]p+`` / ``[^]p*``
@@ -233,8 +236,41 @@ class _Parser:
 
     def pred_term(self) -> _Term:
         """A predicate position: a plain term, an inverse ``^p``, an
-        alternation ``p|q|r``, a bounded path ``[^]p{m,n}``, or a
-        sequence ``[^]p/[^]q/…``."""
+        alternation ``p|q|r``, a bounded path ``[^]p{m,n}``, a
+        sequence ``[^]p/[^]q/…``, a closure ``[^]p+``/``[^]p*``, or a
+        negated property set ``!p`` / ``!(p|q|r)`` (SPARQL 1.1 §9.1 —
+        forward direction only; ``!^p`` is rejected)."""
+        if self.kw("!"):
+            preds: list[str] = []
+            if self.kw("("):
+                while True:
+                    if self.peek() == "^":
+                        raise SparqlError(
+                            "inverse members in a negated property set "
+                            "are not supported"
+                        )
+                    t = self.term()
+                    if t.kind != "const":
+                        raise SparqlError(
+                            "negated property set needs constant predicates"
+                        )
+                    preds.append(str(t.value))
+                    if not self.kw("|"):
+                        break
+                self.expect(")")
+            else:
+                if self.peek() == "^":
+                    raise SparqlError(
+                        "inverse members in a negated property set "
+                        "are not supported"
+                    )
+                t = self.term()
+                if t.kind != "const":
+                    raise SparqlError(
+                        "negated property set needs constant predicates"
+                    )
+                preds.append(str(t.value))
+            return _Term("neg", preds)
         inv = bool(self.kw("^"))
         t = self.term()
         if inv and t.kind != "const":
@@ -771,6 +807,7 @@ class _Lowering:
         self.const_var: dict[str, str] = {}
         self.const_eqs: list[tuple[str, str]] = []
         self.alt_filters: list[tuple[str, list[str]]] = []
+        self.neg_filters: list[tuple[str, list[str]]] = []
 
     def node(self, t: _Term) -> str:
         if t.kind == "var":
@@ -794,6 +831,10 @@ class _Lowering:
         if t.kind == "alt":
             iv = f"_alt{len(self.alt_filters)}"
             self.alt_filters.append((iv, [str(v) for v in t.value]))
+            return "?" + iv
+        if t.kind == "neg":
+            iv = f"_neg{len(self.neg_filters)}"
+            self.neg_filters.append((iv, [str(v) for v in t.value]))
             return "?" + iv
         return str(t.value)
 
@@ -956,6 +997,8 @@ def _compile_bgp(edges: DataFrame, triples: list[tuple]) -> DataFrame:
             sol = sol.where(F.col(iv) == F.lit(value))
         for iv, values in low.alt_filters:
             sol = sol.where(F.col(iv).isin(values))
+        for iv, values in low.neg_filters:
+            sol = sol.where(~F.col(iv).isin(values))
         sol = sol.select(*uvars)
         out = sol if out is None else out.unionByName(sol)
     return out

@@ -103,6 +103,38 @@ _RDFS_ENTAILED_SQL = """
 
 EXTRA_MIRRORS = {
     "kg_rdfs_entailed": _RDFS_ENTAILED_SQL,
+    # sameAs smushing: the dd_near_dup_groups reach-CTE closure over
+    # the 3-chain co-reference links, then the same left-join/coalesce
+    # endpoint rewrite smush() compiles to
+    "kg_smushed_graph": """
+    WITH RECURSIVE links AS (
+      SELECT 'c:' || c_custkey AS a, 'cust#' || c_custkey AS b
+      FROM customer
+      UNION ALL
+      SELECT 'customer-' || c_custkey, 'cust#' || c_custkey FROM customer
+    ), und AS (
+      SELECT a, b FROM links UNION SELECT b, a FROM links
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM und
+    ), reach(node, anc) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT u.b, r.anc FROM reach r JOIN und u ON u.a = r.node
+    ), classes AS (
+      SELECT node, min(anc) AS label FROM reach GROUP BY node
+    ), edges AS (
+      SELECT 'c:' || c_custkey AS src, 'cust_from' AS pred,
+             'n:' || c_nationkey AS dst FROM customer
+      UNION ALL
+      SELECT 'cust#' || c_custkey, 'in_segment', 'seg:' || c_mktsegment
+      FROM customer
+    )
+    SELECT DISTINCT COALESCE(ls.label, e.src) AS src, e.pred,
+           COALESCE(ld.label, e.dst) AS dst
+    FROM edges e
+    LEFT JOIN classes ls ON ls.node = e.src
+    LEFT JOIN classes ld ON ld.node = e.dst
+    """,
     # SHACL validation (operators/shacl.py) over the ENTAILED graph:
     # each shape of queries._SHACL_SHAPES spelled out as its relational
     # check — closed-count minCount via LEFT JOIN + COALESCE 0,

@@ -638,3 +638,42 @@ def test_facade_sparql_dispatch(spark):
     assert d.count() >= 1
     ask = p.sparql("ASK { alice visit bob }")
     assert ask.collect()[0]["ask"] is True
+
+
+def test_negated_property_set(spark):
+    e = _edges(spark, GRAPH)
+    # every edge from alice that is NOT a knows edge
+    got = sorted(
+        map(
+            tuple,
+            sparql_select(
+                e, "SELECT ?o WHERE { alice !knows ?o }"
+            ).collect(),
+        )
+    )
+    assert got == [("acme",)]
+    # multi-member set: neither knows nor works_at
+    got2 = sparql_select(
+        e, "SELECT ?s ?o WHERE { ?s !(knows|works_at) ?o }"
+    )
+    assert sorted(map(tuple, got2.collect())) == [
+        ("acme", "company"), ("globex", "company")
+    ]
+
+
+def test_negated_set_composes_and_rejects(spark):
+    e = _edges(spark, GRAPH)
+    got = sorted(
+        r["c"]
+        for r in sparql_select(
+            e,
+            "SELECT ?c WHERE { ?x !knows ?c . ?c is_a company }",
+        ).collect()
+    )
+    assert got == ["acme", "acme", "globex"]  # bag semantics
+    for bad in (
+        "SELECT ?x WHERE { ?x !(^knows) ?y }",   # inverse member
+        "SELECT ?x WHERE { ?x !?p ?y }",          # var member
+    ):
+        with pytest.raises((SparqlError, ValueError)):
+            sparql_select(e, bad).collect()
