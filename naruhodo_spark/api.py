@@ -240,6 +240,14 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), seeds, damping, iterations
         )
 
+    def k_core(self, k: int = 2, **kw) -> DataFrame:
+        """(node, degree) — the k-core of this graph (graphstats.k_core):
+        the dense backbone after iteratively peeling nodes of degree
+        < k; the standard pre-trim before embedding/community work."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.k_core(self._ksg_edges(), k, **kw)
+
     def betweenness(self, n_sources: int = 16, max_dist: int = 6) -> DataFrame:
         """(node, betweenness) — sampled Brandes betweenness over the
         KSG (operators/graphstats.betweenness_sampled): the bridge

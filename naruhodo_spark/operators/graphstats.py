@@ -943,3 +943,64 @@ def top_facts(ksg_edges: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("fact_rank") <= int(k))
         .drop("pred_rank")
     )
+
+
+def k_core(ksg_edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """(node, degree) — the k-core of the UNDIRECTED simple graph: the
+    maximal induced subgraph where every node keeps degree >= k
+    (Seidman, Social Networks 1983; the standard KG-curation trim —
+    peel the sparse periphery, keep the dense backbone that carries the
+    signal for embedding training and community work). ``degree`` is
+    the node's degree INSIDE the core.
+
+    Algorithm: distributed iterative peeling — per round ONE uniform
+    degree groupBy + TWO semi-joins restricting the edge list to
+    surviving endpoints; rounds = peeling depth (bounded by the
+    longest chain of cascading removals, usually << diameter), with a
+    loud RuntimeError at ``max_rounds`` (never a silent partial peel).
+    The edge frame localCheckpoints per round (CC discipline) so
+    lineage and Catalyst stats stay flat; the convergence probe is one
+    COUNT of the surviving-node frame — O(1) driver traffic per round.
+
+    Empty result when no k-core exists. Directionality and edge
+    multiplicity are deliberately collapsed (core theory is about the
+    simple undirected graph); self-loops are dropped.
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    pairs = _edge_pairs(ksg_edges).select("src", "dst")
+    und = (
+        pairs.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).localCheckpoint()
+        n = keep.count()
+        if n == prev_nodes:
+            return keep
+        if n == 0:
+            return keep
+        prev_nodes = n
+        und = (
+            und.join(
+                keep.select(F.col("node").alias("a")), "a", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    raise RuntimeError(
+        f"k_core did not stabilize in {max_rounds} rounds — raise "
+        "max_rounds (rounds track the cascade depth of peeled nodes)"
+    )

@@ -1972,6 +1972,30 @@ def kg_shacl_report(spark, sf_dir):
     return validate_shapes(entailed, _SHACL_SHAPES)
 
 
+def kg_k_core(spark, sf_dir):
+    """k-core trim (operators/graphstats.k_core — iterative peeling,
+    one degree groupBy + two semi-joins per round) of the part↔supplier
+    co-occurrence graph from lineitem: parts touch ~4 suppliers and
+    suppliers many parts, so the 2-core keeps the dense backbone while
+    degree-1 periphery peels with cascades. Rows-only (iterative — not
+    ANSI-SQL-expressible without aggregation inside recursion); the
+    semantics are networkx-pinned in tests/test_kcore.py."""
+    from naruhodo_spark.operators.graphstats import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("supplied_by").alias("pred"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+            "obj"
+        ),
+        F.lit(1).alias("weight"),
+    )
+    return k_core(edges, k=3)
+
+
 def kg_smushed_graph(spark, sf_dir):
     """owl:sameAs smushing (operators/smush.py — CC over the sameAs
     slice via the shared star contraction, then a two-join endpoint
@@ -4417,5 +4441,6 @@ for _n, _f in [
     ("kg_rdfs_entailed", kg_rdfs_entailed),
     ("kg_shacl_report", kg_shacl_report),
     ("kg_smushed_graph", kg_smushed_graph),
+    ("kg_k_core", kg_k_core),
 ]:
     _register(_n, _f)
