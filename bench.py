@@ -224,6 +224,7 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_shacl_report",
         "kg_smushed_graph",
         "kg_k_core",
+        "kg_owl_entailed",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),

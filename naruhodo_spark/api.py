@@ -447,6 +447,28 @@ class parser:  # noqa: N801 — name mirrors the reference API
             edges = edges.unionByName(extra)
         return rdfs_entailment(edges, **kw)
 
+    def owl_entail(self, schema: "DataFrame | list | None" = None,
+                   **kw) -> DataFrame:
+        """(src, pred, dst) — this graph closed under owl:inverseOf /
+        SymmetricProperty / TransitiveProperty (operators/owl.py).
+        ``schema`` unions extra declaration triples first, like
+        :meth:`entail`. Compose ``owl_entail`` then :meth:`entail`
+        for the full RDFS-Plus profile."""
+        from naruhodo_spark.operators.owl import owl_entailment
+        from naruhodo_spark.sparql import _as_edges
+
+        edges = _as_edges(self._ksg_edges()).select("src", "pred", "dst")
+        if schema is not None:
+            extra = (
+                schema.select("src", "pred", "dst")
+                if isinstance(schema, DataFrame)
+                else self.spark.createDataFrame(
+                    schema, "src string, pred string, dst string"
+                )
+            )
+            edges = edges.unionByName(extra)
+        return owl_entailment(edges, **kw)
+
     def validate(self, shapes, entailed: bool = False, **kw) -> DataFrame:
         """(focus, shape_id, target_class, path, constraint, expected,
         actual) — SHACL-core violations of ``shapes`` (operators/

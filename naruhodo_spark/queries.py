@@ -1972,6 +1972,46 @@ def kg_shacl_report(spark, sf_dir):
     return validate_shapes(entailed, _SHACL_SHAPES)
 
 
+def kg_owl_entailed(spark, sf_dir):
+    """OWL property semantics (operators/owl.py — inverseOf +
+    TransitiveProperty over the driver-side parity implication map and
+    the shared semi-naive closure) on the per-customer order-succession
+    chains: ``next`` declared transitive with inverse ``prev``, so the
+    entailed graph carries the full succession closure in both
+    directions. Exact DuckDB mirror (recursive closure + flip union)
+    in tests/test_entry_contract.py EXTRA_MIRRORS — rows-only at the
+    driver (window full)."""
+    from naruhodo_spark.operators.owl import owl_entailment
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lim = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 8)
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("rn")
+    inst = (
+        lim.select("o_orderkey", F.lead("o_orderkey").over(w2).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+                "src"
+            ),
+            F.lit("next").alias("pred"),
+            F.concat(F.lit("o:"), F.col("nxt").cast("string")).alias("dst"),
+        )
+    )
+    schema = spark.createDataFrame(
+        [
+            ("next", "is_a", "transitive_property"),
+            ("next", "inverse_of", "prev"),
+        ],
+        "src string, pred string, dst string",
+    )
+    return owl_entailment(inst.unionByName(schema))
+
+
 def kg_k_core(spark, sf_dir):
     """k-core trim (operators/graphstats.k_core — iterative peeling,
     one degree groupBy + two semi-joins per round) of the part↔supplier
@@ -4442,5 +4482,6 @@ for _n, _f in [
     ("kg_shacl_report", kg_shacl_report),
     ("kg_smushed_graph", kg_smushed_graph),
     ("kg_k_core", kg_k_core),
+    ("kg_owl_entailed", kg_owl_entailed),
 ]:
     _register(_n, _f)

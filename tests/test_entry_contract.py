@@ -103,6 +103,36 @@ _RDFS_ENTAILED_SQL = """
 
 EXTRA_MIRRORS = {
     "kg_rdfs_entailed": _RDFS_ENTAILED_SQL,
+    # OWL property tier over the order-succession chains: the same
+    # recursive closure as the kg_sparql_closure oracle, plus the
+    # inverse flip and the schema triples
+    "kg_owl_entailed": """
+    WITH RECURSIVE lim AS (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), chain AS (
+      SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+      FROM lim a JOIN lim b
+        ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+      WHERE b.rn <= 8
+    ), closure AS (
+      SELECT src, dst FROM chain
+      UNION
+      SELECT c.src, e.dst FROM closure c JOIN chain e ON c.dst = e.src
+    )
+    SELECT DISTINCT src, pred, dst FROM (
+      SELECT 'o:' || src AS src, 'next' AS pred, 'o:' || dst AS dst
+      FROM closure
+      UNION ALL
+      SELECT 'o:' || dst, 'prev', 'o:' || src FROM closure
+      UNION ALL
+      SELECT 'next', 'is_a', 'transitive_property'
+      UNION ALL
+      SELECT 'next', 'inverse_of', 'prev'
+    )
+    """,
     # sameAs smushing: the dd_near_dup_groups reach-CTE closure over
     # the 3-chain co-reference links, then the same left-join/coalesce
     # endpoint rewrite smush() compiles to
