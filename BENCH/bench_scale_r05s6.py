@@ -18,7 +18,18 @@ The graph models the operators' real shapes:
 - SHACL: shapes validate the ENTAILED graph (class checks need the
   derived types): 1/3 of persons have no email (minCount violations),
   and 1/5 of the emails break the pattern — the report is ~0.46·N
-  rows, exercising the violation-sized-output claim.
+  rows, exercising the violation-sized-output claim;
+- k-core: a wrap-around 4-regular knows-ring over 90% of the nodes (a
+  stable 3-core) plus a degree-≤2 chain tail — the peel touches O(N)
+  edges and the core survives intact (deep cascades are pinned in
+  pytest; a drill-sized cascade would serialize into O(N) rounds by
+  construction, which is the pathology the operator's max_rounds
+  guard reports, not a throughput measurement).
+
+smush/owl_entailment are not drilled separately: their instance-scale
+kernels (star-contraction CC, the closure fixpoint, broadcast lifts)
+are each covered by this drill or the canon/graph drills already in
+BASELINE.md.
 
 Run: python BENCH/bench_scale_r05s6.py [n] [master]
      (master e.g. 'local[8]' for the scaling pair; default local[32])
@@ -96,6 +107,35 @@ def _kg_edges(spark):
     return lives.unionByName(email).unionByName(schema).localCheckpoint()
 
 
+def _ring_edges(spark):
+    """KSG-shaped knows graph: a WRAP-AROUND ring over the first 90%
+    of nodes with both i→(i+1)%M and i→(i+2)%M edges (undirected
+    degree exactly 4 — a stable 3-core whose survival never depends on
+    the periphery), plus a degree-≤2 chain tail over the last 10% that
+    peels in the first rounds. Peeling work is O(N), core is 0.9·N."""
+    m = int(N * 0.9)
+    ring = spark.range(m).select(
+        F.concat(F.lit("p"), F.col("id")).alias("subj"),
+        F.lit("knows").alias("pred"),
+        F.concat(F.lit("p"), (F.col("id") + 1) % m).alias("obj"),
+        F.lit(1).alias("weight"),
+    ).unionByName(
+        spark.range(m).select(
+            F.concat(F.lit("p"), F.col("id")).alias("subj"),
+            F.lit("knows").alias("pred"),
+            F.concat(F.lit("p"), (F.col("id") + 2) % m).alias("obj"),
+            F.lit(1).alias("weight"),
+        )
+    )
+    tail = spark.range(m, N - 1).select(
+        F.concat(F.lit("p"), F.col("id")).alias("subj"),
+        F.lit("knows").alias("pred"),
+        F.concat(F.lit("p"), F.col("id") + 1).alias("obj"),
+        F.lit(1).alias("weight"),
+    )
+    return ring.unionByName(tail).localCheckpoint()
+
+
 def _timed(label, fn):
     t0 = time.time()
     n = fn()
@@ -126,6 +166,13 @@ def main():
     walls["entailment"] = _timed("entailment", lambda: entailed.count())
     walls["shacl"] = _timed(
         "shacl", lambda: validate_shapes(entailed, SHAPES).count()
+    )
+    from naruhodo_spark.operators.graphstats import k_core
+
+    ring = _ring_edges(spark)
+    ring.count()
+    walls["k_core"] = _timed(
+        "k_core", lambda: k_core(ring, 3).count()
     )
     total = sum(walls.values())
     print(f"TOTAL {MASTER}: {total:.2f} s", flush=True)
