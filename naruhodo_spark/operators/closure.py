@@ -24,10 +24,11 @@ Scale shape at 10^9 edges:
   LogicalRDD's carried Catalyst sizeInBytes compounds multiplicatively
   and by round ~4 the driver lives inside BigInteger.multiply
   (measured here: rounds went 3.4 s → 28.9 s at 2M chain edges; with
-  the stats reset every round is flat). Superseded delta/accumulator
-  checkpoints are ``_release``d as soon as their successor
-  materializes — a long fixpoint never accumulates copies in storage
-  memory;
+  the stats reset every round is flat). Delta checkpoints are NEVER
+  released — they are the accumulator's storage (the union of deltas
+  IS the closure; lineage is truncated, so freed blocks could not be
+  recomputed) — so resident memory equals the result's own size, with
+  only the final empty probe released;
 - rounds = longest shortest-path length in the relation (NOT the
   longest path: cycles converge because the closure is a set). The
   ``max_rounds`` bound raises loudly on non-convergence — never a
@@ -81,9 +82,13 @@ def transitive_closure(
             .select("src", F.col("_d").alias("dst"))
             .distinct()
         )
+        # NOTE: earlier deltas are NOT _release'd — every non-empty
+        # delta becomes part of the returned accumulator union, and its
+        # checkpointed blocks ARE the data (lineage was truncated, so a
+        # freed block could never be recomputed). Only the final empty
+        # delta is safe to release. The per-round memory is therefore
+        # exactly the closure being built — the result's own size.
         new_delta = _truncate(grown.join(closure, ["src", "dst"], "left_anti"))
-        if delta is not base:
-            _release(delta)  # fully consumed by new_delta's checkpoint
         delta = new_delta
         if delta.isEmpty():
             _release(delta)
