@@ -1004,3 +1004,167 @@ def k_core(ksg_edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         f"k_core did not stabilize in {max_rounds} rounds — raise "
         "max_rounds (rounds track the cascade depth of peeled nodes)"
     )
+
+
+def quotient_graph(
+    ksg_edges: DataFrame,
+    groups: DataFrame,
+    by_pred: bool = False,
+    ungrouped: str = "_ungrouped",
+) -> DataFrame:
+    """(src_group, dst_group[, pred], n_edges, total_weight,
+    n_src_nodes, n_dst_nodes) — the typed quotient (SNAP-style)
+    summary of the KSG under a node→group assignment (Tian et al.,
+    SIGMOD 2008 "Efficient Aggregation for Graph Summarization"):
+    collapse every node into its group and aggregate the edges between
+    groups. THE way to look at a 10^12-document KSG at all — the
+    summary is |groups|² ≤ (and in practice ≪) |edges| sized, and the
+    group column composes with everything that emits one
+    (entity types from linking, LPA communities, k-means clusters,
+    SDType inferences).
+
+    ``groups``: (name, group). Nodes missing from it land in the
+    ``ungrouped`` sentinel group (left joins + coalesce — the
+    no-silent-drops policy; pass a closed-world table and filter the
+    sentinel out downstream if drops are wanted). Duplicate names in
+    ``groups`` would row-multiply edges — collapsed here with max()
+    exactly like link.py's alias guard.
+
+    Shape: two uniform equi-joins on the node key (group table is
+    node-sized, shuffles uniformly; hub GROUPS are fine — the skew is
+    absorbed by the map-side-combinable final groupBy) + ONE groupBy.
+    Distinct endpoint counts ride the same aggregate as
+    count_distinct — no extra pass.
+    """
+    g = groups.groupBy("name").agg(F.max("group").alias("group"))
+    e = ksg_edges.select(
+        "subj",
+        "pred",
+        "obj",
+        F.coalesce(F.col("weight").cast("double"), F.lit(1.0)).alias(
+            "weight"
+        ),
+    )
+    e = (
+        e.join(
+            g.select(
+                F.col("name").alias("subj"), F.col("group").alias("src_group")
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            g.select(
+                F.col("name").alias("obj"), F.col("group").alias("dst_group")
+            ),
+            "obj",
+            "left",
+        )
+        .withColumn("src_group", F.coalesce("src_group", F.lit(ungrouped)))
+        .withColumn("dst_group", F.coalesce("dst_group", F.lit(ungrouped)))
+    )
+    keys = ["src_group", "dst_group"] + (["pred"] if by_pred else [])
+    return e.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.round(F.sum("weight"), 4).alias("total_weight"),
+        F.countDistinct("subj").alias("n_src_nodes"),
+        F.countDistinct("obj").alias("n_dst_nodes"),
+    )
+
+
+def modularity(
+    ksg_edges: DataFrame, communities: DataFrame
+) -> DataFrame:
+    """(community, n_nodes, internal_weight, total_strength,
+    contribution) — Newman weighted modularity per community over the
+    UNDIRECTED simple projection of the KSG (Newman, PRE 2004):
+    Q = Σ_c [ w_c/m − (s_c/2m)² ] with m the total undirected edge
+    weight, w_c community c's internal weight and s_c its total
+    strength; ``contribution`` is c's bracket term, so
+    sum(contribution) IS Q. The quality gauge for label_propagation /
+    k-means / any (node, community) assignment — run it after LPA and
+    a near-zero Q says the partition is noise, not structure.
+
+    Projection matches k_core: parallel directed edges collapse to one
+    undirected pair (weight = max across directions — multiplicity is
+    extraction repetition, not strength), self-loops drop. Unassigned
+    endpoints take the node name as a singleton community (left join +
+    coalesce — no silent drops; singletons with no internal edges
+    contribute −(s/2m)², the standard penalty reading).
+
+    Shape: pair symmetrize + ONE distinct-pair groupBy, strength
+    groupBy on the node key, one node-keyed join to the assignment,
+    ONE community groupBy, and a 1-row total-weight scalar broadcast
+    on a literal key — every shuffle is on a uniform key and every
+    aggregate map-side combines; the result is |communities|-sized.
+    """
+    com = communities.groupBy(F.col("node").alias("name")).agg(
+        F.max("community").alias("community")
+    )
+    pairs = (
+        _edge_pairs(ksg_edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.coalesce(F.col("weight").cast("double"), F.lit(1.0)).alias(
+                "w"
+            ),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    ca = com.select(F.col("name").alias("a"), F.col("community").alias("c_a"))
+    cb = com.select(F.col("name").alias("b"), F.col("community").alias("c_b"))
+    labeled = (
+        pairs.join(ca, "a", "left")
+        .join(cb, "b", "left")
+        .withColumn("c_a", F.coalesce("c_a", F.col("a")))
+        .withColumn("c_b", F.coalesce("c_b", F.col("b")))
+        .localCheckpoint(eager=False)
+    )
+    m = labeled.agg(F.sum("w").alias("m")).select(
+        F.lit(1).alias("_k"), "m"
+    )
+    strength = (
+        labeled.select(F.col("c_a").alias("community"), "w")
+        .unionByName(labeled.select(F.col("c_b").alias("community"), "w"))
+        .groupBy("community")
+        .agg(F.sum("w").alias("total_strength"))
+    )
+    internal = (
+        labeled.where(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("community"))
+        .agg(F.sum("w").alias("internal_weight"))
+    )
+    n_nodes = (
+        labeled.select(F.col("a").alias("name"), F.col("c_a").alias("community"))
+        .unionByName(
+            labeled.select(
+                F.col("b").alias("name"), F.col("c_b").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.countDistinct("name").alias("n_nodes"))
+    )
+    out = (
+        strength.join(internal, "community", "left")
+        .join(n_nodes, "community")
+        .withColumn(
+            "internal_weight", F.coalesce("internal_weight", F.lit(0.0))
+        )
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(m), "_k")
+        .drop("_k")
+    )
+    return out.select(
+        "community",
+        "n_nodes",
+        F.round("internal_weight", 4).alias("internal_weight"),
+        F.round("total_strength", 4).alias("total_strength"),
+        F.round(
+            F.col("internal_weight") / F.col("m")
+            - F.pow(F.col("total_strength") / (2.0 * F.col("m")), F.lit(2.0)),
+            6,
+        ).alias("contribution"),
+    )

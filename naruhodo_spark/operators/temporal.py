@@ -129,3 +129,90 @@ def interval_stats(intervals: DataFrame) -> DataFrame:
         F.round(F.avg("n_int"), 4).alias("intervals_per_triple"),
     )
     return b.crossJoin(a)
+
+
+def allen_relations(
+    intervals: DataFrame,
+    key: "list[str] | None" = None,
+    max_per_key: int | None = 1000,
+):
+    """(intervals ⟶ pairwise temporal structure): classify every pair
+    of validity intervals sharing ``key`` (default ["subj"] — facts
+    about the same entity) into Allen's interval algebra (Allen, CACM
+    1983): before / meets / overlaps / starts / during / finishes /
+    equals. Returns ``(pairs, audit)``:
+
+    - pairs: (key…, pred_a, obj_a, from_a, to_a, pred_b, obj_b,
+      from_b, to_b, relation) — ONE row per unordered interval pair,
+      the A side being the lexicographically smaller
+      (valid_from, valid_to, pred, obj) tuple, so the 6 inverse
+      relations never appear (read them by swapping sides); the
+      relation names are A-relative-to-B.
+    - audit: (key…, n_intervals) for key groups larger than
+      ``max_per_key``, which are EXCLUDED from pairs (the self-join is
+      n² per key; a god-entity with 10^6 facts would be 10^12 pairs).
+      Empty when nothing was dropped — callers MUST check (repo
+      policy: no silent drops). ``max_per_key=None`` uncaps.
+
+    Shape: one per-key count groupBy + ONE self-equi-join on the
+    uniform key (hub keys removed beforehand by the cap), CASE
+    expression for the relation — pairs per key bounded by
+    max_per_key², all JVM-side.
+    """
+    key = list(key) if key is not None else ["subj"]
+    # fact columns = the triple parts NOT in the pairing key (pairing
+    # by [subj, pred] leaves only obj to carry per side)
+    facts = [c for c in ("pred", "obj") if c not in key]
+    iv = intervals.select(
+        *key,
+        *facts,
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    sizes = iv.groupBy(*key).agg(F.count(F.lit(1)).alias("n_intervals"))
+    if max_per_key is not None:
+        audit = sizes.where(F.col("n_intervals") > int(max_per_key))
+        iv = iv.join(
+            audit.select(*key), key, "left_anti"
+        )
+    else:
+        audit = sizes.where(F.lit(False))
+
+    def _side(s):
+        return iv.select(
+            *key,
+            *[F.col(c).alias(f"{c}_{s}") for c in facts],
+            F.col("valid_from").alias(f"from_{s}"),
+            F.col("valid_to").alias(f"to_{s}"),
+        )
+
+    a, b = _side("a"), _side("b")
+    # deterministic side assignment: A = smaller (from, to, facts…)
+    tup_a = F.struct("from_a", "to_a", *[f"{c}_a" for c in facts])
+    tup_b = F.struct("from_b", "to_b", *[f"{c}_b" for c in facts])
+    joined = a.join(b, key).where(tup_a < tup_b)
+    fa, ta, fb, tb = (
+        F.col("from_a"), F.col("to_a"), F.col("from_b"), F.col("to_b")
+    )
+    relation = (
+        F.when((fa == fb) & (ta == tb), "equals")
+        .when(ta < fb, "before")
+        .when(ta == fb, "meets")
+        .when((fa == fb) & (ta < tb), "starts")
+        # A's side tuple being smaller means fa <= fb, and when
+        # fa == fb also ta <= tb — so the inverse relations with A
+        # starting later are unreachable; the rest split on A's right
+        # edge relative to B's
+        .when(ta > tb, "during_inv")    # B during A
+        .when(ta == tb, "finishes_inv")  # B finishes A
+        .otherwise("overlaps")
+    )
+    pairs = joined.select(
+        *key,
+        *[f"{c}_a" for c in facts],
+        "from_a", "to_a",
+        *[f"{c}_b" for c in facts],
+        "from_b", "to_b",
+        relation.alias("relation"),
+    )
+    return pairs, audit
