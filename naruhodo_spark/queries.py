@@ -372,20 +372,14 @@ def join_asof_attribution(spark, sf_dir):
     return join_asof(buys, views)
 
 
-_register(
-    "join_asof_attribution",
-    join_asof_attribution,
-    """
-    SELECT b.event_id, b.user_id, b.ts, b.purchase_value,
-           v.ts AS asof_ts, v.view_value AS asof_view_value
-    FROM (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
-          FROM events WHERE event_type = 'purchase') b
-    ASOF LEFT JOIN (SELECT user_id, ts, round(max(value), 2) AS view_value
-                    FROM events WHERE event_type = 'view'
-                    GROUP BY user_id, ts) v
-      ON b.user_id = v.user_id AND b.ts >= v.ts
-    """,
-)
+# join_asof_attribution: oracle DEMOTED r05 session-7 (driver-green
+# r01–r04; rotation policy — see the rotation ledger). The join family
+# stays driver-oracled via q3/q5; ops/asof.py keeps its pytest suite +
+# plan pin, and the exact ASOF-JOIN DuckDB mirror moves to
+# tests/test_entry_contract.py ROTATION_MIRRORS. Registered rows-only
+# at the end of this module; slot goes to kg_aligned_entities — first
+# driver oracle for PARIS-style cross-KG alignment
+# (operators/align.py).
 
 
 def join_range_activation(spark, sf_dir):
@@ -1396,28 +1390,17 @@ _register(
     """,
 )
 
-_register(
-    "ts_pack_sequences",
-    lambda spark, sf: TS.pack_sequences(
+# ts_pack_sequences: oracle DEMOTED r05 session-7 (driver-green
+# r02–r04 after the r01 hash fix; rotation policy — see the rotation
+# ledger). The ts_ family keeps 15 driver oracles; the exact packing
+# mirror moves to tests/test_entry_contract.py ROTATION_MIRRORS.
+# Registered rows-only at the end of this module; slot goes to
+# kg_quotient_summary — first driver oracle for SNAP-style quotient
+# summarization (graphstats.quotient_graph).
+def ts_pack_sequences(spark, sf):
+    return TS.pack_sequences(
         _t(spark, sf, "documents"), max_tokens=256, shard_docs=100
-    ),
-    rf"""
-    WITH d AS (
-      SELECT doc_id, doc_id // 100 AS shard,
-             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
-      FROM documents),
-    s AS (
-      SELECT doc_id, shard, n_tokens,
-             CAST(coalesce(sum(n_tokens) OVER (
-               PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS start_offset
-      FROM d)
-    SELECT doc_id, shard, start_offset,
-           CAST(start_offset // 256 AS BIGINT) AS pack_in_shard, n_tokens
-    FROM s
-    """,
-)
+    )
 
 _register(
     "ts_stratified_sample",
@@ -2183,20 +2166,17 @@ def kg_inclusive_merge(spark, sf_dir):
 # same-cell cosine ≈ 0.48 at sf0.01), so a production-style 0.9 cut
 # would make the oracle compare empty sets — 0.3 yields ~100 pairs and
 # a check with teeth. Production callers pass their own threshold.
-_register(
-    "sim_embedding_near_dups",
-    lambda spark, sf: SIM.embedding_near_dups(
+# sim_embedding_near_dups: oracle DEMOTED r05 session-7 (driver-green
+# r02–r04; rotation policy — see the rotation ledger). The similarity
+# family stays driver-oracled via sim_topk_ivf + sim_lsh_candidates;
+# the cosine mirror moves to tests/test_entry_contract.py
+# ROTATION_MIRRORS. Registered rows-only at the end of this module;
+# slot goes to kg_modularity_roles — first driver oracle for Newman
+# modularity scoring (graphstats.modularity).
+def sim_embedding_near_dups(spark, sf):
+    return SIM.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.3
-    ),
-    f"""
-    SELECT vec_a, vec_b, cosine FROM (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {_COSINE_SQL} AS cosine
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
-    WHERE cosine >= 0.3
-    """,
-)
+    )
 
 
 def cc_order_chains(spark, sf_dir):
@@ -2221,15 +2201,14 @@ def cc_order_chains(spark, sf_dir):
     )
 
 
-_register(
-    "cc_order_chains",
-    cc_order_chains,
-    """
-    SELECT o_orderkey,
-           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
-    FROM orders
-    """,
-)
+# cc_order_chains: oracle DEMOTED r05 session-7 (driver-green r02–r04;
+# rotation policy — see the rotation ledger). The CC family stays
+# driver-oracled via dd_near_dup_groups (same star-contraction loop
+# inside the near-dup closure); the chain mirror moves to
+# tests/test_entry_contract.py ROTATION_MIRRORS. Registered rows-only
+# at the end of this module; slot goes to kg_allen_relations — first
+# driver oracle for the Allen interval-algebra operator
+# (temporal.allen_relations).
 
 def ts_mix_corpus(spark, sf_dir):
     """Domain-weight corpus mixing (ops/textstats.mix_corpus): per-source
@@ -3221,6 +3200,302 @@ _register(
            round(s.support / nb.n_body, 4) AS confidence
     FROM sup s JOIN nb USING (r1, r2)
     WHERE s.support / nb.n_body >= 0.2
+    """,
+)
+
+
+# =====================================================================
+# r05 session-7 first-time oracles: quotient summarization, modularity
+# scoring, Allen interval algebra, PARIS cross-KG alignment
+# =====================================================================
+
+def _svo_edges(spark, sf_dir):
+    """SVO triples as weighted KSG edges + a deterministic node
+    grouping — structural role (subject-only / object-only / both)
+    crossed with a 16-way md5 bucket. The SVO vocabulary is small
+    enough that every node plays both roles at small SF, which would
+    collapse a role-only quotient to one super-node and make the
+    oracle vacuous; the md5 cross keeps ~16 groups per role so the
+    aggregation arithmetic is exercised over a real group lattice
+    (md5 renders identically in both engines — the repo's standard
+    bucketing idiom). Shared input of the quotient and modularity
+    oracles; the SQL twin extends _SVO_CTE so the mirrors cannot
+    drift from the triple source."""
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select("subj", "pred", "obj", F.lit(1.0).alias("weight"))
+    roles = (
+        edges.select(
+            F.col("subj").alias("name"),
+            F.lit(1).alias("s"),
+            F.lit(0).alias("o"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("obj").alias("name"),
+                F.lit(0).alias("s"),
+                F.lit(1).alias("o"),
+            )
+        )
+        .groupBy("name")
+        .agg(F.max("s").alias("s"), F.max("o").alias("o"))
+        .select(
+            "name",
+            F.concat(
+                F.when((F.col("s") == 1) & (F.col("o") == 1), "both")
+                .when(F.col("s") == 1, "subject")
+                .otherwise("object"),
+                F.lit("-"),
+                F.substring(F.md5(F.col("name")), 1, 1),
+            ).alias("group"),
+        )
+    )
+    return edges, roles
+
+
+_ROLE_CTE = """
+    e AS (SELECT subj, pred, obj FROM svo
+          WHERE subj IS NOT NULL AND obj IS NOT NULL),
+    r AS (
+      SELECT name,
+             (CASE WHEN max(s) = 1 AND max(o) = 1 THEN 'both'
+                   WHEN max(s) = 1 THEN 'subject'
+                   ELSE 'object' END) || '-' || substr(md5(name), 1, 1)
+               AS grp
+      FROM (SELECT subj AS name, 1 AS s, 0 AS o FROM e
+            UNION ALL SELECT obj, 0, 1 FROM e)
+      GROUP BY name)
+"""
+
+
+def kg_quotient_summary(spark, sf_dir):
+    """SNAP-style quotient summary (graphstats.quotient_graph — two
+    uniform node-key joins + ONE map-side-combinable groupBy; the
+    summary is |groups|²-sized at any corpus scale) over the SVO edge
+    set, nodes grouped by structural role. Takes ts_pack_sequences'
+    slot (r05 session-7 rotation)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    edges, roles = _svo_edges(spark, sf_dir)
+    return GS.quotient_graph(edges, roles)
+
+
+_register(
+    "kg_quotient_summary",
+    kg_quotient_summary,
+    f"""
+    WITH {_SVO_CTE},
+    {_ROLE_CTE}
+    SELECT rs.grp AS src_group, ro.grp AS dst_group,
+           count(*) AS n_edges,
+           round(sum(1.0), 4) AS total_weight,
+           count(DISTINCT e.subj) AS n_src_nodes,
+           count(DISTINCT e.obj) AS n_dst_nodes
+    FROM e JOIN r rs ON e.subj = rs.name
+           JOIN r ro ON e.obj = ro.name
+    GROUP BY rs.grp, ro.grp
+    """,
+)
+
+
+def kg_modularity_roles(spark, sf_dir):
+    """Newman modularity per community (graphstats.modularity — pair
+    symmetrize + three uniform groupBys + a 1-row scalar broadcast)
+    with the structural-role partition as the community assignment.
+    Takes sim_embedding_near_dups' slot (r05 session-7 rotation)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    edges, roles = _svo_edges(spark, sf_dir)
+    com = roles.select(
+        F.col("name").alias("node"), F.col("group").alias("community")
+    )
+    return GS.modularity(edges, com)
+
+
+_register(
+    "kg_modularity_roles",
+    kg_modularity_roles,
+    f"""
+    WITH {_SVO_CTE},
+    {_ROLE_CTE},
+    pairs AS (
+      SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+             max(1.0) AS w
+      FROM e WHERE subj <> obj GROUP BY 1, 2),
+    lab AS (
+      SELECT p.a, p.b, p.w, ra.grp AS c_a, rb.grp AS c_b
+      FROM pairs p JOIN r ra ON p.a = ra.name
+                   JOIN r rb ON p.b = rb.name),
+    m AS (SELECT sum(w) AS m FROM lab),
+    st AS (SELECT c AS community, sum(w) AS total_strength FROM (
+             SELECT c_a AS c, w FROM lab
+             UNION ALL SELECT c_b, w FROM lab)
+           GROUP BY c),
+    inw AS (SELECT c_a AS community, sum(w) AS internal_weight FROM lab
+            WHERE c_a = c_b GROUP BY c_a),
+    nn AS (SELECT c AS community, count(DISTINCT name) AS n_nodes FROM (
+             SELECT a AS name, c_a AS c FROM lab
+             UNION ALL SELECT b, c_b FROM lab)
+           GROUP BY c)
+    SELECT st.community, nn.n_nodes,
+           round(coalesce(inw.internal_weight, 0.0), 4) AS internal_weight,
+           round(st.total_strength, 4) AS total_strength,
+           round(coalesce(inw.internal_weight, 0.0) / m.m
+                 - pow(st.total_strength / (2.0 * m.m), 2), 6)
+             AS contribution
+    FROM st JOIN nn USING (community)
+            LEFT JOIN inw USING (community)
+            CROSS JOIN m
+    """,
+)
+
+
+def kg_allen_relations(spark, sf_dir):
+    """Allen interval algebra (temporal.allen_relations — per-key
+    count + ONE self-equi-join + CASE, hub-capped) over the
+    event-derived validity intervals; a 30-DAY gap so each (user,
+    event_type) triple coalesces to few intervals and the pair count
+    stays |users|·C(intervals,2)-sized. Uncapped here for SQL parity
+    (the cap's audit path is pytest-covered). Takes cc_order_chains'
+    slot (r05 session-7 rotation)."""
+    from naruhodo_spark.operators import temporal as TP
+
+    obs = _temporal_obs(spark, sf_dir)
+    ints = TP.validity_intervals(obs, gap_minutes=43200.0)
+    pairs, _audit = TP.allen_relations(
+        ints, key=["subj"], max_per_key=None
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return pairs.select(
+        "subj", "pred_a", "obj_a",
+        F.date_format("from_a", fmt).alias("from_a"),
+        F.date_format("to_a", fmt).alias("to_a"),
+        "pred_b", "obj_b",
+        F.date_format("from_b", fmt).alias("from_b"),
+        F.date_format("to_b", fmt).alias("to_b"),
+        "relation",
+    )
+
+
+_register(
+    "kg_allen_relations",
+    kg_allen_relations,
+    """
+    WITH obs AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subj, 'did' AS pred,
+             event_type AS obj, ts
+      FROM events),
+    flagged AS (
+      SELECT subj, pred, obj, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 2592000.0
+                  THEN 1 ELSE 0 END AS new_interval
+      FROM obs WINDOW w AS (PARTITION BY subj, pred, obj ORDER BY ts)),
+    numbered AS (
+      SELECT subj, pred, obj, ts,
+             sum(new_interval) OVER (PARTITION BY subj, pred, obj
+                                     ORDER BY ts) AS iid
+      FROM flagged),
+    iv AS (
+      SELECT subj, pred, obj, min(ts) AS f, max(ts) AS t
+      FROM numbered GROUP BY subj, pred, obj, iid),
+    j AS (
+      SELECT a.subj,
+             a.pred AS pred_a, a.obj AS obj_a, a.f AS fa, a.t AS ta,
+             b.pred AS pred_b, b.obj AS obj_b, b.f AS fb, b.t AS tb
+      FROM iv a JOIN iv b ON a.subj = b.subj
+      WHERE (a.f, a.t, a.pred, a.obj) < (b.f, b.t, b.pred, b.obj))
+    SELECT subj, pred_a, obj_a,
+           strftime(fa, '%Y-%m-%d %H:%M:%S') AS from_a,
+           strftime(ta, '%Y-%m-%d %H:%M:%S') AS to_a,
+           pred_b, obj_b,
+           strftime(fb, '%Y-%m-%d %H:%M:%S') AS from_b,
+           strftime(tb, '%Y-%m-%d %H:%M:%S') AS to_b,
+           CASE WHEN fa = fb AND ta = tb THEN 'equals'
+                WHEN ta < fb THEN 'before'
+                WHEN ta = fb THEN 'meets'
+                WHEN fa = fb AND ta < tb THEN 'starts'
+                WHEN ta > tb THEN 'during_inv'
+                WHEN ta = tb THEN 'finishes_inv'
+                ELSE 'overlaps' END AS relation
+    FROM j
+    """,
+)
+
+
+def kg_aligned_entities(spark, sf_dir):
+    """PARIS-style cross-KG alignment (operators/align.py — inverse
+    functionalities as two uniform groupBys, noisy-or evidence over
+    ONE (pred, object) equi-join, mutual-best acceptance): the two KGs
+    are the even- and odd-orderkey halves of the order log read as
+    (customer, priority, order-month) facts, so matches recover the
+    same customer across the halves from overlapping behavior. Takes
+    join_asof_attribution's slot (r05 session-7 rotation)."""
+    from naruhodo_spark.operators.align import align_entities
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 300)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.col("o_orderpriority").alias("pred"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("obj"),
+            (F.col("o_orderkey") % 2).alias("half"),
+        )
+    )
+    kg1 = base.where(F.col("half") == 0).drop("half")
+    kg2 = base.where(F.col("half") == 1).drop("half")
+    matches, _audit = align_entities(
+        kg1, kg2, rounds=1, min_score=0.35, max_per_object=None
+    )
+    return matches
+
+
+_register(
+    "kg_aligned_entities",
+    kg_aligned_entities,
+    """
+    WITH kg1 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+             o_orderpriority AS pred,
+             strftime(o_orderdate, '%Y-%m') AS obj
+      FROM orders WHERE o_custkey < 300 AND o_orderkey % 2 = 0),
+    kg2 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS subj,
+             o_orderpriority AS pred,
+             strftime(o_orderdate, '%Y-%m') AS obj
+      FROM orders WHERE o_custkey < 300 AND o_orderkey % 2 = 1),
+    f1 AS (SELECT pred, count(DISTINCT obj) * 1.0 / count(*) AS f1
+           FROM kg1 GROUP BY pred),
+    f2 AS (SELECT pred, count(DISTINCT obj) * 1.0 / count(*) AS f2
+           FROM kg2 GROUP BY pred),
+    w AS (SELECT pred, least((f1 + f2) / 2.0, 1.0 - 0.000001) AS w
+          FROM f1 JOIN f2 USING (pred)),
+    cands AS (
+      SELECT a.subj AS name_1, b.subj AS name_2, w.w
+      FROM kg1 a JOIN kg2 b ON a.pred = b.pred AND a.obj = b.obj
+                 JOIN w ON w.pred = a.pred),
+    scored AS (
+      SELECT name_1, name_2,
+             round(1.0 - exp(sum(ln(1.0 - w))), 6) AS score,
+             count(*) AS n_shared
+      FROM cands GROUP BY name_1, name_2),
+    kept AS (SELECT * FROM scored WHERE score >= 0.35),
+    b1 AS (SELECT name_1, name_2 FROM (
+             SELECT name_1, name_2,
+                    row_number() OVER (PARTITION BY name_1
+                      ORDER BY score DESC, name_2 DESC) AS rn
+             FROM kept) WHERE rn = 1),
+    b2 AS (SELECT name_1, name_2 FROM (
+             SELECT name_1, name_2,
+                    row_number() OVER (PARTITION BY name_2
+                      ORDER BY score DESC, name_1 DESC) AS rn
+             FROM kept) WHERE rn = 1)
+    SELECT k.name_1, k.name_2, k.score, k.n_shared
+    FROM kept k JOIN b1 USING (name_1, name_2)
+                JOIN b2 USING (name_1, name_2)
     """,
 )
 
@@ -4483,5 +4758,12 @@ for _n, _f in [
     ("kg_smushed_graph", kg_smushed_graph),
     ("kg_k_core", kg_k_core),
     ("kg_owl_entailed", kg_owl_entailed),
+    # --- r05 session-7 rotation (same policy): demoted after ≥3
+    # driver-green rounds; pytest mirrors in ROTATION_MIRRORS, plan
+    # pins and bench rows unchanged
+    ("join_asof_attribution", join_asof_attribution),
+    ("ts_pack_sequences", ts_pack_sequences),
+    ("sim_embedding_near_dups", sim_embedding_near_dups),
+    ("cc_order_chains", cc_order_chains),
 ]:
     _register(_n, _f)

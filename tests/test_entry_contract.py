@@ -290,8 +290,51 @@ EXTRA_MIRRORS = {
 # test_oracle_match, just not competing for one of the driver's 50
 # verified slots.
 from naruhodo_spark.queries import _langid_oracle
+from naruhodo_spark.queries import _COSINE_SQL, _NORM_SQL
 
 ROTATION_MIRRORS = {
+    # demoted r05 session-7 (slots went to kg_aligned_entities,
+    # kg_quotient_summary, kg_modularity_roles, kg_allen_relations):
+    # the exact oracle SQL, verbatim from the r01-r04 driver oracles
+    "join_asof_attribution": """
+    SELECT b.event_id, b.user_id, b.ts, b.purchase_value,
+           v.ts AS asof_ts, v.view_value AS asof_view_value
+    FROM (SELECT event_id, user_id, ts, round(value, 2) AS purchase_value
+          FROM events WHERE event_type = 'purchase') b
+    ASOF LEFT JOIN (SELECT user_id, ts, round(max(value), 2) AS view_value
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY user_id, ts) v
+      ON b.user_id = v.user_id AND b.ts >= v.ts
+    """,
+    "ts_pack_sequences": rf"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 100 AS shard,
+             len(string_split({_NORM_SQL}, ' ')) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM d)
+    SELECT doc_id, shard, start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS pack_in_shard, n_tokens
+    FROM s
+    """,
+    "sim_embedding_near_dups": f"""
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_COSINE_SQL} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.3
+    """,
+    "cc_order_chains": """
+    SELECT o_orderkey,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    """,
     "q6_forecast_revenue": """
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
            count(*) AS n_rows
