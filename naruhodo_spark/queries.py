@@ -4477,6 +4477,38 @@ def td_complex_embeddings(spark, sf_dir):
     ).select("subj", "pred", "obj", "side", "score")
 
 
+def td_rotate_embeddings(spark, sf_dir):
+    """Distributed RotatE over the synth KSG (ops/rotate.py — Sun
+    2019, the rotational member completing the
+    TransE/DistMult/ComplEx/RotatE family — the only one modeling
+    symmetry, antisymmetry, inversion AND composition): 15 full-batch
+    margin-GD iterations where entities are packed complex vectors and
+    relations are PHASE vectors (unit modulus by construction), same
+    5-equi-join + mean-gradient-agg step shape; returns every
+    positive/corruption scored by |h∘r−t|² (LOWER = plausible). Exact
+    numpy mirror + rotation-identity + 2π-invariance pinned in
+    tests/test_rotate.py (rows-only — iterative training)."""
+    from naruhodo_spark.ops import kgembed as KEM
+    from naruhodo_spark.ops import rotate as RTM
+
+    edges = build_kg(_synth(spark), prof=_en())["ksg_edges"]
+    model = RTM.train_rotate(edges, dim=8, iters=15, lr=0.1, k_neg=2)
+    pairs = KEM.training_pairs(edges, k_neg=2)
+    pos = pairs.select(
+        F.col("h").alias("subj"), F.col("r").alias("pred"),
+        F.col("t").alias("obj"), F.lit("pos").alias("side"))
+    neg = pairs.select(
+        F.col("nh").alias("subj"), F.col("r").alias("pred"),
+        F.col("nt").alias("obj"), F.lit("neg").alias("side"))
+    scored = RTM.score_triples_rotate(
+        pos.unionByName(neg).distinct(), model["ent_emb"],
+        model["rel_emb"], dim=8,
+    )
+    return pos.unionByName(neg).distinct().join(
+        scored, ["subj", "pred", "obj"]
+    ).select("subj", "pred", "obj", "side", "dist")
+
+
 def td_kelm_corpus_kg(spark, sf_dir):
     """The built-KG composition twin of the oracled ``td_kelm_corpus``
     (r05 rotation): the synth KSG rendered into one deterministic
@@ -4565,6 +4597,7 @@ for _n, _f in [
     ("td_distmult_embeddings", td_distmult_embeddings),
     ("td_distmult_eval", td_distmult_eval),
     ("td_complex_embeddings", td_complex_embeddings),
+    ("td_rotate_embeddings", td_rotate_embeddings),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),
