@@ -248,6 +248,51 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return GS.k_core(self._ksg_edges(), k, **kw)
 
+    def modularity(self, communities: DataFrame | None = None) -> DataFrame:
+        """(community, n_nodes, internal_weight, total_strength,
+        contribution) — Newman modularity of a (node, community)
+        assignment over this graph (graphstats.modularity;
+        sum(contribution) = Q). Default assignment: this graph's own
+        label-propagation communities — the LPA quality gauge."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        if communities is None:
+            # graphstats LPA, not self.communities() — the facade name
+            # is taken by the cooccur PMI communities, whose key is
+            # (entity, community) over linked triples
+            communities = GS.label_propagation(self._ksg_edges()).select(
+                "node", F.col("label").alias("community")
+            )
+        return GS.modularity(self._ksg_edges(), communities)
+
+    def quotient(
+        self, groups: DataFrame | None = None, by_pred: bool = False
+    ) -> DataFrame:
+        """(src_group, dst_group[, pred], n_edges, total_weight, …) —
+        the SNAP-style quotient summary of this graph under a
+        (name, group) assignment (graphstats.quotient_graph). Default
+        grouping: label-propagation communities — 'how do the
+        communities talk to each other'."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        if groups is None:
+            groups = GS.label_propagation(self._ksg_edges()).select(
+                F.col("node").alias("name"),
+                F.col("label").cast("string").alias("group"),
+            )
+        return GS.quotient_graph(self._ksg_edges(), groups, by_pred=by_pred)
+
+    def align_with(self, other: "parser | DataFrame", **kw):
+        """(matches, audit) — PARIS-style probabilistic entity
+        alignment between THIS graph and another parser's (or a raw
+        (subj, pred, obj) frame): noisy-or evidence over shared
+        objects weighted by predicate inverse functionality
+        (operators/align.align_entities). self is KG1."""
+        from naruhodo_spark.operators.align import align_entities
+
+        kg2 = other._ksg_edges() if isinstance(other, parser) else other
+        return align_entities(self._ksg_edges(), kg2, **kw)
+
     def betweenness(self, n_sources: int = 16, max_dist: int = 6) -> DataFrame:
         """(node, betweenness) — sampled Brandes betweenness over the
         KSG (operators/graphstats.betweenness_sampled): the bridge
@@ -570,14 +615,34 @@ class parser:  # noqa: N801 — name mirrors the reference API
         return VB.verbalize_triples(self._ksg_edges(), max_facts=max_facts)
 
     def train_embeddings(self, dim: int = 16, iters: int = 20,
+                         model: str = "transe",
                          **kw) -> dict[str, DataFrame]:
-        """TransE embeddings over the KSG (ops/kgembed.py):
-        {"ent_emb", "rel_emb"} as (name, vec) DataFrames — the
-        graph-embedding training users run on exported graphs, kept
-        distributed."""
+        """KG embeddings over the KSG: {"ent_emb", "rel_emb"} as
+        (name, vec) DataFrames, kept distributed. ``model`` picks the
+        family member — "transe" (translation, ops/kgembed.py),
+        "distmult" (symmetric bilinear, ops/distmult.py), "complex"
+        (complex bilinear, ops/complexe.py), "rotate" (complex
+        rotation, ops/rotate.py); all share the same training-loop
+        shape and accept the same kwargs."""
+        from naruhodo_spark.ops import complexe as CXM
+        from naruhodo_spark.ops import distmult as DMM
         from naruhodo_spark.ops import kgembed as KEM
+        from naruhodo_spark.ops import rotate as RTM
 
-        return KEM.train_transe(self._ksg_edges(), dim=dim, iters=iters, **kw)
+        trainers = {
+            "transe": KEM.train_transe,
+            "distmult": DMM.train_distmult,
+            "complex": CXM.train_complex,
+            "rotate": RTM.train_rotate,
+        }
+        if model not in trainers:
+            raise ValueError(
+                f"unknown embedding model {model!r} — "
+                f"one of {sorted(trainers)}"
+            )
+        return trainers[model](
+            self._ksg_edges(), dim=dim, iters=iters, **kw
+        )
 
     def train_node_embeddings(
         self, dim: int = 16, iterations: int = 10,

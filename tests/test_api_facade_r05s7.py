@@ -1,0 +1,64 @@
+"""Facade methods added in r05 session-7 (api.parser.modularity /
+quotient / align_with, plus train_embeddings gaining the model=
+dispatch) — each driven through the public API on a small synth
+corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from naruhodo_spark.api import parser
+
+
+def _p(spark, texts=None):
+    return parser(spark, lang="en").add_all(
+        texts
+        or [
+            "alice visited bob.",
+            "bob visited carol.",
+            "dave praised alice.",
+        ]
+    )
+
+
+def test_facade_modularity_default_lpa(spark):
+    p = _p(spark)
+    rows = p.modularity().collect()
+    assert rows
+    q = sum(r["contribution"] for r in rows)
+    assert -1.0 <= q <= 1.0  # Newman Q is bounded
+
+
+def test_facade_quotient_default_communities(spark):
+    p = _p(spark)
+    out = p.quotient()
+    total = out.agg(F.sum("n_edges")).head()[0]
+    # every KSG edge lands in exactly one super-edge
+    assert total == p.edges.count()
+
+
+def test_facade_align_with(spark):
+    p1 = _p(spark, ["alice visited bob.", "carol praised bob."])
+    p2 = _p(spark, ["alice visited bob.", "dave praised bob."])
+    matches, audit = p1.align_with(
+        p2, rounds=1, min_score=0.1, mutual_best=True
+    )
+    got = {(r["name_1"], r["name_2"]) for r in matches.collect()}
+    # the shared literal facts recover the common entities
+    assert ("alice", "alice") in got
+    assert audit.isEmpty()
+
+
+@pytest.mark.parametrize("model", ["transe", "distmult", "complex", "rotate"])
+def test_facade_train_embeddings_dispatch(spark, model):
+    p = _p(spark)
+    out = p.train_embeddings(dim=4, iters=1, model=model)
+    assert set(out) == {"ent_emb", "rel_emb"}
+    assert out["ent_emb"].columns == ["name", "vec"]
+    n = out["ent_emb"].count()
+    assert n > 0
+
+
+def test_facade_train_embeddings_unknown_model(spark):
+    p = _p(spark)
+    with pytest.raises(ValueError, match="unknown embedding model"):
+        p.train_embeddings(model="hyperboloid")
