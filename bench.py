@@ -225,6 +225,12 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_smushed_graph",
         "kg_k_core",
         "kg_owl_entailed",
+        # added r05 session-7 (query-set change — not like-for-like vs
+        # earlier totals)
+        "kg_quotient_summary",
+        "kg_modularity_roles",
+        "kg_allen_relations",
+        "kg_aligned_entities",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
