@@ -293,6 +293,22 @@ class parser:  # noqa: N801 — name mirrors the reference API
         kg2 = other._ksg_edges() if isinstance(other, parser) else other
         return align_entities(self._ksg_edges(), kg2, **kw)
 
+    def align_predicates_with(
+        self, other: "parser | DataFrame",
+        matches: DataFrame | None = None, **kw,
+    ) -> DataFrame:
+        """(pred_1, pred_2, n_shared, n_grounded, score) — PARIS's
+        schema leg: P(r ⊑ r') between this graph's predicates and the
+        other's, grounded through entity ``matches`` (defaults to
+        running align_with first; operators/align.
+        predicate_alignment)."""
+        from naruhodo_spark.operators.align import predicate_alignment
+
+        kg2 = other._ksg_edges() if isinstance(other, parser) else other
+        if matches is None:
+            matches, _ = self.align_with(other)
+        return predicate_alignment(self._ksg_edges(), kg2, matches, **kw)
+
     def betweenness(self, n_sources: int = 16, max_dist: int = 6) -> DataFrame:
         """(node, betweenness) — sampled Brandes betweenness over the
         KSG (operators/graphstats.betweenness_sampled): the bridge

@@ -62,3 +62,12 @@ def test_facade_train_embeddings_unknown_model(spark):
     p = _p(spark)
     with pytest.raises(ValueError, match="unknown embedding model"):
         p.train_embeddings(model="hyperboloid")
+
+
+def test_facade_align_predicates_with(spark):
+    p1 = _p(spark, ["alice visited bob.", "carol visited bob."])
+    p2 = _p(spark, ["alice visited bob.", "carol visited bob."])
+    out = p1.align_predicates_with(p2, min_support=1, min_score=0.1)
+    rows = {(r["pred_1"], r["pred_2"]): r["score"] for r in out.collect()}
+    assert rows  # identical graphs: every grounded predicate subsumes
+    assert all(s == 1.0 for s in rows.values())
