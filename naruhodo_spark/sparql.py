@@ -67,6 +67,14 @@ Supported subset (documented, loudly rejected otherwise):
   the correlation keys, constants filter the probe side, fresh
   variables are existential ('no such edge to anything'); at least one
   bound variable is required.
+- ``BIND(expr AS ?new)`` — expr is a term, ``CONCAT(t, t, …)``, or
+  ONE binary arithmetic ``t (+|-|*|/) t`` (operands cast to double;
+  write the minus operator spaced — a glued ``-1`` lexes as a
+  negative literal). Compiled as a projection after the group's
+  pattern joins and before its FILTERs (which therefore see the
+  binding, per SPARQL group scope); the bound variable must be fresh
+  and cannot appear in triple patterns — the simplification vs full
+  sequential scope, both rejected loudly.
 - ``ORDER BY (ASC|DESC)?(?v) …`` and ``LIMIT n``.
 - ``CONSTRUCT { template } WHERE { … }`` (via ``sparql_construct``) —
   the template is plain triple patterns (``;``/``,`` sugar, ``a``
@@ -115,7 +123,7 @@ _TOKEN = re.compile(
     | (?P<pname>(?:[A-Za-z_][A-Za-z0-9_-]*)?:[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_])?)
     | (?P<num>-?[0-9]+(?:\.[0-9]+)?)
     | (?P<word>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_])?)
-    | (?P<punct>&&|!=|<=|>=|[{}().=<>*:,|!+/^;])
+    | (?P<punct>&&|!=|<=|>=|[{}().=<>*:,|!+/^;-])
     )
     """,
     re.VERBOSE,
@@ -201,7 +209,7 @@ class _Parser:
     def term(self) -> _Term:
         tok = self.next()
         if tok in ("&&", "!=", "<=", ">=", ":") or (
-            len(tok) == 1 and tok in "{}().=<>*,|!+/^;"
+            len(tok) == 1 and tok in "{}().=<>*,|!+/^;-"
         ):
             raise SparqlError(f"expected a term, got {tok!r}")
         if tok.startswith("?"):
@@ -229,7 +237,8 @@ class _Parser:
             "SELECT", "ASK", "WHERE", "FILTER", "NOT", "EXISTS",
             "DISTINCT", "ORDER", "BY", "LIMIT", "ASC", "DESC", "PREFIX",
             "OPTIONAL", "UNION", "BOUND", "GROUP", "HAVING", "VALUES",
-            "MINUS", "AS", "UNDEF", "CONSTRUCT", "DESCRIBE",
+            "MINUS", "AS", "UNDEF", "CONSTRUCT", "DESCRIBE", "BIND",
+            "CONCAT",
         ):
             raise SparqlError(f"expected a term, got {tok!r}")
         return _Term("const", tok)
@@ -380,6 +389,59 @@ def _parse_filter_clause(p: _Parser, antis, filters, bound_tests) -> None:
     p.kw(".")
 
 
+_ARITH = {"+", "-", "*", "/"}
+
+
+def _parse_bind_expr(p: _Parser):
+    """The BIND expression subset: a term, ``CONCAT(t, t, …)``, or a
+    single binary arithmetic ``t (+|-|*|/) t`` (operands cast to
+    double — the engine's node domain is strings). Returns an AST
+    tuple consumed by _bind_col."""
+    if p.peek() is not None and p.peek().upper() == "CONCAT":
+        p.next()
+        p.expect("(")
+        parts = [p.term()]
+        while p.kw(","):
+            parts.append(p.term())
+        p.expect(")")
+        return ("concat", parts)
+    left = p.term()
+    if p.peek() in _ARITH:
+        op = p.next()
+        return ("arith", left, op, p.term())
+    return ("term", left)
+
+
+def _bind_col(expr, bound: set) -> Column:
+    def side(t: _Term, numeric=False) -> Column:
+        if t.kind == "var":
+            if t.value not in bound:
+                raise SparqlError(
+                    f"BIND uses unbound variable ?{t.value}"
+                )
+            c = F.col(t.value)
+            return c.cast("double") if numeric else c
+        c = F.lit(t.value)
+        return c if t.kind == "num" or not numeric else c.cast("double")
+
+    kind = expr[0]
+    if kind == "term":
+        return side(expr[1])
+    if kind == "concat":
+        return F.concat(
+            *[side(t).cast("string") for t in expr[1]]
+        )
+    _, left, op, right = expr
+    l, r = side(left, numeric=True), side(right, numeric=True)
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    return l / r
+
+
 def _mk_triple(s: _Term, pr: _Term, o: _Term) -> tuple:
     """Assemble one triple; an inverse predicate ``^p`` is rewritten to
     the forward edge with swapped ends right here. An inverse CLOSURE
@@ -497,6 +559,7 @@ def _parse_block(p: _Parser) -> dict:
     values: list[tuple[list[str], list[tuple]]] = []
     filters: list[tuple] = []
     bound_tests: list[tuple[str, bool]] = []  # (var, want_bound)
+    binds: list[tuple[str, tuple]] = []  # (var, expression AST)
     while True:
         tok = p.peek()
         if tok is None:
@@ -536,6 +599,18 @@ def _parse_block(p: _Parser) -> dict:
             p.next()
             _parse_filter_clause(p, antis, filters, bound_tests)
             continue
+        if tok.upper() == "BIND":
+            p.next()
+            p.expect("(")
+            expr = _parse_bind_expr(p)
+            p.expect("AS")
+            var = p.next()
+            if not var.startswith("?"):
+                raise SparqlError("BIND needs '… AS ?var'")
+            p.expect(")")
+            p.kw(".")
+            binds.append((var[1:], expr))
+            continue
         if tok == "{" or tok.upper() == "UNION":
             raise SparqlError(
                 "group patterns may only appear as a top-level "
@@ -547,7 +622,7 @@ def _parse_block(p: _Parser) -> dict:
     return {
         "triples": triples, "antis": antis, "optionals": optionals,
         "minuses": minuses, "values": values,
-        "filters": filters, "bound_tests": bound_tests,
+        "filters": filters, "bound_tests": bound_tests, "binds": binds,
     }
 
 
@@ -1043,6 +1118,19 @@ def _compile_block(edges: DataFrame, block: dict) -> DataFrame:
         out = out.join(
             sub.select(*shared).distinct(), on=shared, how="left_anti"
         )
+    # BIND after the pattern joins (its variables must come from the
+    # patterns; later binds may use earlier ones) and before FILTER /
+    # BOUND, which per SPARQL group semantics see the whole group's
+    # bindings. BIND variables cannot appear in triple patterns — the
+    # simplification vs full SPARQL sequential scope, rejected loudly
+    # via the shadowing check here.
+    for var, expr in block["binds"]:
+        if var in bound:
+            raise SparqlError(
+                f"BIND would rebind ?{var}, which is already bound"
+            )
+        out = out.withColumn(var, _bind_col(expr, bound))
+        bound.add(var)
     for var, want in block["bound_tests"]:
         if var not in bound:
             raise SparqlError(f"BOUND tests unknown variable ?{var}")

@@ -677,3 +677,59 @@ def test_negated_set_composes_and_rejects(spark):
     ):
         with pytest.raises((SparqlError, ValueError)):
             sparql_select(e, bad).collect()
+
+
+# ------------------------------------------------------------- BIND
+
+AGES = [
+    ("alice", "age", "30"),
+    ("bob", "age", "40"),
+    ("alice", "knows", "bob"),
+]
+
+
+def test_bind_concat(spark):
+    e = _edges(spark, AGES)
+    got = sparql_select(
+        e,
+        'SELECT ?who WHERE { ?x knows ?y . '
+        'BIND(CONCAT(?x, "->", ?y) AS ?who) }',
+    )
+    assert [r["who"] for r in got.collect()] == ["alice->bob"]
+
+
+def test_bind_arithmetic_and_filter_sees_it(spark):
+    e = _edges(spark, AGES)
+    got = sparql_select(
+        e,
+        "SELECT ?x ?half WHERE { ?x age ?a . BIND(?a / 2 AS ?half) "
+        "FILTER (?half > 16) }",
+    )
+    assert sorted(map(tuple, got.collect())) == [("bob", 20.0)]
+    # subtraction needs the spaced operator (a glued '-1' lexes as a
+    # negative number literal)
+    got2 = sparql_select(
+        e, "SELECT ?v WHERE { ?x age ?a . BIND(?a - 10 AS ?v) }"
+    )
+    assert sorted(r["v"] for r in got2.collect()) == [20.0, 30.0]
+
+
+def test_bind_alias_and_chaining(spark):
+    e = _edges(spark, AGES)
+    got = sparql_select(
+        e,
+        "SELECT ?b WHERE { ?x age ?a . BIND(?a AS ?c) "
+        "BIND(?c + 1 AS ?b) }",
+    )
+    assert sorted(r["b"] for r in got.collect()) == [31.0, 41.0]
+
+
+def test_bind_rejections(spark):
+    e = _edges(spark, AGES)
+    for bad in (
+        "SELECT ?x WHERE { ?x age ?a . BIND(?nope + 1 AS ?v) }",
+        "SELECT ?x WHERE { ?x age ?a . BIND(1 AS ?a) }",  # rebind
+        "SELECT ?x WHERE { ?x age ?a . BIND(?a + 1 AS a) }",  # no ?var
+    ):
+        with pytest.raises(SparqlError):
+            sparql_select(e, bad).collect()
