@@ -36,6 +36,12 @@ from naruhodo_spark.session import get_spark
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 MASTER = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
+# optional 3rd arg 'only=<op>' runs a single op — the 4-concurrent-JVM
+# hardware-ceiling probe (BASELINE.md protocol) uses it
+ONLY = None
+for a in sys.argv[3:]:
+    if a.startswith("only="):
+        ONLY = a.split("=", 1)[1]
 COMM = 1000  # nodes per planted community
 
 
@@ -135,9 +141,10 @@ def main():
     )
 
     walls = {}
-    walls["quotient"] = _timed(
-        "quotient", lambda: quotient_graph(edges, groups).count()
-    )
+    if ONLY in (None, "quotient"):
+        walls["quotient"] = _timed(
+            "quotient", lambda: quotient_graph(edges, groups).count()
+        )
 
     def _mod():
         rows = modularity(
@@ -152,7 +159,8 @@ def main():
         assert q > 0.5, "planted partition must score strongly positive"
         return rows.count()
 
-    walls["modularity"] = _timed("modularity", _mod)
+    if ONLY in (None, "modularity"):
+        walls["modularity"] = _timed("modularity", _mod)
 
     def _align():
         matches, audit = align_entities(
@@ -162,7 +170,8 @@ def main():
         assert audit.isEmpty()
         return n
 
-    walls["align"] = _timed("align", _align)
+    if ONLY in (None, "align"):
+        walls["align"] = _timed("align", _align)
     total = sum(walls.values())
     print(
         f"TOTAL {total:.2f} s — "

@@ -1092,11 +1092,15 @@ def modularity(
     coalesce — no silent drops; singletons with no internal edges
     contribute −(s/2m)², the standard penalty reading).
 
-    Shape: pair symmetrize + ONE distinct-pair groupBy, strength
-    groupBy on the node key, one node-keyed join to the assignment,
-    ONE community groupBy, and a 1-row total-weight scalar broadcast
-    on a literal key — every shuffle is on a uniform key and every
-    aggregate map-side combines; the result is |communities|-sized.
+    Shape: pair symmetrize + ONE distinct-pair groupBy, two node-keyed
+    assignment joins, then ONE community groupBy over the endpoint
+    rows carrying strength + internal + distinct-node-count together
+    (strength rides both endpoint rows, the internal weight only the
+    first — one shuffle where a naive plan runs three), and m falls
+    out of the |communities|-sized result for free (Σ_c s_c = 2m) —
+    a driver-free 1-row broadcast. Every shuffle is on a uniform key
+    and every aggregate map-side combines; the result is
+    |communities|-sized.
     """
     com = communities.groupBy(F.col("node").alias("name")).agg(
         F.max("community").alias("community")
@@ -1123,40 +1127,33 @@ def modularity(
         .withColumn("c_b", F.coalesce("c_b", F.col("b")))
         .localCheckpoint(eager=False)
     )
-    m = labeled.agg(F.sum("w").alias("m")).select(
+    same = F.col("c_a") == F.col("c_b")
+    endpoint = labeled.select(
+        F.col("c_a").alias("community"),
+        F.col("a").alias("name"),
+        F.col("w"),
+        # internal weight rides the FIRST endpoint row only — exact
+        # for any float w, and the b-row contributes 0
+        F.when(same, F.col("w")).otherwise(F.lit(0.0)).alias("iw"),
+    ).unionByName(
+        labeled.select(
+            F.col("c_b").alias("community"),
+            F.col("b").alias("name"),
+            F.col("w"),
+            F.lit(0.0).alias("iw"),
+        )
+    )
+    per = endpoint.groupBy("community").agg(
+        F.sum("w").alias("total_strength"),
+        F.sum("iw").alias("internal_weight"),
+        F.countDistinct("name").alias("n_nodes"),
+    )
+    # Σ_c strength = 2m (each pair credits w to both endpoints), so m
+    # comes from the already-|communities|-sized frame, not the pairs
+    m = per.agg((F.sum("total_strength") / 2.0).alias("m")).select(
         F.lit(1).alias("_k"), "m"
     )
-    strength = (
-        labeled.select(F.col("c_a").alias("community"), "w")
-        .unionByName(labeled.select(F.col("c_b").alias("community"), "w"))
-        .groupBy("community")
-        .agg(F.sum("w").alias("total_strength"))
-    )
-    internal = (
-        labeled.where(F.col("c_a") == F.col("c_b"))
-        .groupBy(F.col("c_a").alias("community"))
-        .agg(F.sum("w").alias("internal_weight"))
-    )
-    n_nodes = (
-        labeled.select(F.col("a").alias("name"), F.col("c_a").alias("community"))
-        .unionByName(
-            labeled.select(
-                F.col("b").alias("name"), F.col("c_b").alias("community")
-            )
-        )
-        .groupBy("community")
-        .agg(F.countDistinct("name").alias("n_nodes"))
-    )
-    out = (
-        strength.join(internal, "community", "left")
-        .join(n_nodes, "community")
-        .withColumn(
-            "internal_weight", F.coalesce("internal_weight", F.lit(0.0))
-        )
-        .withColumn("_k", F.lit(1))
-        .join(F.broadcast(m), "_k")
-        .drop("_k")
-    )
+    out = per.withColumn("_k", F.lit(1)).join(F.broadcast(m), "_k").drop("_k")
     return out.select(
         "community",
         "n_nodes",
