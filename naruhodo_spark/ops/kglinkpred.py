@@ -293,6 +293,22 @@ def rank_candidates(
         if s not in ("tail", "head"):
             raise ValueError(f"rank_candidates: unknown side {s!r}")
     q = _queries(test, ent_emb, rel_emb, sides)
+    return _rank_from_queries(q, ent_emb, known, path, max_queries)
+
+
+def _rank_from_queries(
+    q: DataFrame,
+    ent_emb: DataFrame,
+    known: DataFrame | None,
+    path: str,
+    max_queries: int,
+) -> DataFrame:
+    """The model-agnostic half of the ranking protocol: any model
+    whose distance takes the |candidate − qvec|² form can rank through
+    here by supplying its own query frame (qid, subj, pred, obj, side,
+    anchor, true_name, qvec, true_dist) — TransE's q = h+r / t−r
+    above, RotatE's q = h∘r / conj(r)∘t (rotation is unitary, so the
+    head side folds into the same form; ops/rotate.py)."""
     q = q.localCheckpoint(eager=False)  # shared by count paths below
     if path == "catalyst":
         better = _better_counts_catalyst(q, ent_emb)

@@ -296,3 +296,101 @@ def score_triples_rotate(
             ).alias("dist"),
         )
     )
+
+
+# ------------------------------------------------------------------ eval
+# RotatE twin of ops/kglinkpred.py's rank-as-count protocol. The key
+# reduction: rotation is UNITARY, so both sides' distances take the
+# |candidate − qvec|² form the shared machinery already counts —
+#   tail: |h∘r − c|² → qvec = h∘r
+#   head: |c∘r − t|² = |c − r⁻¹∘t|² → qvec = conj(r)∘t
+# and everything downstream (Catalyst scan, BLAS GEMM twin, filtered
+# correction, metrics) is reused verbatim via _rank_from_queries.
+
+_QID = "_lp_qid"
+
+
+def _neg_theta(theta):
+    return F.transform(theta, lambda x: -x)
+
+
+def _pack_rot(h, theta, dim: int):
+    rot_re, rot_im = _rot(h, theta, dim)
+    return F.concat(rot_re, rot_im)
+
+
+def _rot_queries(test, ent, rel, sides, dim: int):
+    test = test.select("subj", "pred", "obj").distinct()
+    j = (
+        test
+        .join(ent.select(F.col("name").alias("subj"),
+                         F.col("vec").alias("hv")), "subj", "left")
+        .join(ent.select(F.col("name").alias("obj"),
+                         F.col("vec").alias("tv")), "obj", "left")
+        .join(rel.select(F.col("name").alias("pred"),
+                         F.col("vec").alias("rv")), "pred", "left")
+    )
+    covered = (
+        F.col("hv").isNotNull()
+        & F.col("rv").isNotNull()
+        & F.col("tv").isNotNull()
+    )
+    parts = []
+    if "tail" in sides:
+        qv = _pack_rot(F.col("hv"), F.col("rv"), dim)
+        parts.append(j.select(
+            "subj", "pred", "obj", F.lit("tail").alias("side"),
+            F.col("subj").alias("anchor"), F.col("obj").alias("true_name"),
+            qv.alias("qvec"),
+            F.when(
+                covered, _sq_sum(_vsub(F.col("tv"), qv))
+            ).alias("true_dist"),
+        ))
+    if "head" in sides:
+        qv = _pack_rot(F.col("tv"), _neg_theta(F.col("rv")), dim)
+        parts.append(j.select(
+            "subj", "pred", "obj", F.lit("head").alias("side"),
+            F.col("obj").alias("anchor"), F.col("subj").alias("true_name"),
+            qv.alias("qvec"),
+            F.when(
+                covered, _sq_sum(_vsub(F.col("hv"), qv))
+            ).alias("true_dist"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        _QID,
+        F.xxhash64(F.col("subj"), F.col("pred"), F.col("obj"), F.col("side")),
+    )
+
+
+def rank_candidates_rotate(
+    test: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    known: DataFrame | None = None,
+    sides=("tail", "head"),
+    path: str = "catalyst",
+    max_queries: int = 20_000,
+    dim: int = DIM,
+) -> DataFrame:
+    """(subj, pred, obj, side, rank, n_known_filtered) — filtered rank
+    of each test triple's true entity under RotatE (rank = 1 +
+    #candidates at strictly SMALLER |c − qvec|²; ``known`` = union of
+    train/valid/test for the standard filtered protocol; rank NULL
+    with the row kept when any embedding is missing). Both the
+    Catalyst scan and the BLAS GEMM twin come from kglinkpred
+    unchanged; compose with kglinkpred.link_prediction_metrics for
+    MRR/hits@k."""
+    from naruhodo_spark.ops import kglinkpred as KL
+
+    if path not in ("catalyst", "blas"):
+        raise ValueError(f"rank_candidates_rotate: unknown path {path!r}")
+    if not sides:
+        raise ValueError("rank_candidates_rotate: sides must be non-empty")
+    for s in sides:
+        if s not in ("tail", "head"):
+            raise ValueError(f"rank_candidates_rotate: unknown side {s!r}")
+    q = _rot_queries(test, ent_emb, rel_emb, sides, dim)
+    return KL._rank_from_queries(q, ent_emb, known, path, max_queries)

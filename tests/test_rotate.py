@@ -206,3 +206,77 @@ def test_rotate_dist_null_for_uncovered(spark, trained):
     [r] = RT.score_triples_rotate(
         triples, model["ent_emb"], model["rel_emb"], dim=DIM).collect()
     assert r["dist"] is None
+
+
+# ------------------------------------------------------------------ eval
+
+def test_rotate_ranks_match_numpy_both_sides(spark, trained):
+    """Engine ranks ≡ brute-force numpy under the DIRECT distance
+    d(c) = |c∘r − t|² / |h∘r − c|² — proving the head side's unitary
+    conj(r) reduction, filtered correction included."""
+    edges, model = trained
+    E = {r["name"]: np.array(r["vec"])
+         for r in model["ent_emb"].collect()}
+    R = {r["name"]: np.array(r["vec"])
+         for r in model["rel_emb"].collect()}
+    test = [("person1", "visit", "place1"), ("place2", "host", "event0")]
+    known = [(r["subj"], r["pred"], r["obj"]) for r in edges.collect()]
+
+    def d_tail(h, th, c):
+        return _np_dist(h, th, c)
+
+    def d_head(c, th, t):
+        return _np_dist(c, th, t)
+
+    exp = {}
+    for s, p, o in test:
+        dt = d_tail(E[s], R[p], E[o])
+        better = [c for c in E if c != o and d_tail(E[s], R[p], E[c]) < dt]
+        kb = [c for c in better
+              if (s, p, c) in set(known)]
+        exp[(s, p, o, "tail")] = max(1, 1 + len(better) - len(kb))
+        dh = d_head(E[s], R[p], E[o])
+        better = [c for c in E if c != s and d_head(E[c], R[p], E[o]) < dh]
+        kb = [c for c in better if (c, p, o) in set(known)]
+        exp[(s, p, o, "head")] = max(1, 1 + len(better) - len(kb))
+
+    tdf = spark.createDataFrame(
+        test, "subj string, pred string, obj string"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["side"]): r["rank"]
+        for r in RT.rank_candidates_rotate(
+            tdf, model["ent_emb"], model["rel_emb"], known=edges, dim=DIM
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_rotate_blas_path_matches_catalyst(spark, trained):
+    edges, model = trained
+    tdf = spark.createDataFrame(
+        [("person1", "visit", "place1"), ("person3", "visit", "place3")],
+        "subj string, pred string, obj string",
+    )
+    a = RT.rank_candidates_rotate(
+        tdf, model["ent_emb"], model["rel_emb"], path="catalyst", dim=DIM
+    )
+    b = RT.rank_candidates_rotate(
+        tdf, model["ent_emb"], model["rel_emb"], path="blas", dim=DIM
+    )
+    key = ["subj", "pred", "obj", "side"]
+    ra = {tuple(r[k] for k in key): r["rank"] for r in a.collect()}
+    rb = {tuple(r[k] for k in key): r["rank"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_rotate_rank_null_for_uncovered(spark, trained):
+    edges, model = trained
+    tdf = spark.createDataFrame(
+        [("ghost", "visit", "place1")], "subj string, pred string, obj string"
+    )
+    rows = RT.rank_candidates_rotate(
+        tdf, model["ent_emb"], model["rel_emb"], dim=DIM
+    ).collect()
+    assert len(rows) == 2  # both sides kept
+    assert all(r["rank"] is None for r in rows)
