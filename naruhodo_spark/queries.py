@@ -4477,6 +4477,45 @@ def td_complex_embeddings(spark, sf_dir):
     ).select("subj", "pred", "obj", "side", "score")
 
 
+def kg_disambiguated_mentions(spark, sf_dir):
+    """Context-based entity disambiguation (operators/disambig.py —
+    alias-capped candidate join + one bounded-state mention groupBy):
+    ambiguous aliases over the embeddings table, documents as
+    contexts. Each embedding row doubles as a candidate entity; the
+    mention set pairs each doc-context with an alias whose candidates
+    are its own label-mates, so the argmax recovers the nearest
+    same-label entity — deterministic, sf-scaled. Rows-only (the
+    cosine/argmax kernel is the sim_topk_ivf oracle's; margins and
+    null-state semantics pinned in tests/test_disambig.py)."""
+    from naruhodo_spark.operators.disambig import disambiguate_mentions
+
+    emb = _t(spark, sf_dir, "embeddings")
+    doc_emb = emb.select(
+        F.concat(F.lit("d"), F.col("vec_id").cast("string")).alias("doc_id"),
+        F.col("embedding").alias("vec"),
+    )
+    ent_emb = emb.select(
+        F.concat(F.lit("e"), F.col("vec_id").cast("string")).alias(
+            "canonical_id"
+        ),
+        F.col("embedding").alias("vec"),
+    )
+    cands = emb.select(
+        F.concat(F.lit("a"), F.col("label").cast("string")).alias("alias"),
+        F.concat(F.lit("e"), F.col("vec_id").cast("string")).alias(
+            "canonical_id"
+        ),
+    )
+    mentions = emb.select(
+        F.concat(F.lit("d"), F.col("vec_id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("a"), F.col("label").cast("string")).alias("alias"),
+    )
+    resolved, _audit = disambiguate_mentions(
+        mentions, cands, doc_emb, ent_emb, max_candidates=2000
+    )
+    return resolved
+
+
 def td_rotate_embeddings(spark, sf_dir):
     """Distributed RotatE over the synth KSG (ops/rotate.py — Sun
     2019, the rotational member completing the
@@ -4598,6 +4637,7 @@ for _n, _f in [
     ("td_distmult_eval", td_distmult_eval),
     ("td_complex_embeddings", td_complex_embeddings),
     ("td_rotate_embeddings", td_rotate_embeddings),
+    ("kg_disambiguated_mentions", kg_disambiguated_mentions),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),
