@@ -282,6 +282,21 @@ class parser:  # noqa: N801 — name mirrors the reference API
             )
         return GS.quotient_graph(self._ksg_edges(), groups, by_pred=by_pred)
 
+    def refine_communities(
+        self, communities: DataFrame | None = None, rounds: int = 5
+    ) -> DataFrame:
+        """(node, community) — Louvain-style local-move refinement of
+        a community assignment over this graph
+        (graphstats.refine_communities): each round every active node
+        takes its best positive-modularity-gain move. Default start is
+        singletons (classic Louvain); pass LPA output to polish it,
+        and score the result with parser.modularity()."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.refine_communities(
+            self._ksg_edges(), communities, rounds=rounds
+        )
+
     def align_with(self, other: "parser | DataFrame", **kw):
         """(matches, audit) — PARIS-style probabilistic entity
         alignment between THIS graph and another parser's (or a raw

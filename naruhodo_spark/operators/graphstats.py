@@ -1165,3 +1165,171 @@ def modularity(
             6,
         ).alias("contribution"),
     )
+
+
+def refine_communities(
+    ksg_edges: DataFrame,
+    assignment: DataFrame | None = None,
+    rounds: int = 5,
+    min_gain: float = 1e-9,
+) -> DataFrame:
+    """(node, community) — Louvain-style local-move refinement
+    (Blondel et al., J. Stat. Mech. 2008, phase 1 restated
+    synchronously): each round, every ACTIVE node evaluates moving to
+    each neighboring community and takes the best strictly-positive
+    modularity gain
+
+        ΔQ(i: D→C) = (k_{i,C} − k_{i,D\\i}) / m
+                     − k_i · (Σ_tot(C) − (Σ_tot(D) − k_i)) / (2m²)
+
+    over the same undirected simple projection modularity() scores
+    (parallel edges collapse to max weight, self-loops drop), so
+    modularity(edges, refine_communities(edges, a)) ≥
+    modularity(edges, a) holds on the same footing. ``assignment``
+    defaults to singletons (every node its own community — classic
+    Louvain start); pass label_propagation's output to polish it.
+
+    Synchronous-move oscillation (two adjacent nodes swapping into
+    each other's OLD community forever) is broken the standard
+    distributed way: a node is ACTIVE only when xxhash64(node) parity
+    matches the round parity, so adjacent same-round moves are halved
+    and alternate rounds see each other's results — the Louvain
+    guarantee weakens from per-move monotone to
+    empirically-monotone-per-round (pinned by tests against
+    modularity(); exact sequential Louvain does not distribute).
+
+    Shape per round: ONE adjacency⋈assignment equi-join + ONE
+    (node, neighbor-community) groupBy for the k_{i,C} link weights, a
+    |communities|-sized strength aggregate joined back BROADCAST, a
+    max_by argmax per node, and a left-join apply — every shuffle on
+    the uniform node key, no driver state, localCheckpoint per round
+    (the CC loop discipline). Convergence: stops early when a round
+    moves nothing (one O(1) count).
+    """
+    pairs = (
+        _edge_pairs(ksg_edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.coalesce(F.col("weight").cast("double"), F.lit(1.0)).alias(
+                "w"
+            ),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    adj = (
+        pairs.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+        .unionByName(
+            pairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    k = adj.groupBy("i").agg(F.sum("w").alias("k_i")).localCheckpoint(
+        eager=False
+    )
+    m_row = pairs.agg(F.sum("w").alias("m")).select(
+        F.lit(1).alias("_k"), "m"
+    )
+    if assignment is None:
+        assign = k.select("i", F.col("i").alias("community"))
+    else:
+        assign = (
+            k.select("i")
+            .join(
+                assignment.groupBy(F.col("node").alias("i")).agg(
+                    F.max("community").alias("community")
+                ),
+                "i",
+                "left",
+            )
+            .withColumn("community", F.coalesce("community", F.col("i")))
+        )
+    assign = assign.localCheckpoint()
+
+    for rnd in range(int(rounds)):
+        sigma = (
+            assign.join(k, "i")
+            .groupBy("community")
+            .agg(F.sum("k_i").alias("sigma_tot"))
+        )
+        links = (
+            adj.join(
+                assign.select(
+                    F.col("i").alias("j"), F.col("community").alias("c_j")
+                ),
+                "j",
+            )
+            .groupBy("i", "c_j")
+            .agg(F.sum("w").alias("k_ic"))
+        )
+        cur = assign.select("i", F.col("community").alias("c_cur"))
+        own = links.join(
+            cur,
+            (links["i"] == cur["i"]) & (links["c_j"] == cur["c_cur"]),
+            "left_semi",
+        ).select(F.col("i").alias("_i"), F.col("k_ic").alias("k_icur"))
+        cand = (
+            links.join(cur, "i")
+            .where(F.col("c_j") != F.col("c_cur"))
+            .join(own, links["i"] == own["_i"], "left")
+            .drop("_i")
+            .withColumn("k_icur", F.coalesce("k_icur", F.lit(0.0)))
+            .join(
+                F.broadcast(
+                    sigma.select(
+                        F.col("community").alias("c_j"),
+                        F.col("sigma_tot").alias("sigma_c"),
+                    )
+                ),
+                "c_j",
+            )
+            .join(
+                F.broadcast(
+                    sigma.select(
+                        F.col("community").alias("c_cur"),
+                        F.col("sigma_tot").alias("sigma_cur"),
+                    )
+                ),
+                "c_cur",
+            )
+            .join(k, "i")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(m_row), "_k")
+            .drop("_k")
+        )
+        gain = (
+            (F.col("k_ic") - F.col("k_icur")) / F.col("m")
+            - F.col("k_i")
+            * (F.col("sigma_c") - (F.col("sigma_cur") - F.col("k_i")))
+            / (2.0 * F.col("m") * F.col("m"))
+        )
+        moves = (
+            cand.withColumn("_gain", gain)
+            .where(
+                (F.col("_gain") > float(min_gain))
+                & (
+                    F.pmod(F.xxhash64("i"), F.lit(2))
+                    == F.lit(rnd % 2)
+                )
+            )
+            .groupBy("i")
+            .agg(
+                F.expr("max_by(c_j, struct(_gain, c_j))").alias("_new")
+            )
+        )
+        n_moves = moves.count()
+        if n_moves == 0 and rnd > 0:
+            break
+        prev = assign
+        assign = (
+            prev.join(moves, "i", "left")
+            .select(
+                "i",
+                F.coalesce("_new", "community").alias("community"),
+            )
+            .localCheckpoint()
+        )
+        prev.unpersist()
+    return assign.select(F.col("i").alias("node"), "community")

@@ -71,3 +71,13 @@ def test_facade_align_predicates_with(spark):
     rows = {(r["pred_1"], r["pred_2"]): r["score"] for r in out.collect()}
     assert rows  # identical graphs: every grounded predicate subsumes
     assert all(s == 1.0 for s in rows.values())
+
+
+def test_facade_refine_communities(spark):
+    p = _p(spark)
+    refined = p.refine_communities(rounds=4)
+    assert refined.columns == ["node", "community"]
+    q = sum(
+        r["contribution"] for r in p.modularity(refined).collect()
+    )
+    assert -1.0 <= q <= 1.0

@@ -158,3 +158,80 @@ def test_parallel_directed_edges_collapse_to_max(spark):
     row = modularity(_edges(spark, edges), com).collect()[0]
     assert row["internal_weight"] == 3.0
     assert row["total_strength"] == 6.0
+
+
+# ------------------------------------------------- Louvain refinement
+
+def _q(spark, edges, assign):
+    from naruhodo_spark.operators.graphstats import modularity
+
+    return (
+        modularity(_edges(spark, edges), assign)
+        .agg(F.sum("contribution"))
+        .head()[0]
+    )
+
+
+def test_refine_fixes_a_mislabeled_node(spark):
+    from naruhodo_spark.operators.graphstats import refine_communities
+
+    part = {n: ("X" if n.startswith("x") else "Y")
+            for n in "x1 x2 x3 x4 y1 y2 y3 y4".split()}
+    part["x2"] = "Y"  # perturb one clique member
+    a0 = spark.createDataFrame(
+        list(part.items()), "node string, community string"
+    )
+    out = refine_communities(_edges(spark, TWO_CLIQUES), a0, rounds=4)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert got["x2"] == "X"  # pulled back into its clique
+    assert _q(spark, TWO_CLIQUES, out) > _q(spark, TWO_CLIQUES, a0)
+
+
+def test_refine_from_singletons_improves_modularity(spark):
+    from naruhodo_spark.operators.graphstats import refine_communities
+
+    singletons = spark.createDataFrame(
+        [(n, n) for n in "x1 x2 x3 x4 y1 y2 y3 y4".split()],
+        "node string, community string",
+    )
+    out = refine_communities(_edges(spark, TWO_CLIQUES), None, rounds=10)
+    q0 = _q(spark, TWO_CLIQUES, singletons)
+    q1 = _q(spark, TWO_CLIQUES, out)
+    assert q0 < 0  # all-singleton Q is negative
+    assert q1 > 0.2  # consolidated well past noise
+    # and it never merges the two cliques into one community
+    n_comms = out.select("community").distinct().count()
+    assert 2 <= n_comms <= 4
+
+
+def test_refine_is_deterministic(spark):
+    from naruhodo_spark.operators.graphstats import refine_communities
+
+    a = refine_communities(_edges(spark, TWO_CLIQUES), None, rounds=6)
+    b = refine_communities(_edges(spark, TWO_CLIQUES), None, rounds=6)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_refine_nochange_when_everything_is_one_community(spark):
+    # a single community has no neighboring community to move to:
+    # phase-1 refinement cannot split (documented Louvain behavior)
+    from naruhodo_spark.operators.graphstats import refine_communities
+
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in "x1 x2 x3 x4 y1 y2 y3 y4".split()],
+        "node string, community string",
+    )
+    out = refine_communities(_edges(spark, TWO_CLIQUES), one, rounds=3)
+    assert {r["community"] for r in out.collect()} == {"ALL"}
+
+
+def test_refine_unassigned_nodes_start_as_singletons(spark):
+    from naruhodo_spark.operators.graphstats import refine_communities
+
+    partial = spark.createDataFrame(
+        [("x1", "X")], "node string, community string"
+    )
+    out = refine_communities(_edges(spark, TWO_CLIQUES), partial, rounds=6)
+    got = {r["node"]: r["community"] for r in out.collect()}
+    assert len(got) == 8  # every edge endpoint assigned something
+    assert _q(spark, TWO_CLIQUES, out) > 0
