@@ -297,6 +297,19 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), communities, rounds=rounds
         )
 
+    def predict_links(
+        self, method: str = "adamic_adar", top_k: int | None = 100, **kw
+    ):
+        """(scores, audit) — neighborhood-overlap link prediction over
+        this graph (graphstats.link_scores: common_neighbors /
+        adamic_adar / resource_allocation), the non-embedding baseline
+        a trained model's eval should beat."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.link_scores(
+            self._ksg_edges(), method=method, top_k=top_k, **kw
+        )
+
     def align_with(self, other: "parser | DataFrame", **kw):
         """(matches, audit) — PARIS-style probabilistic entity
         alignment between THIS graph and another parser's (or a raw

@@ -1333,3 +1333,91 @@ def refine_communities(
         )
         prev.unpersist()
     return assign.select(F.col("i").alias("node"), "community")
+
+
+def link_scores(
+    ksg_edges: DataFrame,
+    method: str = "adamic_adar",
+    max_hub_degree: int = 10_000,
+    top_k: int | None = None,
+):
+    """(node_a, node_b, score, n_common) — neighborhood-overlap link
+    prediction over the UNDIRECTED simple projection (the classic
+    non-embedding KG-completion baselines; Liben-Nowell & Kleinberg,
+    CIKM 2003): score every NON-EDGE pair at distance 2 by
+
+    - ``common_neighbors``: |N(a) ∩ N(b)|
+    - ``adamic_adar``:      Σ_z 1/ln(deg z)   (z the common neighbors)
+    - ``resource_allocation``: Σ_z 1/deg z    (Zhou et al. 2009)
+
+    Returns ``(scores, audit)``; node_a < node_b lexicographically,
+    existing edges removed by an anti-join (predicting KNOWN edges is
+    vacuous). The complement of embedding scorers: no training, exact,
+    and the standard sanity baseline a TransE/RotatE eval should beat.
+
+    Shape: candidate pairs come from ONE wedge self-join through the
+    shared neighbor z — Σ_z deg(z)² rows, so hubs above
+    ``max_hub_degree`` are EXCLUDED as wedge centers with a loud
+    (node, degree) audit (a 10^6-degree god entity would mint 10^12
+    wedges; dropping it as a CENTER only removes its contribution to
+    OTHER pairs' scores — exactly the term 1/ln(deg) already damps to
+    nothing). One pair groupBy finishes; ``top_k`` (global, by score)
+    caps the result through one TakeOrderedAndProject when set, never
+    a full sort.
+    """
+    methods = ("common_neighbors", "adamic_adar", "resource_allocation")
+    if method not in methods:
+        raise ValueError(
+            f"link_scores: unknown method {method!r} — one of {methods}"
+        )
+    pairs = (
+        _edge_pairs(ksg_edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = pairs.select(
+        F.col("a").alias("z"), F.col("b").alias("n")
+    ).unionByName(pairs.select(F.col("b").alias("z"), F.col("a").alias("n")))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("degree"))
+    audit = deg.where(F.col("degree") > int(max_hub_degree))
+    centers = adj.join(audit.select("z"), "z", "left_anti").join(
+        deg, "z"
+    )
+    left = centers.select("z", F.col("n").alias("node_a"), "degree")
+    right = centers.select("z", F.col("n").alias("node_b"))
+    wedges = left.join(right, "z").where(
+        F.col("node_a") < F.col("node_b")
+    )
+    if method == "common_neighbors":
+        contrib = F.lit(1.0)
+    elif method == "adamic_adar":
+        # deg 1 would divide by ln(1)=0 — but a degree-1 wedge center
+        # cannot form a wedge at all, so the branch is unreachable;
+        # kept as a guard for weighted variants
+        contrib = 1.0 / F.log(F.col("degree"))
+    else:
+        contrib = 1.0 / F.col("degree")
+    scored = (
+        wedges.groupBy("node_a", "node_b")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        .join(
+            pairs.select(
+                F.col("a").alias("node_a"), F.col("b").alias("node_b")
+            ),
+            ["node_a", "node_b"],
+            "left_anti",
+        )
+    )
+    if top_k is not None:
+        scored = scored.orderBy(
+            F.desc("score"), "node_a", "node_b"
+        ).limit(int(top_k))
+    return scored, audit

@@ -4516,6 +4516,25 @@ def kg_disambiguated_mentions(spark, sf_dir):
     return resolved
 
 
+def kg_link_scores(spark, sf_dir):
+    """Neighborhood-overlap link prediction
+    (graphstats.link_scores — hub-capped wedge self-join + ONE pair
+    groupBy + known-edge anti-join; Adamic-Adar weighting): top-500
+    predicted links over the SVO edge set. Rows-only (SQL-expressible
+    but the 50-slot window is full; exact networkx mirror for all
+    three methods in tests/test_linkscores.py)."""
+    from naruhodo_spark.operators import graphstats as GS
+
+    svo = svo_baseline_triples(spark, sf_dir)
+    edges = svo.where(
+        F.col("subj").isNotNull() & F.col("obj").isNotNull()
+    ).select("subj", "pred", "obj", F.lit(1.0).alias("weight"))
+    scored, _audit = GS.link_scores(
+        edges, method="adamic_adar", top_k=500
+    )
+    return scored
+
+
 def td_rotate_embeddings(spark, sf_dir):
     """Distributed RotatE over the synth KSG (ops/rotate.py — Sun
     2019, the rotational member completing the
@@ -4638,6 +4657,7 @@ for _n, _f in [
     ("td_complex_embeddings", td_complex_embeddings),
     ("td_rotate_embeddings", td_rotate_embeddings),
     ("kg_disambiguated_mentions", kg_disambiguated_mentions),
+    ("kg_link_scores", kg_link_scores),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),

@@ -81,3 +81,14 @@ def test_facade_refine_communities(spark):
         r["contribution"] for r in p.modularity(refined).collect()
     )
     assert -1.0 <= q <= 1.0
+
+
+def test_facade_predict_links(spark):
+    p = _p(spark, ["alice visited bob.", "carol visited bob.",
+                   "alice praised dave.", "carol praised dave."])
+    scored, audit = p.predict_links(method="common_neighbors")
+    assert audit.isEmpty()
+    got = {(r["node_a"], r["node_b"]): r["n_common"]
+           for r in scored.collect()}
+    # alice and carol share two neighbors (bob, dave) but no edge
+    assert got.get(("alice", "carol")) == 2
