@@ -172,6 +172,41 @@ def main():
 
     if ONLY in (None, "align"):
         walls["align"] = _timed("align", _align)
+
+    if ONLY in (None, "refine"):
+        from naruhodo_spark.operators.graphstats import (
+            modularity,
+            refine_communities,
+        )
+
+        def _refine():
+            # singleton start, 3 rounds over the community graph —
+            # the Louvain consolidation workload; Q must come out
+            # strongly positive on the planted structure
+            ref = refine_communities(edges, None, rounds=3)
+            q = (
+                modularity(edges, ref)
+                .agg(F.sum("contribution"))
+                .head()[0]
+            )
+            print(f"  refined Q = {q:.4f}", flush=True)
+            assert q > 0.3
+            return ref.count()
+
+        walls["refine"] = _timed("refine", _refine)
+
+    if ONLY in (None, "linkpred"):
+        from naruhodo_spark.operators.graphstats import link_scores
+
+        def _linkpred():
+            scored, audit = link_scores(
+                edges, method="adamic_adar", top_k=10_000
+            )
+            n = scored.count()
+            assert audit.isEmpty()  # ring degrees are far below the cap
+            return n
+
+        walls["linkpred"] = _timed("linkpred", _linkpred)
     total = sum(walls.values())
     print(
         f"TOTAL {total:.2f} s — "
