@@ -248,6 +248,15 @@ class parser:  # noqa: N801 — name mirrors the reference API
 
         return GS.k_core(self._ksg_edges(), k, **kw)
 
+    def k_truss(self, k: int = 3, **kw) -> DataFrame:
+        """(node_a, node_b, support) — the k-truss of this graph
+        (graphstats.k_truss): the maximal subgraph whose every edge
+        sits in ≥ k−2 triangles; the edge-level sharpening of
+        k_core (bridges that survive coring fall out)."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        return GS.k_truss(self._ksg_edges(), k, **kw)
+
     def modularity(self, communities: DataFrame | None = None) -> DataFrame:
         """(community, n_nodes, internal_weight, total_strength,
         contribution) — Newman modularity of a (node, community)

@@ -1421,3 +1421,102 @@ def link_scores(
             F.desc("score"), "node_a", "node_b"
         ).limit(int(top_k))
     return scored, audit
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(a, b, support) — per-edge triangle count over a canonical
+    (a < b) undirected edge frame, by the same degree-ordered wedge
+    closure triangle_counts uses (O(m^{3/2}) wedges, no last-reducer
+    hot node); edges in no triangle keep a 0 row."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    keyed = und.join(da, "a").join(db, "b")
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    ori = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).localCheckpoint(eager=False)
+    w1 = ori.select("lo", F.col("hi").alias("u"))
+    w2 = ori.select("lo", F.col("hi").alias("v"))
+    wedges = w1.join(w2, "lo").where(F.col("u") < F.col("v"))
+    closed = wedges.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+    )
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("lo", "u").alias("a"),
+                    F.greatest("lo", "u").alias("b"),
+                ),
+                F.struct(
+                    F.least("lo", "v").alias("a"),
+                    F.greatest("lo", "v").alias("b"),
+                ),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def k_truss(ksg_edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """(node_a, node_b, support) — the k-truss of the UNDIRECTED
+    simple graph: the maximal subgraph whose every EDGE sits in at
+    least k−2 triangles of that subgraph (Cohen, NSA TR 2008; the edge
+    analog of k_core and the sharper cohesion trim — a k-truss is
+    always inside the (k−1)-core, but bridges and barely-attached
+    nodes that survive coring fall out of trussing). ``support`` is
+    the edge's triangle count INSIDE the truss.
+
+    Algorithm: iterative support peeling — per round ONE
+    degree-ordered wedge-closure support pass (O(m^{3/2}) wedges,
+    shared with triangle_counts) + one filter; rounds = cascade depth
+    with a loud max_rounds raise; the convergence probe is one O(1)
+    edge count. Direction/multiplicity collapse and self-loops drop
+    per truss theory; k < 3 rejected (every edge is trivially in a
+    2-truss).
+    """
+    if k < 3:
+        raise ValueError(f"k_truss: k must be >= 3, got {k}")
+    und = (
+        _edge_pairs(ksg_edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = -1
+    for _ in range(max_rounds):
+        sup = _edge_support(und).localCheckpoint()
+        keep = sup.where(F.col("support") >= k - 2)
+        n = keep.count()
+        if n == prev or n == 0:
+            return keep.select(
+                F.col("a").alias("node_a"),
+                F.col("b").alias("node_b"),
+                "support",
+            )
+        prev = n
+        und = keep.select("a", "b").localCheckpoint()
+    raise RuntimeError(
+        f"k_truss did not stabilize in {max_rounds} rounds — raise "
+        "max_rounds (rounds track the cascade depth of peeled edges)"
+    )

@@ -4516,6 +4516,31 @@ def kg_disambiguated_mentions(spark, sf_dir):
     return resolved
 
 
+def kg_k_truss(spark, sf_dir):
+    """k-truss trim (graphstats.k_truss — iterative support peeling,
+    one degree-ordered wedge-closure pass per round) of the part↔part
+    co-purchase graph (parts sharing an order; the part↔supplier
+    graph kg_k_core reads is bipartite and trivially truss-free).
+    Rows-only (iterative); semantics networkx-pinned in
+    tests/test_ktruss.py."""
+    from naruhodo_spark.operators.graphstats import k_truss
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 500)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(
+            F.concat(F.lit("p:"), F.col("pa").cast("string")).alias("subj"),
+            F.lit("bought_with").alias("pred"),
+            F.concat(F.lit("p:"), F.col("pb").cast("string")).alias("obj"),
+            F.lit(1).alias("weight"),
+        )
+    )
+    return k_truss(edges, k=3)
+
+
 def kg_link_scores(spark, sf_dir):
     """Neighborhood-overlap link prediction
     (graphstats.link_scores — hub-capped wedge self-join + ONE pair
@@ -4658,6 +4683,7 @@ for _n, _f in [
     ("td_rotate_embeddings", td_rotate_embeddings),
     ("kg_disambiguated_mentions", kg_disambiguated_mentions),
     ("kg_link_scores", kg_link_scores),
+    ("kg_k_truss", kg_k_truss),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),
