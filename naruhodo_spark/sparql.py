@@ -16,7 +16,12 @@ Supported subset (documented, loudly rejected otherwise):
 - ``SELECT [DISTINCT] ?a ?b … | *`` and ``ASK`` (one boolean ``ask``
   row). ``*`` projects every variable in first-appearance order.
 - Aggregates in SELECT — ``(COUNT(*) AS ?n)``, ``(COUNT|SUM|AVG|MIN|
-  MAX([DISTINCT] ?v) AS ?alias)`` — with ``GROUP BY ?g …`` and
+  MAX|GROUP_CONCAT|SAMPLE([DISTINCT] ?v) AS ?alias)``, GROUP_CONCAT
+  with an optional ``; SEPARATOR="…"`` (values sorted
+  lexicographically before joining — SPARQL leaves the order
+  implementation-defined and a distributed engine must pick a
+  deterministic one; SAMPLE likewise picks min) — with
+  ``GROUP BY ?g …`` and
   ``HAVING (comparisons)``; plain projected variables must be group
   keys (SPARQL 1.1 §11). Lowered to one hash aggregate with map-side
   partials; SUM/AVG cast the string node domain to double.
@@ -133,7 +138,7 @@ _ESCAPES = {'\\"': '"', "\\\\": "\\", "\\n": "\n", "\\t": "\t", "\\r": "\r"}
 
 _OPS = {"=", "!=", "<", "<=", ">", ">="}
 
-_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 
 _INTERNAL = re.compile(r"_(const|alt|path)\d+(_\d+)?")
 
@@ -702,6 +707,24 @@ def _parse(query: str) -> dict:
                                 f"aggregate needs a ?var or *, got {v!r}"
                             )
                         var = v[1:]
+                    sep = " "
+                    if p.kw(";"):
+                        word = p.next()
+                        if word.upper() != "SEPARATOR":
+                            raise SparqlError(
+                                f"expected SEPARATOR, got {word!r}"
+                            )
+                        if func != "GROUP_CONCAT":
+                            raise SparqlError(
+                                "SEPARATOR only applies to GROUP_CONCAT"
+                            )
+                        p.expect("=")
+                        s = p.next()
+                        if not s.startswith('"'):
+                            raise SparqlError(
+                                "SEPARATOR needs a quoted string"
+                            )
+                        sep = _unquote(s)
                     p.expect(")")
                     p.expect("AS")
                     alias_tok = p.next()
@@ -713,7 +736,9 @@ def _parse(query: str) -> dict:
                             f"?{alias} collides with internal variable slots"
                         )
                     p.expect(")")
-                    items.append(("agg", func, agg_distinct, var, alias))
+                    items.append(
+                        ("agg", func, agg_distinct, var, alias, sep)
+                    )
                 else:
                     break
             if not items:
@@ -1145,10 +1170,22 @@ def _compile_block(edges: DataFrame, block: dict) -> DataFrame:
     return out
 
 
-def _agg_col(func: str, distinct: bool, var: "str | None") -> Column:
+def _agg_col(
+    func: str, distinct: bool, var: "str | None", sep: str = " "
+) -> Column:
     """One SELECT aggregate → a Spark aggregate column. SUM/AVG cast
     to double (the engine's node domain is strings); MIN/MAX compare
-    lexically, matching SPARQL's behavior on plain literals."""
+    lexically, matching SPARQL's behavior on plain literals.
+    GROUP_CONCAT sorts its values lexicographically before joining and
+    SAMPLE is min() — SPARQL leaves both orders implementation-defined
+    and a distributed engine must pick DETERMINISTIC readings."""
+    if func == "GROUP_CONCAT":
+        vals = (
+            F.collect_set(var) if distinct else F.collect_list(var)
+        )
+        return F.array_join(F.sort_array(vals), sep)
+    if func == "SAMPLE":  # DISTINCT is a no-op for a single pick
+        return F.min(var)
     if func == "COUNT":
         if var is None:
             return F.count(F.lit(1))
@@ -1223,7 +1260,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 raise SparqlError(
                     f"SELECT ?{v} must appear in GROUP BY when aggregating"
                 )
-        for _, func, _, var, alias in aggs:
+        for _, func, _, var, alias, _sep in aggs:
             if var is not None and var not in bound:
                 raise SparqlError(
                     f"{func} aggregates unbound variable ?{var}"
@@ -1238,8 +1275,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             gb = out.groupBy(*group) if group else out.groupBy()
             out = gb.agg(
                 *[
-                    _agg_col(func, dist, var).alias(alias)
-                    for _, func, dist, var, alias in aggs
+                    _agg_col(func, dist, var, sep).alias(alias)
+                    for _, func, dist, var, alias, sep in aggs
                 ]
             )
         else:

@@ -733,3 +733,37 @@ def test_bind_rejections(spark):
     ):
         with pytest.raises(SparqlError):
             sparql_select(e, bad).collect()
+
+
+def test_group_concat_and_sample(spark):
+    e = _edges(spark, [
+        ("alice", "knows", "bob"), ("alice", "knows", "carol"),
+        ("alice", "knows", "bob"), ("bob", "knows", "carol"),
+    ])
+    got = sparql_select(
+        e,
+        'SELECT ?x (GROUP_CONCAT(?y; SEPARATOR=", ") AS ?fs) '
+        "WHERE { ?x knows ?y } GROUP BY ?x",
+    )
+    rows = {r["x"]: r["fs"] for r in got.collect()}
+    # bag semantics + deterministic lexicographic order
+    assert rows == {"alice": "bob, bob, carol", "bob": "carol"}
+    got2 = sparql_select(
+        e,
+        "SELECT ?x (GROUP_CONCAT(DISTINCT ?y) AS ?fs) "
+        "(SAMPLE(?y) AS ?one) WHERE { ?x knows ?y } GROUP BY ?x",
+    )
+    rows2 = {r["x"]: (r["fs"], r["one"]) for r in got2.collect()}
+    assert rows2 == {
+        "alice": ("bob carol", "bob"), "bob": ("carol", "carol")
+    }
+
+
+def test_group_concat_rejections(spark):
+    e = _edges(spark, AGES)
+    for bad in (
+        'SELECT (SUM(?a; SEPARATOR=",") AS ?s) WHERE { ?x age ?a }',
+        "SELECT (GROUP_CONCAT(?a; SEP=4) AS ?s) WHERE { ?x age ?a }",
+    ):
+        with pytest.raises(SparqlError):
+            sparql_select(e, bad).collect()
