@@ -231,6 +231,8 @@ def run(spark, sf_dir: str = SF_DIR, replicate: int = REPLICATE,
         "kg_modularity_roles",
         "kg_allen_relations",
         "kg_aligned_entities",
+        "kg_link_scores",
+        "kg_k_truss",
     ]:
         timings[name] = _timed(
             lambda: _noop(Q.QUERIES[name](spark, sf_dir)),
