@@ -72,7 +72,10 @@ Supported subset (documented, loudly rejected otherwise):
   the correlation keys, constants filter the probe side, fresh
   variables are existential ('no such edge to anything'); at least one
   bound variable is required.
-- ``BIND(expr AS ?new)`` — expr is a term, ``CONCAT(t, t, …)``, or
+- ``BIND(expr AS ?new)`` — expr is a term, ``CONCAT(t, t, …)``,
+  ``COALESCE(t, t, …)``, ``IF(t op t, t, t)`` (one comparison using
+  the FILTER operator set — the OPTIONAL-default idiom
+  ``BIND(COALESCE(?opt, "fallback") AS ?v)`` works), or
   ONE binary arithmetic ``t (+|-|*|/) t`` (operands cast to double;
   write the minus operator spaced — a glued ``-1`` lexes as a
   negative literal). Compiled as a projection after the group's
@@ -243,7 +246,7 @@ class _Parser:
             "DISTINCT", "ORDER", "BY", "LIMIT", "ASC", "DESC", "PREFIX",
             "OPTIONAL", "UNION", "BOUND", "GROUP", "HAVING", "VALUES",
             "MINUS", "AS", "UNDEF", "CONSTRUCT", "DESCRIBE", "BIND",
-            "CONCAT",
+            "CONCAT", "COALESCE", "IF",
         ):
             raise SparqlError(f"expected a term, got {tok!r}")
         return _Term("const", tok)
@@ -398,18 +401,34 @@ _ARITH = {"+", "-", "*", "/"}
 
 
 def _parse_bind_expr(p: _Parser):
-    """The BIND expression subset: a term, ``CONCAT(t, t, …)``, or a
-    single binary arithmetic ``t (+|-|*|/) t`` (operands cast to
-    double — the engine's node domain is strings). Returns an AST
-    tuple consumed by _bind_col."""
-    if p.peek() is not None and p.peek().upper() == "CONCAT":
+    """The BIND expression subset: a term, ``CONCAT(t, t, …)``,
+    ``COALESCE(t, t, …)``, ``IF(t op t, t, t)`` (one comparison, the
+    FILTER operator set), or a single binary arithmetic
+    ``t (+|-|*|/) t`` (operands cast to double — the engine's node
+    domain is strings). Returns an AST tuple consumed by _bind_col."""
+    head = p.peek().upper() if p.peek() is not None else ""
+    if head in ("CONCAT", "COALESCE"):
         p.next()
         p.expect("(")
         parts = [p.term()]
         while p.kw(","):
             parts.append(p.term())
         p.expect(")")
-        return ("concat", parts)
+        return (head.lower(), parts)
+    if head == "IF":
+        p.next()
+        p.expect("(")
+        left = p.term()
+        op = p.next()
+        if op not in _OPS:
+            raise SparqlError(f"IF condition: unsupported operator {op!r}")
+        right = p.term()
+        p.expect(",")
+        then = p.term()
+        p.expect(",")
+        els = p.term()
+        p.expect(")")
+        return ("if", (left, op, right), then, els)
     left = p.term()
     if p.peek() in _ARITH:
         op = p.next()
@@ -435,6 +454,18 @@ def _bind_col(expr, bound: set) -> Column:
     if kind == "concat":
         return F.concat(
             *[side(t).cast("string") for t in expr[1]]
+        )
+    if kind == "coalesce":
+        return F.coalesce(*[side(t) for t in expr[1]])
+    if kind == "if":
+        (left, op, right), then, els = expr[1], expr[2], expr[3]
+        for t in (left, right):
+            if t.kind == "var" and t.value not in bound:
+                raise SparqlError(
+                    f"BIND uses unbound variable ?{t.value}"
+                )
+        return F.when(_filter_col(left, op, right), side(then)).otherwise(
+            side(els)
         )
     _, left, op, right = expr
     l, r = side(left, numeric=True), side(right, numeric=True)

@@ -767,3 +767,33 @@ def test_group_concat_rejections(spark):
     ):
         with pytest.raises(SparqlError):
             sparql_select(e, bad).collect()
+
+
+def test_bind_if_and_coalesce(spark):
+    e = _edges(spark, AGES + [("carol", "age", "17")])
+    got = sparql_select(
+        e,
+        'SELECT ?x ?grp WHERE { ?x age ?a . '
+        'BIND(IF(?a >= 18, "adult", "minor") AS ?grp) }',
+    )
+    rows = {r["x"]: r["grp"] for r in got.collect()}
+    assert rows == {"alice": "adult", "bob": "adult", "carol": "minor"}
+    # COALESCE over an OPTIONAL-unbound variable
+    got2 = sparql_select(
+        e,
+        'SELECT ?x ?v WHERE { ?x age ?a . '
+        'OPTIONAL { ?x knows ?k } '
+        'BIND(COALESCE(?k, "nobody") AS ?v) }',
+    )
+    rows2 = {r["x"]: r["v"] for r in got2.collect()}
+    assert rows2["alice"] == "bob" and rows2["carol"] == "nobody"
+
+
+def test_bind_if_rejections(spark):
+    e = _edges(spark, AGES)
+    for bad in (
+        "SELECT ?x WHERE { ?x age ?a . BIND(IF(?a ~ 3, 1, 2) AS ?v) }",
+        "SELECT ?x WHERE { ?x age ?a . BIND(IF(?zz > 3, 1, 2) AS ?v) }",
+    ):
+        with pytest.raises(SparqlError):
+            sparql_select(e, bad).collect()
