@@ -306,6 +306,30 @@ class parser:  # noqa: N801 — name mirrors the reference API
             self._ksg_edges(), communities, rounds=rounds
         )
 
+    def spread_types(
+        self, seeds: DataFrame | None = None, rounds: int = 10,
+        alpha: float = 0.8, top_k: int = 1,
+    ) -> DataFrame:
+        """(node, label, score) — semi-supervised entity typing by
+        label spreading (graphstats.spread_labels): gazetteer-typed
+        nodes (etype > 0) seed their type, which flows to UNTYPED
+        entities along co-mention topology — the graph-native
+        complement of infer_types' predicate-signature voting. Pass
+        explicit (node, label[, score]) seeds to override."""
+        from naruhodo_spark.operators import graphstats as GS
+
+        if seeds is None:
+            nodes = self._require_ksg()["ksg_nodes"]
+            seeds = nodes.where(F.col("etype") > 0).select(
+                F.col("name").alias("node"),
+                F.concat(F.lit("etype:"), F.col("etype").cast("string"))
+                .alias("label"),
+            )
+        return GS.spread_labels(
+            self._ksg_edges(), seeds, rounds=rounds, alpha=alpha,
+            top_k=top_k,
+        )
+
     def predict_links(
         self, method: str = "adamic_adar", top_k: int | None = 100, **kw
     ):

@@ -1520,3 +1520,122 @@ def k_truss(ksg_edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
         f"k_truss did not stabilize in {max_rounds} rounds — raise "
         "max_rounds (rounds track the cascade depth of peeled edges)"
     )
+
+
+def spread_labels(
+    ksg_edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 10,
+    alpha: float = 0.8,
+    top_k: int = 1,
+    min_score: float = 1e-4,
+) -> DataFrame:
+    """(node, label, score) — semi-supervised label spreading over the
+    UNDIRECTED weighted projection (Zhou et al., NIPS 2003 "Learning
+    with Local and Global Consistency", the row-normalized variant):
+    seed nodes carry known labels (gazetteer-typed entities, curated
+    classes) and every node iterates
+
+        f ← α · D⁻¹ A f  +  (1−α) · f⁰
+
+    so types flow to UNTYPED entities along co-mention structure — the
+    graph-native complement of schema_induct's SDType voting (which
+    uses predicate signatures; this uses topology, and the two
+    disagree exactly where a curation pass should look). Seeds keep a
+    (1−α) anchor to their known label every round rather than hard
+    clamping — the standard spreading/label-smoothing trade.
+
+    ``seeds``: (node, label[, score]) — score defaults to 1.0;
+    multiple labels per seed allowed (soft seeds). Output keeps the
+    ``top_k`` labels per node by final score (ties to the
+    lexicographically larger label, deterministic), scores < min_score
+    pruned DURING iteration so the state stays sparse — at KG scale
+    the (node, label) frame would otherwise densify to
+    |nodes|·|labels|.
+
+    Shape per round: ONE adjacency⋈state equi-join on the node key +
+    ONE (node, label) groupBy (both uniform; the degree normalization
+    rides the adjacency frame, computed once) + a broadcast-free union
+    with the anchored seeds; localCheckpoint per round (CC
+    discipline). State is output-sized, never driver-resident.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    pairs = (
+        _edge_pairs(ksg_edges)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.coalesce(F.col("weight").cast("double"), F.lit(1.0)).alias(
+                "w"
+            ),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    adj = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    deg = adj.groupBy("src").agg(F.sum("w").alias("w_tot"))
+    # row-normalized transition, computed once and reused all rounds
+    trans = (
+        adj.join(deg, "src")
+        .select("src", "dst", (F.col("w") / F.col("w_tot")).alias("p"))
+        .localCheckpoint()
+    )
+    score_col = (
+        F.col("score").cast("double")
+        if "score" in seeds.columns
+        else F.lit(1.0)
+    )
+    seed0 = (
+        seeds.select("node", "label", score_col.alias("score"))
+        .groupBy("node", "label")
+        .agg(F.max("score").alias("score"))
+        .localCheckpoint()
+    )
+    anchored = seed0.select(
+        "node", "label", (F.col("score") * (1.0 - alpha)).alias("score")
+    )
+    state = seed0
+    for _ in range(int(rounds)):
+        propagated = (
+            trans.join(
+                state.select(
+                    F.col("node").alias("src"), "label", "score"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                "label",
+                (F.lit(float(alpha)) * F.col("p") * F.col("score")).alias(
+                    "score"
+                ),
+            )
+        )
+        prev = state
+        state = (
+            propagated.unionByName(anchored)
+            .groupBy("node", "label")
+            .agg(F.sum("score").alias("score"))
+            .where(F.col("score") >= float(min_score))
+            .localCheckpoint()
+        )
+        prev.unpersist()
+    from pyspark.sql import Window as W
+
+    ranked = state.withColumn(
+        "_rk",
+        F.row_number().over(
+            W.partitionBy("node").orderBy(
+                F.desc("score"), F.desc("label")
+            )
+        ),
+    )
+    return ranked.where(F.col("_rk") <= int(top_k)).select(
+        "node", "label", F.round("score", 6).alias("score")
+    )

@@ -4541,6 +4541,52 @@ def kg_k_truss(spark, sf_dir):
     return k_truss(edges, k=3)
 
 
+def kg_spread_types(spark, sf_dir):
+    """Label spreading (graphstats.spread_labels — one
+    transition-join + one (node, label) groupBy per round, sparse
+    pruned state) over the TPC-H geography graph: the five region
+    nodes seed their own names, which flow through nation and
+    residency edges until every customer carries its region label —
+    recoverable exactly from the relational path, which is what the
+    pytest mirror pins. Rows-only (iterative); top-1 labels for
+    customers below key 300."""
+    from naruhodo_spark.operators.graphstats import spread_labels
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        c.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias(
+                "obj"
+            ),
+            F.lit(1.0).alias("weight"),
+        )
+        .unionByName(
+            n.select(
+                F.concat(
+                    F.lit("n:"), F.col("n_nationkey").cast("string")
+                ).alias("subj"),
+                F.lit("in_region").alias("pred"),
+                F.concat(
+                    F.lit("r:"), F.col("n_regionkey").cast("string")
+                ).alias("obj"),
+                F.lit(1.0).alias("weight"),
+            )
+        )
+    )
+    seeds = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("r:"), F.col("r_regionkey").cast("string")).alias(
+            "node"
+        ),
+        F.col("r_name").alias("label"),
+    )
+    return spread_labels(edges, seeds, rounds=8, top_k=1)
+
+
 def kg_link_scores(spark, sf_dir):
     """Neighborhood-overlap link prediction
     (graphstats.link_scores — hub-capped wedge self-join + ONE pair
@@ -4684,6 +4730,7 @@ for _n, _f in [
     ("kg_disambiguated_mentions", kg_disambiguated_mentions),
     ("kg_link_scores", kg_link_scores),
     ("kg_k_truss", kg_k_truss),
+    ("kg_spread_types", kg_spread_types),
     ("td_transe_eval", td_transe_eval),
     ("td_kelm_corpus_kg", td_kelm_corpus_kg),
     ("kg_inverse_predicates", kg_inverse_predicates),

@@ -92,3 +92,13 @@ def test_facade_predict_links(spark):
            for r in scored.collect()}
     # alice and carol share two neighbors (bob, dave) but no edge
     assert got.get(("alice", "carol")) == 2
+
+
+def test_facade_spread_types(spark):
+    p = _p(spark, ["Alice visited Tokyo.", "Alice praised Bob."])
+    out = p.spread_types(rounds=5, top_k=1)
+    assert out.columns == ["node", "label", "score"]
+    got = {r["node"]: r["label"] for r in out.collect()}
+    # gazetteer-typed seeds keep their own type
+    assert got  # labels spread to at least the seeds themselves
+    assert all(lab.startswith("etype:") for lab in got.values())
