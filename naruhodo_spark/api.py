@@ -427,6 +427,34 @@ class parser:  # noqa: N801 — name mirrors the reference API
             min_support=min_support,
         )
 
+    def type_disagreements(
+        self, min_conf: float = 0.0, min_support: int = 3,
+        rounds: int = 10, alpha: float = 0.8,
+    ) -> DataFrame:
+        """(node, sdtype_label, sdtype_score, spread_label,
+        spread_score) — entities where the two typing signals
+        disagree: SDType's predicate-signature vote (infer_types) vs
+        topology label spreading (spread_types). The two methods use
+        DISJOINT evidence, so their disagreement set is exactly where
+        a curation pass should look first; agreement rows are dropped
+        (they are the easy cases)."""
+        sd = self.infer_types(
+            min_conf=min_conf, min_support=min_support
+        ).select(
+            F.col("entity").alias("node"),
+            F.concat(F.lit("etype:"), F.col("etype").cast("string"))
+            .alias("sdtype_label"),
+            F.col("score").alias("sdtype_score"),
+        )
+        sp = self.spread_types(rounds=rounds, alpha=alpha, top_k=1).select(
+            "node",
+            F.col("label").alias("spread_label"),
+            F.col("score").alias("spread_score"),
+        )
+        return sd.join(sp, "node").where(
+            F.col("sdtype_label") != F.col("spread_label")
+        )
+
     def cardinality_violations(
         self, min_functionality: float = 0.95
     ) -> DataFrame:

@@ -102,3 +102,16 @@ def test_facade_spread_types(spark):
     # gazetteer-typed seeds keep their own type
     assert got  # labels spread to at least the seeds themselves
     assert all(lab.startswith("etype:") for lab in got.values())
+
+
+def test_facade_type_disagreements(spark):
+    p = _p(spark, ["Alice visited Tokyo.", "Bob praised Alice."])
+    out = p.type_disagreements(min_support=1)
+    assert out.columns == [
+        "node", "sdtype_label", "sdtype_score",
+        "spread_label", "spread_score",
+    ]
+    # every surfaced row genuinely disagrees
+    assert out.where(
+        F.col("sdtype_label") == F.col("spread_label")
+    ).isEmpty()
